@@ -1,0 +1,356 @@
+"""Deduplication operators over the ``documents`` table (north-star §2.5).
+
+Design for 100 TB:
+- Exact dedup: one hash-shuffle on a 16-byte content digest — never on the
+  raw text. Map-side partial aggregation keeps the shuffle at
+  O(distinct digests); AQE handles digest skew.
+- N-gram Jaccard: the all-pairs verify is quadratic in docs-per-shingle, so
+  at scale it only runs on LSH candidates (d04); the standalone variant (d02)
+  demonstrates semantics and is oracle-checked at test SF.
+- MinHash+LSH: signatures are an 8-way min-aggregate over exploded tokens
+  (one shuffle, map-side combine); banding turns near-dup search into an
+  equi-join on band keys — Spark's hash join, broadcast-able when the
+  candidate side is small.
+
+Hash discipline: md5 on both engines (DuckDB md5() == Spark F.md5()), so
+signatures and band keys hash-match the oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark.registry import query
+from spark_streaming_logservice_spark.tables import load_table
+
+N_MINHASH = 8
+
+
+def _tokens(col: str = "text") -> Column:
+    """Distinct non-empty whitespace tokens."""
+    return F.array_distinct(F.filter(F.split(F.col(col), " "), lambda t: t != ""))
+
+
+def content_digest(col: str = "text") -> Column:
+    """Stable content digest for exact dedup (md5 of raw text)."""
+    return F.md5(F.col(col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group on content digest, keep the lowest id.
+
+    At 100 TB this is the canonical first pass: digest on the map side,
+    shuffle 16-byte keys only.
+    """
+    return (
+        df.withColumn("content_hash", content_digest(text_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = N_MINHASH) -> DataFrame:
+    """MinHash signature: mh_i = min over tokens of md5(f"{i}:{token}").
+
+    Using k keyed md5s instead of k permutations of one hash keeps the
+    computation expressible as pure built-in expressions (JVM codegen, no
+    Python) and bit-reproducible in any engine with md5.
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+# --- d01: exact dedup ------------------------------------------------------
+# Input = documents unioned with a re-keyed copy of itself, so every text has
+# exactly one duplicate — exercises the keeper/copy-count semantics.
+
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    ORDER BY keeper
+    LIMIT 100
+    """,
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.union(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return (
+        exact_dedup(corpus)
+        .select("content_hash", "keeper", "n_copies")
+        .orderBy("keeper")
+        .limit(100)
+    )
+
+
+# --- d02: n-gram (3-word shingle) Jaccard near-dup -------------------------
+
+@query(
+    "d02_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+)
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    sh = (
+        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(50)
+    )
+
+
+# --- d03: MinHash signatures ----------------------------------------------
+
+def _duckdb_minhash_cte(k: int = N_MINHASH) -> str:
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || token)) AS mh{i}" for i in range(k)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), filtered AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM filtered
+      GROUP BY doc_id
+    )
+    """
+
+
+@query(
+    "d03_minhash_signatures",
+    oracle=_duckdb_minhash_cte()
+    + """
+    SELECT * FROM sig WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signature(d).where(F.col("doc_id") < 100).orderBy("doc_id")
+
+
+# --- d04: LSH banding → candidate pairs → verified Jaccard -----------------
+
+@query(
+    "d04_minhash_lsh_pairs",
+    oracle=_duckdb_minhash_cte()
+    + """
+    , bands AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_tok FROM filtered GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+        JOIN filtered fa ON fa.doc_id = c.doc_a
+        JOIN filtered fb ON fb.doc_id = c.doc_b AND fa.token = fb.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    ORDER BY jaccard DESC, i.doc_a, i.doc_b
+    LIMIT 100
+    """,
+)
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d)
+    bands = None
+    for band in range(N_MINHASH // 2):
+        part = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat(
+                F.col(f"mh{2 * band}"), F.lit("|"), F.col(f"mh{2 * band + 1}")
+            ).alias("bkey"),
+        )
+        bands = part if bands is None else bands.union(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    fa = toks.alias("fa")
+    fb = toks.alias("fb")
+    inter = (
+        cand.join(fa, F.col("doc_a") == F.col("fa.doc_id"))
+        .join(
+            fb,
+            (F.col("doc_b") == F.col("fb.doc_id"))
+            & (F.col("fa.token") == F.col("fb.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )
+
+
+# --- d05: SimHash (16-bit, frequency-weighted) -----------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _duckdb_hex4_to_int(h: str) -> str:
+    """DuckDB expression: first-4-hex-chars of md5 → 0..65535."""
+    terms = [
+        f"(strpos('{_HEX}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duckdb_simhash_sql() -> str:
+    val = _duckdb_hex4_to_int("md5(token)")
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), vals AS (
+      SELECT doc_id, {val} AS v FROM toks WHERE token <> ''
+    ), sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM vals GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+    FROM sums
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """
+
+
+@query("d05_simhash", oracle=_duckdb_simhash_sql())
+def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    v = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
+    vals = toks.select("doc_id", v.alias("v"))
+    sums = vals.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("v"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    simhash = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return (
+        sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+        .where(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )

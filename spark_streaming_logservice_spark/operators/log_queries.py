@@ -1,0 +1,397 @@
+"""Log-model queries over the ``events`` stream table.
+
+These reproduce the reference's data model and ingest-time operators
+(SURVEY.md §1, §2.2) as batch queries over the events fixture:
+
+- default 8-column schema packing (__value__ JSON) —
+  SQL/LoghubSourceProvider.scala:264-274, SQL/LoghubSourceRDD.scala:154-176
+- envelope-column synthesis (__shard__/__time__/__topic__/__source__) —
+  SQL/LoghubSourceRDD.scala:196-219
+- string→typed converter battery — SQL/Utils.scala:101-164
+- event-time tumbling window aggregation —
+  TEST/LoghubMicroBatchSourceSuite.scala:381-424
+- wordcount (explode/split → groupBy → count) —
+  EX/sql/streaming/StructuredLoghubWordCount.scala:77
+- sessionization (stateful streaming analog, expressed with window
+  functions batch-side)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_streaming_logservice_spark.registry import query
+from spark_streaming_logservice_spark.tables import load_table
+
+
+# --- l01: event counts by type (wordcount shape: groupBy().count()) --------
+
+@query(
+    "l01_event_type_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def l01_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- l02: tumbling event-time window agg -----------------------------------
+# Batch analog of withWatermark + window(ts, '1 hour') — the streaming variant
+# lives in streaming/queries.py and is tested in tests/test_streaming.py.
+
+@query(
+    "l02_tumbling_window_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def l02_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --- l03: top-k users by total value ---------------------------------------
+
+@query(
+    "l03_topk_users",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+)
+def l03_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# --- l04: JSON payload extraction (props column) ---------------------------
+# The default schema packs contents into a JSON __value__; the inverse
+# operation — extracting typed fields from a JSON payload — is the bread and
+# butter of log queries.
+
+@query(
+    "l04_json_extract",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def l04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+# --- l05: default 8-column schema packing (F2 fixture) ---------------------
+# SQL/LoghubSourceProvider.scala:255-274: __logProject__, __logStore__,
+# __shard__, __time__, __topic__, __source__, __value__, __sequence_number__
+# — all strings; __value__ is the JSON-packed payload
+# (SQL/LoghubSourceRDD.scala:154-176). Shard = hash-partition of the record;
+# here derived deterministically as user_id % 4. All payload values are
+# stringified before packing, matching "all wire values are strings".
+
+@query(
+    "l05_default_schema_pack",
+    oracle="""
+    SELECT '__logProject__' AS k_project, * FROM (
+      SELECT
+        'proj'                                   AS __logProject__,
+        'events'                                 AS __logStore__,
+        CAST(user_id % 4 AS VARCHAR)             AS __shard__,
+        CAST(ts AS VARCHAR)                      AS __time__,
+        event_type                               AS __topic__,
+        'src-' || CAST(user_id AS VARCHAR)       AS __source__,
+        '{"event_id":"' || CAST(event_id AS VARCHAR) ||
+          '","value":"' || CAST(value AS VARCHAR) ||
+          '","__tag__:k":"' || CAST(props->>'$.k' AS VARCHAR) || '"}'
+                                                 AS __value__,
+        CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || '-' || CAST(event_id AS VARCHAR)
+                                                 AS __sequence_number__
+      FROM events
+      WHERE event_id < 100
+    ) ORDER BY __sequence_number__
+    """,
+)
+def l05_default_schema_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    packed = e.select(
+        F.lit("proj").alias("__logProject__"),
+        F.lit("events").alias("__logStore__"),
+        (F.col("user_id") % 4).cast("string").alias("__shard__"),
+        F.col("ts").cast("string").alias("__time__"),
+        F.col("event_type").alias("__topic__"),
+        F.concat(F.lit("src-"), F.col("user_id").cast("string")).alias("__source__"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("string").alias("event_id"),
+                F.col("value").cast("string").alias("value"),
+                F.get_json_object("props", "$.k").alias("__tag__:k"),
+            )
+        ).alias("__value__"),
+        F.concat(
+            F.unix_timestamp(F.col("ts").cast("timestamp")).cast("string"),
+            F.lit("-"),
+            F.col("event_id").cast("string"),
+        ).alias("__sequence_number__"),
+    )
+    return packed.select(F.lit("__logProject__").alias("k_project"), "*").orderBy(
+        "__sequence_number__"
+    )
+
+
+# --- l06: converter battery (string→typed casts, SQL/Utils.scala:101-164) --
+# All wire values are strings; the engine types them with native casts
+# (Catalyst codegen) instead of per-value interpreted converters.
+
+@query(
+    "l06_converter_battery",
+    oracle="""
+    SELECT
+      CAST(s_int AS INTEGER)                    AS c_int,
+      CAST(s_long AS BIGINT)                    AS c_long,
+      CAST(s_double AS DOUBLE)                  AS c_double,
+      CAST(s_bool AS BOOLEAN)                   AS c_bool,
+      CAST(replace(s_decimal, ',', '') AS DECIMAL(12,2)) AS c_decimal,
+      CAST(s_ts AS TIMESTAMP)                   AS c_ts,
+      CAST(CAST(s_date AS DATE) AS VARCHAR)     AS c_date_str,
+      s_str                                     AS c_str
+    FROM (
+      SELECT
+        CAST(event_id AS VARCHAR)           AS s_int,
+        CAST(user_id  AS VARCHAR)           AS s_long,
+        CAST(value    AS VARCHAR)           AS s_double,
+        CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END AS s_bool,
+        '1,234.56'                          AS s_decimal,
+        '2026-01-02 03:04:05'               AS s_ts,
+        '2026-01-02'                        AS s_date,
+        event_type                          AS s_str
+      FROM events WHERE event_id < 50
+    )
+    ORDER BY c_int
+    """,
+)
+def l06_converter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 50)
+    wire = e.select(
+        F.col("event_id").cast("string").alias("s_int"),
+        F.col("user_id").cast("string").alias("s_long"),
+        F.col("value").cast("string").alias("s_double"),
+        F.when(F.col("event_id") % 2 == 0, "true").otherwise("false").alias("s_bool"),
+        F.lit("1,234.56").alias("s_decimal"),
+        F.lit("2026-01-02 03:04:05").alias("s_ts"),
+        F.lit("2026-01-02").alias("s_date"),
+        F.col("event_type").alias("s_str"),
+    )
+    return wire.select(
+        F.col("s_int").cast("int").alias("c_int"),
+        F.col("s_long").cast("bigint").alias("c_long"),
+        F.col("s_double").cast("double").alias("c_double"),
+        F.col("s_bool").cast("boolean").alias("c_bool"),
+        # Reference strips commas before Decimal(p,s): SQL/Utils.scala:126-130
+        F.regexp_replace("s_decimal", ",", "").cast("decimal(12,2)").alias("c_decimal"),
+        F.col("s_ts").cast("timestamp_ntz").alias("c_ts"),
+        F.col("s_date").cast("date").cast("string").alias("c_date_str"),
+        F.col("s_str").alias("c_str"),
+    ).orderBy("c_int")
+
+
+# --- l07: sessionization (30-min inactivity gap), gaps-and-islands ---------
+# Batch analog of session_window / applyInPandasWithState; at scale this is
+# one shuffle on user_id + a sort within partitions (window function).
+
+@query(
+    "l07_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def l07_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-precision gap (matches the oracle's interval comparison exactly);
+    # session tz is UTC (set by load_table) so ntz→ltz is wall-clock-stable.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- l08: typed projection + CAST on a selective filter --------------------
+# Mirrors the reference's most-exercised pattern:
+# spark.readStream...select($"msg".cast(IntegerType) + 1)
+# (TEST/LoghubMicroBatchSourceSuite.scala:142-145).
+
+@query(
+    "l08_projection_cast",
+    oracle="""
+    SELECT event_id, CAST(CAST(value AS VARCHAR) AS DOUBLE) + 1 AS value_plus_one,
+           upper(event_type) AS event_type_uc
+    FROM events
+    WHERE event_type = 'error' AND value > 150
+    ORDER BY event_id
+    """,
+)
+def l08_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select(
+            "event_id",
+            (F.col("value").cast("string").cast("double") + 1).alias("value_plus_one"),
+            F.upper("event_type").alias("event_type_uc"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- l09: stream-stream self-join shape (batch analog) ---------------------
+# TEST/LoghubMicroBatchSourceSuite.scala:426-459 joins a stream with itself
+# on a derived key. Batch analog: self equi-join of events on a derived key,
+# counting matched pairs per key.
+
+@query(
+    "l09_self_join_derived_key",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, user_id % 5 AS key, value FROM events WHERE event_id < 500
+    )
+    SELECT a.key AS key, count(*) AS n_pairs,
+           round(sum(a.value + b.value), 2) AS pair_value
+    FROM keyed a JOIN keyed b ON a.key = b.key
+    GROUP BY a.key
+    ORDER BY a.key
+    """,
+)
+def l09_self_join_derived_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    keyed = e.select("event_id", (F.col("user_id") % 5).alias("key"), "value")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, F.col("a.key") == F.col("b.key"))
+        .groupBy(F.col("a.key").alias("key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum(F.col("a.value") + F.col("b.value")), 2).alias("pair_value"),
+        )
+        .orderBy("key")
+    )
+
+
+# --- l10: wordcount over documents (explode + split) -----------------------
+# EX/sql/streaming/StructuredLoghubWordCount.scala:77:
+# flatMap(split(' ')) → groupBy(value) → count. JVM-side explode/split, no
+# Python in the loop.
+
+@query(
+    "l10_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def l10_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )

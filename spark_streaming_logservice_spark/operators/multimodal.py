@@ -1,0 +1,83 @@
+"""Multimodal column plumbing (north-star §2.5).
+
+Pattern: media is carried as an opaque ``binary`` column plus typed metadata;
+decode / feature-extraction runs as Arrow-batched pandas stages via
+``mapInPandas`` (never row-at-a-time Python). The real decoders (image/audio
+libs) are not in this container, so the decode step is a clearly-marked
+deterministic stand-in (see ``functions/media.py`` for the gated real-decoder
+stubs); the Spark-side plumbing — schema, batch iteration, partitioning — is
+real and oracle-checked.
+
+At 100 TB: blobs stay with their row (parquet binary column or object-store
+pointer); ``mapInPandas`` streams Arrow batches so peak memory is one batch,
+not one partition; the output schema is declared up front so Catalyst can
+prune downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark.registry import query
+from spark_streaming_logservice_spark.tables import load_table
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, first_byte int, fake_width int, fake_height int"
+)
+
+
+def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a media decoder: derives metadata from the
+    raw bytes. A real deployment swaps the body for PIL/av/soundfile calls
+    (see functions/media.py); the batch shape and schema stay identical."""
+    for pdf in it:
+        blobs = pdf["blob"]
+        n_bytes = blobs.map(len)
+        first = blobs.map(lambda b: b[0] if len(b) else -1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_bytes.astype("int64"),
+                "first_byte": first.astype("int32"),
+                "fake_width": (n_bytes % 640 + 1).astype("int32"),
+                "fake_height": (n_bytes * 7 % 480 + 1).astype("int32"),
+            }
+        )
+
+
+def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal row: binary payload + typed metadata struct."""
+    return df.withColumn("blob", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col(text_col)).alias("n_chars_meta"),
+        ),
+    )
+
+
+@query(
+    "m01_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) > 0 THEN ord(substring(text, 1, 1))
+                     ELSE -1 END AS INTEGER) AS first_byte,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS fake_height
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(d).select("doc_id", "blob")
+    return blobs.mapInPandas(decode_batches, schema=DECODE_SCHEMA).orderBy(
+        "doc_id"
+    ).limit(200)

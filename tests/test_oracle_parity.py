@@ -1,0 +1,77 @@
+"""Replicates the driver's correctness gate locally: run every registered
+query through Spark AND its DuckDB oracle on the same parquet tables, then
+compare row count + order-insensitive values (columns sorted by name)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from spark_streaming_logservice_spark import registry
+from spark_streaming_logservice_spark.tables import TABLES
+
+registry.load_all()
+
+QUERY_NAMES = sorted(registry.QUERIES)
+
+
+def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    return con
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, then rows; normalize floats/timestamps so that
+    representation differences don't mask value equality."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.9g}"
+        if isinstance(v, bytes):
+            return v.hex()
+        return str(v)
+
+    out = []
+    for row in rows:
+        out.append(tuple(norm_cell(row[i]) for i in order))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    fn = registry.QUERIES[name]
+    sdf = fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if name not in registry.ORACLES:
+        # rows-only check (mirrors the driver's weaker path)
+        assert len(spark_rows) >= 0
+        return
+
+    con = _duck_con(sf_dir)
+    res = con.execute(registry.ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
