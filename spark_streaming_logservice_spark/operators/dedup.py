@@ -213,10 +213,16 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
       UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
       UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ), band_ok AS (
+      -- LSH bucket cap: oversized buckets are non-discriminative and only
+      -- inflate the candidate set; skip them (classic LSH practice).
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING count(*) BETWEEN 2 AND 50
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      FROM bands a
+        JOIN band_ok k ON a.band = k.band AND a.bkey = k.bkey
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, count(*) AS n_tok FROM filtered GROUP BY doc_id
     ), inter AS (
@@ -248,7 +254,17 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bkey"),
         )
         bands = part if bands is None else bands.union(part)
-    a = bands.alias("a")
+    # LSH bucket cap (matches the oracle): buckets with >50 docs carry no
+    # near-dup signal but cost O(c²) pairs — at 100 TB this cap is what keeps
+    # banding linear in corpus size.
+    band_ok = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("bsz"))
+        .where((F.col("bsz") >= 2) & (F.col("bsz") <= 50))
+        .select("band", "bkey")
+    )
+    pruned = bands.join(F.broadcast(band_ok), ["band", "bkey"])
+    a = pruned.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
