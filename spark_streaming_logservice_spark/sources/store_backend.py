@@ -1,0 +1,215 @@
+"""Parquet-backed sharded logstore: the storage stand-in for the reference's
+cloud logstore (SURVEY.md §7.1 "Storage stand-in").
+
+Layout: ``<path>/shard=<N>/part-*.parquet`` with columns
+``seq int64, time int64 (unix sec), topic str, source str,
+contents map<str,str>, tags map<str,str>``. ``seq`` is the per-shard cursor
+(monotonic, not necessarily dense); a position in a shard is a seq value, and
+offset ranges are half-open ``[start_seq, end_seq)`` — mirroring the
+reference's cursor-addressed shards (SQL/LoghubShard.scala:19,
+SQL/LoghubSourceOffset.scala:30).
+
+Everything here is driver- or executor-side *Python* on pyarrow. That's the
+right layer for a source connector: partition planning reads only footer
+stats/columns, while data movement stays Arrow-batched. At 100 TB the same
+layout maps 1:1 onto object-store prefixes per shard.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+
+import pyarrow as pa
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+_SHARD_RE = re.compile(r"^shard=(\d+)$")
+
+STORE_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("seq", pa.int64()),
+        pa.field("time", pa.int64()),
+        pa.field("topic", pa.string()),
+        pa.field("source", pa.string()),
+        pa.field("contents", pa.map_(pa.string(), pa.string())),
+        pa.field("tags", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+
+def shard_dir(path: str, shard: int) -> str:
+    return os.path.join(path, f"shard={shard}")
+
+
+def list_shards(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"logstore path does not exist: {path}")
+    out = []
+    for name in os.listdir(path):
+        m = _SHARD_RE.match(name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _shard_dataset(path: str, shard: int) -> pa_ds.Dataset | None:
+    d = shard_dir(path, shard)
+    if not os.path.isdir(d):
+        return None
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return None
+    return pa_ds.dataset(files, schema=STORE_ARROW_SCHEMA)
+
+
+def shard_bounds(path: str, shard: int) -> tuple[int, int]:
+    """(min_seq, end_seq) where end_seq = max_seq + 1; (0, 0) when empty.
+
+    Reads only parquet footer statistics — no data pages — so planning cost
+    is O(files), not O(rows)."""
+    d = shard_dir(path, shard)
+    if not os.path.isdir(d):
+        return (0, 0)
+    lo: int | None = None
+    hi: int | None = None
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # seq is field 0
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo = stats.min if lo is None else min(lo, stats.min)
+            hi = stats.max if hi is None else max(hi, stats.max)
+    if lo is None or hi is None:
+        return (0, 0)
+    return (lo, hi + 1)
+
+
+def seq_for_time(path: str, shard: int, cursor_time: int) -> int:
+    """Smallest seq whose time >= cursor_time; end_seq if none (the
+    reference's GetCursor(fromTime) semantics)."""
+    ds = _shard_dataset(path, shard)
+    if ds is None:
+        return 0
+    tbl = ds.to_table(
+        columns=["seq"], filter=pa_ds.field("time") >= cursor_time
+    )
+    if tbl.num_rows == 0:
+        return shard_bounds(path, shard)[1]
+    import pyarrow.compute as pc
+
+    return pc.min(tbl.column("seq")).as_py()
+
+
+def time_for_seq(path: str, shard: int, seq: int) -> int | None:
+    """Event time of the first record with seq >= given (None if drained)."""
+    ds = _shard_dataset(path, shard)
+    if ds is None:
+        return None
+    tbl = ds.to_table(columns=["time"], filter=pa_ds.field("seq") >= seq)
+    if tbl.num_rows == 0:
+        return None
+    import pyarrow.compute as pc
+
+    return pc.min(tbl.column("time")).as_py()
+
+
+def second_histogram(path: str, shard: int, from_seq: int) -> list[tuple[int, int]]:
+    """Sorted (unix_second, record_count) buckets for records with
+    seq >= from_seq — the rate-limit histogram (SQL/LoghubOffsetReader.scala:
+    155-220 walks per-time-bucket record counts)."""
+    ds = _shard_dataset(path, shard)
+    if ds is None:
+        return []
+    tbl = ds.to_table(columns=["time"], filter=pa_ds.field("seq") >= from_seq)
+    if tbl.num_rows == 0:
+        return []
+    import pyarrow.compute as pc
+
+    counts = pa.table({"time": tbl.column("time")}).group_by("time").aggregate(
+        [("time", "count")]
+    )
+    pairs = sorted(
+        zip(counts.column("time").to_pylist(), counts.column("time_count").to_pylist())
+    )
+    return [(int(t), int(c)) for t, c in pairs]
+
+
+def end_seq_for_count(path: str, shard: int, from_seq: int, max_records: int) -> int:
+    """Rate limit: advance in whole-second buckets until adding a bucket
+    reaches/exceeds ``max_records`` (bucket granularity, never mid-bucket —
+    may overshoot by up to one bucket, replicating
+    SQL/LoghubOffsetReader.scala:205-213). Returns the capped end_seq."""
+    hist = second_histogram(path, shard, from_seq)
+    if not hist:
+        return from_seq
+    total = 0
+    last_included_sec = None
+    for sec, cnt in hist:
+        total += cnt
+        last_included_sec = sec
+        if total >= max_records:
+            break
+    # end = first seq strictly after last_included_sec
+    end = seq_for_time(path, shard, last_included_sec + 1)
+    return max(end, from_seq)
+
+
+def read_rows(path: str, shard: int, start_seq: int, end_seq: int):
+    """Iterate records of [start_seq, end_seq) as dicts, Arrow-batched
+    underneath, in seq order within each batch."""
+    ds = _shard_dataset(path, shard)
+    if ds is None:
+        return
+    filt = (pa_ds.field("seq") >= start_seq) & (pa_ds.field("seq") < end_seq)
+    for batch in ds.to_batches(filter=filt):
+        cols = batch.to_pydict()
+        for i in range(batch.num_rows):
+            yield {
+                "seq": cols["seq"][i],
+                "time": cols["time"][i],
+                "topic": cols["topic"][i],
+                "source": cols["source"][i],
+                "contents": dict(cols["contents"][i] or []),
+                "tags": dict(cols["tags"][i] or []),
+            }
+
+
+def append_rows(path: str, shard: int, rows: list[dict]) -> int:
+    """Append records (dicts with time/topic/source/contents/tags and
+    optionally seq) to a shard as one new parquet file. Missing seqs are
+    assigned from the current end_seq. Returns the new end_seq."""
+    d = shard_dir(path, shard)
+    os.makedirs(d, exist_ok=True)
+    base = shard_bounds(path, shard)[1]
+    seqs, times, topics, sources, contents, tags = [], [], [], [], [], []
+    nxt = base
+    for r in rows:
+        seq = r.get("seq")
+        if seq is None:
+            seq = nxt
+        nxt = max(nxt, seq + 1)
+        seqs.append(seq)
+        times.append(int(r["time"]))
+        topics.append(r.get("topic") or "")
+        sources.append(r.get("source") or "")
+        contents.append(list((r.get("contents") or {}).items()))
+        tags.append(list((r.get("tags") or {}).items()))
+    tbl = pa.table(
+        {
+            "seq": pa.array(seqs, pa.int64()),
+            "time": pa.array(times, pa.int64()),
+            "topic": pa.array(topics, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "contents": pa.array(contents, pa.map_(pa.string(), pa.string())),
+            "tags": pa.array(tags, pa.map_(pa.string(), pa.string())),
+        },
+        schema=STORE_ARROW_SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+    return nxt
