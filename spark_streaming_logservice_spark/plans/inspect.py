@@ -1,0 +1,72 @@
+"""Physical-plan inspection helpers: make performance properties assertable.
+
+The engine's scale posture (SURVEY.md §4) lives or dies on Catalyst doing the
+right thing — filters reaching the parquet scan, small dims broadcasting,
+aggregates running partially before the shuffle, expressions staying inside
+whole-stage codegen. These helpers turn those properties into assertions so
+tests (tests/test_plans.py) pin them down instead of hoping."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True when at least one scan carries non-empty PushedFilters."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("PushedFilters:") and "[]" not in stripped:
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[set[str]]:
+    """Column sets each parquet scan actually reads (pruning check)."""
+    plan = formatted_plan(df)
+    out = []
+    for line in plan.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("ReadSchema:"):
+            inner = stripped.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            cols = {c.split(":")[0] for c in inner.split(",") if c}
+            out.append(cols)
+    return out
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """HashAggregate appears in partial+final pairs when map-side combine is
+    active (keys: 'partial_' functions in the partial node)."""
+    return "partial_" in formatted_plan(df)
+
+
+def wholestage_codegen_spans(build_df, spark) -> int:
+    """Count distinct whole-stage-codegen spans. AQE wraps the plan in
+    AdaptiveSparkPlan and defers codegen until stage materialization, so the
+    plan is built once with AQE off purely for inspection (the engine runs
+    with AQE on)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = build_df()._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    ids = set()
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        if s.startswith("*(") and ")" in s:
+            try:
+                ids.add(int(s[2 : s.index(")")]))
+            except ValueError:
+                pass
+    return len(ids)

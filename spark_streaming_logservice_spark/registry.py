@@ -47,5 +47,6 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        source_queries,
         text,
     )
