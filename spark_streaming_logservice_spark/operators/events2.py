@@ -1,0 +1,137 @@
+"""Second wave of event-analytics queries: funnels, daily error rates,
+distinct users, event-sequence analysis — typical production log queries
+over the stream table, expressed declaratively."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark.registry import query
+from spark_streaming_logservice_spark.tables import load_table
+
+
+# --- e01: signup→purchase funnel -------------------------------------------
+
+@query(
+    "e01_signup_purchase_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup')   AS first_signup,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE first_signup IS NOT NULL) AS n_signed_up,
+           count(*) FILTER (WHERE first_signup IS NOT NULL
+                              AND first_purchase > first_signup) AS n_converted
+    FROM firsts
+    """,
+)
+def e01_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.when(F.col("first_signup").isNotNull(), 1)).alias("n_signed_up"),
+        F.count(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
+
+
+# --- e02: daily error rate -------------------------------------------------
+
+@query(
+    "e02_daily_error_rate",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           round(CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE)
+                 / count(*), 4) AS error_rate
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def e02_daily_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errors = F.count(F.when(F.col("event_type") == "error", 1))
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            errors.alias("n_errors"),
+            F.round(errors.cast("double") / F.count("*"), 4).alias("error_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- e03: distinct users per type + value percentiles ----------------------
+
+@query(
+    "e03_type_user_stats",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(median(value), 2) AS median_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e03_type_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.expr("median(value)"), 2).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- e04: per-user event-sequence bigrams (next-event transition counts) ---
+
+@query(
+    "e04_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def e04_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "next_type")
+    )

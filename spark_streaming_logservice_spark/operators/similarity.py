@@ -176,3 +176,97 @@ def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("q_id", "rk")
     )
+
+
+# --- s03: embedding-cosine near-duplicate pairs (bucketed) -----------------
+
+@query(
+    "s03_cosine_neardup_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), cells AS (
+      SELECT vec_id, emb, {_duckdb_cell()} AS cell FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS cosine
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs
+    WHERE cosine >= 0.3
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 100
+    """,
+)
+def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (north-star dedup family): LSH cells bound
+    the candidate set to same-bucket pairs — the all-pairs cross join never
+    materializes, which is what makes this shape viable at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cell = None
+    for i in range(N_PLANES):
+        term = F.when(F.element_at("emb", i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        cell = term if cell is None else cell + term
+    cells = e.withColumn("cell", cell)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                _dot(F.col("a.emb"), F.col("b.emb"))
+                / (_norm(F.col("a.emb")) * _norm(F.col("b.emb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(100)
+    )
+
+
+# --- s04: per-label embedding stats (array aggregation) --------------------
+
+@query(
+    "s04_label_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 4) AS avg_norm,
+           round(avg(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding)), 6)
+             AS avg_mean_component
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def s04_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return (
+        e.select(
+            "label",
+            _norm(F.col("emb")).alias("nrm"),
+            (
+                F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("emb")
+            ).alias("mean_c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.avg("mean_c"), 6).alias("avg_mean_component"),
+        )
+        .orderBy("label")
+    )

@@ -43,9 +43,11 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from spark_streaming_logservice_spark.operators import (  # noqa: F401
         dedup,
+        events2,
         log_queries,
         multimodal,
         relational,
+        relational2,
         similarity,
         source_queries,
         text,

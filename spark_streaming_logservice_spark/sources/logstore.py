@@ -219,6 +219,24 @@ class LogstoreStreamReader(DataSourceStreamReader):
         }
         return off.StreamOffset(seqs).to_dict()
 
+    def _refresh_config(self) -> None:
+        """Dynamic config hot reload (O12): the reference live-updates
+        maxOffsetsPerTrigger from a ZK-watched JSON
+        (SQL/DynamicConfigManager.scala:30-120, SQL/LoghubSource.scala:
+        160-235); here the watched config is ``<path>/_config/options.json``
+        re-read each trigger — same contract, no coordination service."""
+        import json as _json
+
+        cfg_path = os.path.join(self.path, "_config", "options.json")
+        try:
+            with open(cfg_path) as f:
+                cfg = _json.load(f)
+        except (FileNotFoundError, ValueError):
+            return
+        cap = cfg.get("maxOffsetsPerTrigger")
+        if isinstance(cap, int) and cap > 0:
+            self.max_per_trigger = cap
+
     def _advance(self, seqs: dict[int, int]) -> None:
         """Monotonically learn shard positions. After a restart Spark replays
         from its own offset log without telling the reader where it is; every
@@ -231,6 +249,7 @@ class LogstoreStreamReader(DataSourceStreamReader):
         self._last_end = cur
 
     def latestOffset(self) -> dict:
+        self._refresh_config()
         shards = be.list_shards(self.path)
         base = self._last_end or off.StreamOffset.from_dict(self.initialOffset()).shard_seqs
         cap = max(1, self.max_per_trigger // max(len(shards), 1))

@@ -1,0 +1,147 @@
+"""Stateful streaming operator + update-mode aggregation + dynamic config
+(F6 fixture of TEST/LoghubSinkSuite.scala:171-202; O12 hot reload)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark import fixtures
+from spark_streaming_logservice_spark.sources.logstore import register
+from spark_streaming_logservice_spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture()
+def store(tmp_path, spark):
+    register(spark)
+    path = str(tmp_path / "proj" / "state-store")
+    # msg values double as user ids: users 1,1,2,2,3
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    rows = [
+        {"time": 1_700_000_000 + i, "topic": "t", "source": "s",
+         "contents": {"user": str(u), "value": str(v)}, "tags": {}}
+        for i, (u, v) in enumerate([(1, 10.0), (1, 5.0), (2, 7.0), (2, 3.0), (3, 1.0)])
+    ]
+    be.append_rows(path, 0, rows)
+    return path
+
+
+def test_update_mode_aggregation(spark, store, tmp_path):
+    # F6: groupBy().count() in update mode written per-batch.
+    df = (
+        spark.readStream.format("logstore")
+        .schema("user STRING, value DOUBLE")
+        .option("path", store)
+        .option("startingOffsets", "earliest")
+        .load()
+        .groupBy("user")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("upd_agg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user"]: (r["n"], r["total"]) for r in spark.sql("SELECT * FROM upd_agg").collect()}
+    assert rows == {"1": (2, 15.0), "2": (2, 10.0), "3": (1, 1.0)}
+
+
+def test_stateful_running_totals_across_batches(spark, store, tmp_path):
+    # State persists across micro-batches: cap 2 records/trigger forces
+    # multiple batches; the final per-user totals must reflect ALL batches.
+    sdf = (
+        spark.readStream.format("logstore")
+        .schema("user STRING, value DOUBLE")
+        .option("path", store)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "2")
+        .load()
+    )
+    totals = running_user_totals(sdf, key_col="user", value_col="value")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("run_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    want = {1: (2, 15.0), 2: (2, 10.0), 3: (1, 1.0)}
+    got = {}
+    while time.time() < deadline:
+        # memory sink in update mode appends rows; latest row per key wins
+        for r in spark.sql("SELECT * FROM run_totals").collect():
+            got[r["user_id"]] = (r["n_events"], r["total_value"])
+        if got == want:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    assert got == want
+
+
+def test_dynamic_config_hot_reload(spark, store, tmp_path):
+    # O12: cap starts tiny; mid-stream the _config file raises it; later
+    # batches may carry more rows per trigger than the original cap allows.
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    sdf = (
+        spark.readStream.format("logstore")
+        .schema("user STRING, value DOUBLE")
+        .option("path", store)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "1")
+        .load()
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck3")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 2:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    # raise the cap live, then append a burst in ONE second bucket
+    os.makedirs(os.path.join(store, "_config"), exist_ok=True)
+    with open(os.path.join(store, "_config", "options.json"), "w") as f:
+        json.dump({"maxOffsetsPerTrigger": 1000}, f)
+    rows = [
+        {"time": 1_700_001_000, "topic": "t", "source": "s",
+         "contents": {"user": "9", "value": "1"}, "tags": {}}
+        for _ in range(20)
+    ]
+    be.append_rows(store, 0, rows)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 25:
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    big_batches = [
+        p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 5
+    ]
+    q.stop()
+    q.awaitTermination(30)
+    assert spark.read.parquet(out).count() == 25
+    assert big_batches, "cap raise should allow a >5-row batch for the burst"
