@@ -21,13 +21,17 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q07_volume_shipping",
     "q10_returned_items",
     "q13_top_orders_per_customer",
     "l02_tumbling_window_hourly",
     "l07_sessionize",
+    "l11_session_window_native",
+    "e02_daily_error_rate",
     "d01_exact_dedup",
     "d03_minhash_signatures",
     "s01_cosine_topk",
+    "s03_cosine_neardup_pairs",
     "t01_text_stats",
     "m01_multimodal_decode",
 ]

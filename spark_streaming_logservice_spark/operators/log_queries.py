@@ -375,6 +375,59 @@ def l09_self_join_derived_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Python in the loop.
 
 @query(
+    "l11_session_window_native",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 5
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def l11_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min inactivity gap) must agree with
+    the SQL gaps-and-islands definition — the batch twin of the streaming
+    session operator."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query("l12_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def l12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the sketch path
+    for cardinality at 100 TB. No oracle: HLL implementations differ across
+    engines by design; the driver records the weaker rows-only check."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "l10_wordcount",
     oracle="""
     SELECT word, count(*) AS n
