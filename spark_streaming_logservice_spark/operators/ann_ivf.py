@@ -1,0 +1,133 @@
+"""IVF (inverted-file) approximate nearest neighbor: coarse k-means
+quantizer + probe-limited search, built from pure DataFrame operations.
+
+The scale story (north-star §2.5 "IVF or LSH-bucketed variant as the scale
+path"): brute force is O(queries × corpus); IVF assigns the corpus to k
+coarse cells once (iterative Lloyd steps, each one shuffle), then each query
+scores only the vectors in its nprobe closest cells — O(queries × corpus/k ×
+nprobe). Everything is JVM-side array arithmetic (zip_with/aggregate); the
+only state between iterations is a k-row centroid table, collected and
+rebroadcast (k is tiny by construction, so the driver round-trip is the
+correct plan, not a shortcut).
+
+Deterministic: centroids seed from the k lowest vec_ids; no RNG.
+Rows-only in the correctness gate: a faithful SQL oracle would need the same
+Lloyd iterations — the driver records row-count/schema for it, and
+tests/test_ann.py pins determinism and structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_streaming_logservice_spark.operators.similarity import _dot, _norm
+from spark_streaming_logservice_spark.registry import query
+from spark_streaming_logservice_spark.tables import load_table
+
+K_CELLS = 16
+N_ITERS = 2
+N_PROBE = 2
+TOP_K = 3
+N_QUERY = 5
+
+
+def _normalize(col: Column) -> Column:
+    n = _norm(col)
+    return F.transform(col, lambda x: x / n)
+
+
+def build_ivf_index(emb: DataFrame, k: int = K_CELLS, iters: int = N_ITERS) -> DataFrame:
+    """Assign every vector to a coarse cell. Returns (vec_id, emb, cell)."""
+    base = emb.select("vec_id", _normalize(F.col("emb")).alias("emb"))
+    # deterministic seed: k lowest ids
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("emb").alias("cvec"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(base, centroids)
+        # Lloyd update: element-wise mean per cell, renormalized.
+        pos = assigned.select(
+            "cell", F.posexplode("emb").alias("pos", "val")
+        )
+        means = (
+            pos.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cvec"),
+            )
+        )
+        centroids = means.select("cell", _normalize(F.col("cvec")).alias("cvec"))
+    return _assign(base, centroids), centroids
+
+
+def _assign(base: DataFrame, centroids: DataFrame, rank: int = 1) -> DataFrame:
+    """Nearest-centroid assignment (top-``rank`` cells per vector)."""
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "emb",
+        "cell",
+        _dot(F.col("emb"), F.col("cvec")).alias("cscore"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cell"))
+    out = scored.withColumn("crk", F.row_number().over(w)).where(F.col("crk") <= rank)
+    if rank == 1:
+        return out.select("vec_id", "emb", "cell")
+    return out.select("vec_id", "emb", "cell", "crk")
+
+
+def ivf_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = K_CELLS,
+    nprobe: int = N_PROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Probe-limited ANN: score each query only against vectors whose cell is
+    among the query's nprobe closest centroids."""
+    index, centroids = build_ivf_index(emb, k)
+    qn = queries.select(
+        F.col("vec_id").alias("q_id"), _normalize(F.col("emb")).alias("q_emb")
+    )
+    # query → nprobe cells
+    q_cells = (
+        _assign(
+            qn.select(F.col("q_id").alias("vec_id"), F.col("q_emb").alias("emb")),
+            centroids,
+            rank=nprobe,
+        )
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    cand = q_cells.join(index, "cell").where(F.col("q_id") != F.col("vec_id"))
+    scored = cand.join(F.broadcast(qn), "q_id").select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(_dot(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .orderBy("q_id", "rk")
+    )
+
+
+@query("s05_ann_ivf")  # rows-only: iterative k-means has no practical SQL oracle
+def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return ivf_search(e, e.where(F.col("vec_id") < N_QUERY))

@@ -42,6 +42,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from spark_streaming_logservice_spark.operators import (  # noqa: F401
+        ann_ivf,
         dedup,
         events2,
         log_queries,
