@@ -428,6 +428,43 @@ def l12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l13_from_json_permissive",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN NULL
+                  ELSE CAST(props->>'$.k' AS BIGINT) END AS k
+      FROM events
+    )
+    SELECT count(*) AS n_total,
+           count(k) AS n_parsed,
+           CAST(sum(k) AS BIGINT) AS k_sum
+    FROM parsed
+    """,
+)
+def l13_from_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema in PERMISSIVE mode: corrupt payloads
+    (simulated for every 97th record) parse to null instead of failing the
+    job — the reference's dirty-data tolerance (P8,
+    SQL/LoghubSourceRDD.scala:224-228) expressed natively."""
+    e = load_table(spark, sf_dir, "events")
+    corrupted = e.withColumn(
+        "payload",
+        F.when(F.col("event_id") % 97 == 0, F.lit("{corrupt")).otherwise(
+            F.col("props")
+        ),
+    )
+    parsed = corrupted.withColumn(
+        "j", F.from_json("payload", "k BIGINT", {"mode": "PERMISSIVE"})
+    ).withColumn("k", F.col("j.k"))
+    return parsed.agg(
+        F.count("*").alias("n_total"),
+        F.count("k").alias("n_parsed"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+    )
+
+
+@query(
     "l10_wordcount",
     oracle="""
     SELECT word, count(*) AS n

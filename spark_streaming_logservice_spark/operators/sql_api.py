@@ -1,0 +1,65 @@
+"""SQL-string API parity: the same ANSI SQL text runs through spark.sql()
+AND the DuckDB oracle. This pins the engine's SQL surface (CTEs, window
+functions, CASE, date arithmetic) to the common ANSI subset — a user can
+submit these queries as strings, not just DataFrame code.
+
+register_views() exposes the testdata tables under the same names in both
+engines, so the oracle string IS the Spark query string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_streaming_logservice_spark.registry import query
+from spark_streaming_logservice_spark.tables import register_views
+
+SQL01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+SQL02 = """
+WITH order_values AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT c_mktsegment,
+       count(*) AS n_top_orders,
+       round(sum(o_totalprice), 2) AS top_order_value
+FROM order_values JOIN customer ON c_custkey = o_custkey
+WHERE rk = 1
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+SQL03 = """
+SELECT CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       p_type,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part
+GROUP BY size_class, p_type
+ORDER BY size_class, p_type
+"""
+
+
+def _sql_query(sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return fn
+
+
+query("sql01_grouped_filter", oracle=SQL01)(_sql_query(SQL01))
+query("sql02_cte_window_join", oracle=SQL02)(_sql_query(SQL02))
+query("sql03_case_classification", oracle=SQL03)(_sql_query(SQL03))

@@ -51,5 +51,6 @@ def load_all() -> None:
         relational2,
         similarity,
         source_queries,
+        sql_api,
         text,
     )
