@@ -50,6 +50,28 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     return "partial_" in formatted_plan(df)
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan (bucketed /
+    co-partitioned plans should show fewer — ideally zero for a
+    bucket-aligned join)."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and ") Exchange" in line
+    )
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries on scans (non-empty → partition pruning)."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        s = line.strip()
+        if s.startswith("PartitionFilters:") and "[]" not in s:
+            out.append(s)
+    return out
+
+
 def wholestage_codegen_spans(build_df, spark) -> int:
     """Count distinct whole-stage-codegen spans. AQE wraps the plan in
     AdaptiveSparkPlan and defers codegen until stage materialization, so the
