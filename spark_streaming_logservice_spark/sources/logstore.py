@@ -248,14 +248,23 @@ class LogstoreStreamReader(DataSourceStreamReader):
             cur[sh] = max(cur.get(sh, 0), sq)
         self._last_end = cur
 
+    # Reference fast path: when the consumer lags the head by <60s, skip the
+    # histogram walk and jump to latest (SQL/LoghubOffsetReader.scala:181-186).
+    FAST_PATH_LAG_S = 60
+
     def latestOffset(self) -> dict:
         self._refresh_config()
         shards = be.list_shards(self.path)
         base = self._last_end or off.StreamOffset.from_dict(self.initialOffset()).shard_seqs
         cap = max(1, self.max_per_trigger // max(len(shards), 1))
+        now = int(_time.time())
         out: dict[int, int] = {}
         for shard in shards:
             start = base.get(shard, be.shard_bounds(self.path, shard)[0])
+            next_time = be.time_for_seq(self.path, shard, start)
+            if next_time is not None and now - next_time < self.FAST_PATH_LAG_S:
+                out[shard] = be.shard_bounds(self.path, shard)[1]
+                continue
             limit = be.end_seq_for_count(self.path, shard, start, cap)
             out[shard] = max(start, limit)
         self._advance(out)

@@ -145,3 +145,41 @@ def test_dynamic_config_hot_reload(spark, store, tmp_path):
     q.awaitTermination(30)
     assert spark.read.parquet(out).count() == 25
     assert big_batches, "cap raise should allow a >5-row batch for the burst"
+
+
+def test_rate_limit_fast_path_near_head(spark, tmp_path):
+    # Records within 60s of "now" skip the rate cap entirely
+    # (the reference's low-lag fast path).
+    import time as _t
+
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    register_path = str(tmp_path / "p" / "fresh-store")
+    now = int(_t.time())
+    be.append_rows(
+        register_path,
+        0,
+        [
+            {"time": now - 5 + i, "topic": "t", "source": "s",
+             "contents": {"msg": str(i)}, "tags": {}}
+            for i in range(10)
+        ],
+    )
+    sdf = (
+        spark.readStream.format("logstore")
+        .schema("msg STRING")
+        .option("path", register_path)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "2")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # single-batch fallback + fast path: ALL 10 records arrive despite cap=2
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 10
