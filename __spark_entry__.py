@@ -9,11 +9,19 @@ operator modules.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_streaming_logservice_spark import registry
+# Importable regardless of the harness's cwd: the package lives next to
+# this file.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from spark_streaming_logservice_spark import registry  # noqa: E402
 
 registry.load_all()
 
@@ -23,12 +31,27 @@ def entry(spark: SparkSession) -> DataFrame:
     from spark_streaming_logservice_spark.operators.relational import (
         q05_local_supplier_volume,
     )
+    from spark_streaming_logservice_spark.shipping import ensure_executor_package
 
+    ensure_executor_package(spark)
     return q05_local_supplier_volume(spark, "/root/testdata/sf0.001")
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Python stages (mapInPandas etc.) need the package on executor workers;
+    ship it lazily on first use of any query."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spark_streaming_logservice_spark.shipping import ensure_executor_package
+
+        ensure_executor_package(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    return {name: _shipped(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
