@@ -302,6 +302,17 @@ class LogstoreStreamReader(DataSourceStreamReader):
 @dataclass
 class _WriteResult(WriterCommitMessage):
     rows: int
+    staged: list[str]
+
+
+def stable_shard(key: str, n_shards: int) -> int:
+    """Deterministic key→shard routing (S15 WithHashKey,
+    DS/writer/writer.scala:24-40): md5-based so the same key lands on the
+    same shard across executor processes, restarts, and PYTHONHASHSEED
+    values (Python's builtin ``hash`` is none of those)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:8], "big") % n_shards
 
 
 class LogstoreBatchWriter(DataSourceWriter):
@@ -309,7 +320,12 @@ class LogstoreBatchWriter(DataSourceWriter):
     map of string key/values per the sink converter (SQL/Utils.scala:53-99);
     Overwrite is rejected like the reference's CreatableRelationProvider
     (SQL/LoghubSourceProvider.scala:147-176 allows Append/ErrorIfExists only).
-    """
+
+    Two-phase write: tasks stage parquet under ``_staging/<write_id>/``;
+    driver-side commit() atomically renames exactly the staged files named in
+    the commit messages into the shard dirs, so failed attempts and aborted
+    jobs never become visible (the never-visible-before-commit contract of
+    SINK/LoghubSink.scala:24-39)."""
 
     def __init__(self, schema: StructType, options, overwrite: bool) -> None:
         if overwrite:
@@ -324,14 +340,24 @@ class LogstoreBatchWriter(DataSourceWriter):
         self.source = options.get("source", "")
         self.time_col = options.get("timecolumn")
         self.hash_col = options.get("hashkeycolumn")
+        # Shared by all tasks of this write (instance pickles to executors).
+        import uuid as _uuid
+
+        self.write_id = _uuid.uuid4().hex
 
     def write(self, iterator) -> _WriteResult:
+        import os as _os
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        # Unique, time-ordered seqs across concurrent tasks:
-        # ((µs + counter) << 10) | partition_id.
-        base_us = int(_time.time() * 1_000_000)
+        # Unique, time-ordered seqs: ((ms + counter) << 20) | pid10 | salt10.
+        # The salt decorrelates concurrent jobs that land in the same
+        # millisecond with equal partition ids (two streams, or a stream plus
+        # a batch write) — partition id alone is only unique within one job.
+        base_ms = int(_time.time() * 1_000)
+        salt = int.from_bytes(_os.urandom(2), "big") & 0x3FF
+        low20 = ((pid & 0x3FF) << 10) | salt
         fields = self.schema.fields
         per_shard: dict[int, list[dict]] = {}
         n = 0
@@ -349,10 +375,10 @@ class LogstoreBatchWriter(DataSourceWriter):
                 if s is not None:
                     contents[f.name] = s
             if self.hash_col is not None:
-                shard = hash(str(row[self.hash_col])) % self.n_shards
+                shard = stable_shard(str(row[self.hash_col]), self.n_shards)
             else:
                 shard = pid % self.n_shards
-            seq = ((base_us + n) << 10) | (pid & 0x3FF)
+            seq = ((base_ms + n) << 20) | low20
             per_shard.setdefault(shard, []).append(
                 {
                     "seq": seq,
@@ -364,24 +390,33 @@ class LogstoreBatchWriter(DataSourceWriter):
                 }
             )
             n += 1
-        for shard, rows in per_shard.items():
-            be.append_rows(self.path, shard, rows)
-        return _WriteResult(rows=n)
+        staged = [
+            be.stage_rows(self.path, self.write_id, shard, rows)
+            for shard, rows in per_shard.items()
+        ]
+        return _WriteResult(rows=n, staged=staged)
+
+    def _publish(self, messages) -> None:
+        be.publish_staged(
+            self.path, [p for m in messages if m is not None for p in m.staged]
+        )
+        be.discard_staged(self.path, self.write_id)
 
     def commit(self, messages) -> None:
-        pass
+        self._publish(messages)
 
     def abort(self, messages) -> None:
-        # Best-effort: uncommitted files remain but carry unique seqs beyond
-        # any committed end-offset; a production store would stage+rename.
-        pass
+        be.discard_staged(self.path, self.write_id)
 
 
 class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamWriter):
     """Streaming sink with the reference's idempotent batch guard
     (SINK/LoghubSink.scala:24-39), hardened per SURVEY §7.4.5: the
     last-committed batchId persists in ``_commits/`` so re-delivery after
-    restart is detected across JVMs, not just per sink instance."""
+    restart is detected across driver processes, not just per sink instance.
+    Because tasks only stage (never publish), a redelivered batch is dropped
+    wholesale in commit() — zero duplicate rows, and task retries within a
+    batch are absorbed by publish-only-what-committed."""
 
     def __init__(self, schema: StructType, options, overwrite: bool) -> None:
         LogstoreBatchWriter.__init__(self, schema, options, overwrite)
@@ -391,12 +426,20 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamWriter):
         return os.path.exists(os.path.join(self.commits_dir, f"batch-{batch_id}"))
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        if self.committed_batch(batchId):
+            # Redelivery after restart: drop the staged re-run, keep the store
+            # exactly as the first delivery left it (LoghubSink.scala:31-38).
+            be.discard_staged(self.path, self.write_id)
+            return
+        self._publish(messages)
         os.makedirs(self.commits_dir, exist_ok=True)
-        with open(os.path.join(self.commits_dir, f"batch-{batchId}"), "w") as f:
+        marker = os.path.join(self.commits_dir, f"batch-{batchId}.tmp")
+        with open(marker, "w") as f:
             f.write(str(sum(m.rows for m in messages if m is not None)))
+        os.replace(marker, os.path.join(self.commits_dir, f"batch-{batchId}"))
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
-        pass
+        be.discard_staged(self.path, self.write_id)
 
 
 class LogstoreDataSource(DataSource):

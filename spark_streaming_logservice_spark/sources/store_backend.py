@@ -180,15 +180,11 @@ def read_rows(path: str, shard: int, start_seq: int, end_seq: int):
             }
 
 
-def append_rows(path: str, shard: int, rows: list[dict]) -> int:
-    """Append records (dicts with time/topic/source/contents/tags and
-    optionally seq) to a shard as one new parquet file. Missing seqs are
-    assigned from the current end_seq. Returns the new end_seq."""
-    d = shard_dir(path, shard)
-    os.makedirs(d, exist_ok=True)
-    base = shard_bounds(path, shard)[1]
+def _rows_table(rows: list[dict], base_seq: int = 0) -> tuple[pa.Table, int]:
+    """Build the store-schema Arrow table for a row batch; missing seqs are
+    assigned densely from ``base_seq``. Returns (table, new_end_seq)."""
     seqs, times, topics, sources, contents, tags = [], [], [], [], [], []
-    nxt = base
+    nxt = base_seq
     for r in rows:
         seq = r.get("seq")
         if seq is None:
@@ -211,5 +207,59 @@ def append_rows(path: str, shard: int, rows: list[dict]) -> int:
         },
         schema=STORE_ARROW_SCHEMA,
     )
+    return tbl, nxt
+
+
+def append_rows(path: str, shard: int, rows: list[dict]) -> int:
+    """Append records (dicts with time/topic/source/contents/tags and
+    optionally seq) to a shard as one new parquet file. Missing seqs are
+    assigned from the current end_seq. Returns the new end_seq."""
+    d = shard_dir(path, shard)
+    os.makedirs(d, exist_ok=True)
+    tbl, nxt = _rows_table(rows, shard_bounds(path, shard)[1])
     pq.write_table(tbl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
     return nxt
+
+
+# ---- two-phase (staged) writes -------------------------------------------
+#
+# The DSv2 writers stage task output under <path>/_staging/<write_id>/ and
+# only the driver-side commit() publishes it into the shard dirs via an
+# atomic same-filesystem rename — the rebuild of the reference sink's
+# never-visible-before-commit contract (SINK/LoghubSink.scala:24-39). Staged
+# files left by failed/aborted attempts are invisible to every reader
+# (readers list only shard=N dirs) and are swept by discard_staged().
+
+STAGING_DIR = "_staging"
+
+
+def stage_rows(path: str, write_id: str, shard: int, rows: list[dict]) -> str:
+    """Write one task's rows for one shard to the staging area. Rows must
+    carry explicit seqs (the writer assigns them). Returns the staged path
+    relative to the staging root: ``<write_id>/shard=<N>-<uuid>.parquet``."""
+    d = os.path.join(path, STAGING_DIR, write_id)
+    os.makedirs(d, exist_ok=True)
+    name = f"shard={shard}-{uuid.uuid4().hex}.parquet"
+    tbl, _ = _rows_table(rows)
+    pq.write_table(tbl, os.path.join(d, name))
+    return f"{write_id}/{name}"
+
+
+def publish_staged(path: str, staged: list[str]) -> None:
+    """Atomically move staged files into their shard directories. Only the
+    files named in ``staged`` (the successful tasks' commit messages) are
+    published; leftovers from failed attempts stay in staging."""
+    for rel in staged:
+        src = os.path.join(path, STAGING_DIR, rel)
+        name = os.path.basename(rel)
+        shard = int(name.split("-", 1)[0].split("=")[1])
+        d = shard_dir(path, shard)
+        os.makedirs(d, exist_ok=True)
+        os.replace(src, os.path.join(d, "part-" + name.split("-", 1)[1]))
+
+
+def discard_staged(path: str, write_id: str) -> None:
+    """Drop a write's entire staging directory (abort / post-commit sweep)."""
+    import shutil
+
+    shutil.rmtree(os.path.join(path, STAGING_DIR, write_id), ignore_errors=True)

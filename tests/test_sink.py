@@ -90,6 +90,127 @@ def test_decimal_timestamp_flattening(spark, tmp_path):
     assert payload["ts"] == "1704067200000"
 
 
+def _mk_stream_writer(path, n_shards=2):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from spark_streaming_logservice_spark.sources.logstore import LogstoreStreamWriter
+
+    schema = StructType([StructField("msg", StringType())])
+    return LogstoreStreamWriter(schema, {"path": path, "shards": str(n_shards)}, False)
+
+
+def _read_msgs(spark, path):
+    df = spark.read.format("logstore").schema("msg STRING").option("path", path).load()
+    return sorted(r["msg"] for r in df.collect())
+
+
+def test_stream_sink_batch_redelivery_is_skipped(spark, tmp_path):
+    """The same epoch delivered twice (driver restart replays the batch) must
+    land exactly one copy — SINK/LoghubSink.scala:31-38's batchId guard."""
+    path = str(tmp_path / "p" / "redeliver-store")
+    os.makedirs(path)
+    rows = [{"msg": "a"}, {"msg": "b"}, {"msg": "c"}]
+
+    w1 = _mk_stream_writer(path)
+    m1 = w1.write(iter(rows))
+    w1.commit([m1], batchId=0)
+    # Restarted query re-delivers batch 0 through a fresh writer instance:
+    w2 = _mk_stream_writer(path)
+    m2 = w2.write(iter(rows))
+    w2.commit([m2], batchId=0)
+
+    assert _read_msgs(spark, path) == ["a", "b", "c"]
+    # and the redelivered staging was swept
+    assert os.listdir(os.path.join(path, "_staging")) == []
+
+
+def test_stream_sink_abort_then_retry_single_copy(spark, tmp_path):
+    """abort() must clean staging so an aborted epoch leaves nothing visible;
+    the retry is the only copy that lands."""
+    path = str(tmp_path / "p" / "abort-store")
+    os.makedirs(path)
+    rows = [{"msg": "x"}, {"msg": "y"}]
+
+    w1 = _mk_stream_writer(path)
+    m1 = w1.write(iter(rows))
+    w1.abort([m1], batchId=0)
+    assert _read_msgs(spark, path) == []  # nothing published
+    assert os.listdir(os.path.join(path, "_staging")) == []
+
+    w2 = _mk_stream_writer(path)
+    m2 = w2.write(iter(rows))
+    w2.commit([m2], batchId=0)
+    assert _read_msgs(spark, path) == ["x", "y"]
+
+
+def test_task_retry_publishes_only_committed_attempt(spark, tmp_path):
+    """A task attempt that wrote staged files but wasn't in the commit
+    messages (speculative / failed attempt) must never become visible."""
+    path = str(tmp_path / "p" / "retry-store")
+    os.makedirs(path)
+    rows = [{"msg": "r1"}, {"msg": "r2"}]
+
+    w = _mk_stream_writer(path)
+    _abandoned = w.write(iter(rows))  # attempt 1: staged, never committed
+    m2 = w.write(iter(rows))  # attempt 2: wins
+    w.commit([m2], batchId=0)
+    assert _read_msgs(spark, path) == ["r1", "r2"]
+
+
+def test_batch_write_abort_leaves_store_unchanged(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from spark_streaming_logservice_spark.sources.logstore import LogstoreBatchWriter
+
+    path = str(tmp_path / "p" / "batch-abort-store")
+    os.makedirs(path)
+    schema = StructType([StructField("msg", StringType())])
+    w = LogstoreBatchWriter(schema, {"path": path}, False)
+    m = w.write(iter([{"msg": "gone"}]))
+    w.abort([m])
+    assert _read_msgs(spark, path) == []
+    assert os.listdir(os.path.join(path, "_staging")) == []
+
+
+def test_hash_routing_is_hashseed_independent(tmp_path):
+    """stable_shard must not depend on PYTHONHASHSEED (builtin hash does) —
+    same key → same shard across executor processes and restarts (S15)."""
+    import subprocess
+    import sys
+
+    prog = (
+        "from spark_streaming_logservice_spark.sources.logstore import stable_shard;"
+        "print([stable_shard(str(k), 7) for k in range(50)])"
+    )
+    outs = set()
+    for seed in ("0", "1", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed, PYTHONPATH="/root/repo")
+        outs.add(
+            subprocess.run(
+                [sys.executable, "-c", prog], env=env, capture_output=True, text=True
+            ).stdout
+        )
+    assert len(outs) == 1 and outs.pop().startswith("[")
+
+
+def test_writer_seqs_unique_across_concurrent_jobs(tmp_path):
+    """Two writers in the same millisecond with equal partition ids must not
+    collide on seq (salted low bits — the unique-seq/half-open-range
+    assumption of the backend)."""
+    path = str(tmp_path / "p" / "seq-store")
+    os.makedirs(path)
+    w1 = _mk_stream_writer(path, n_shards=1)
+    w2 = _mk_stream_writer(path, n_shards=1)
+    m1 = w1.write(iter([{"msg": f"a{i}"} for i in range(100)]))
+    m2 = w2.write(iter([{"msg": f"b{i}"} for i in range(100)]))
+    w1.commit([m1], batchId=0)
+    w2.commit([m2], batchId=1)
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    seqs = [r["seq"] for r in be.read_rows(path, 0, 0, 2**63 - 1)]
+    assert len(seqs) == 200 and len(set(seqs)) == 200
+
+
 def test_streaming_sink_append_and_commit_markers(spark, tmp_path):
     src = str(tmp_path / "p" / "src-store")
     dst = str(tmp_path / "p" / "dst-store")
