@@ -64,11 +64,13 @@ def create_rdd(
     project: str | None = None,
     logstore: str | None = None,
     schema: str | None = None,
+    parallelism_in_shard: int = 1,
 ) -> DataFrame:
     """Bounded history read over [start_time, end_time) — the rebuild of
-    LoghubBatchRDD's time-range scan. Intra-shard slice parallelism
-    (parallelismInShard 1..5) is unnecessary: Spark splits partitions by
-    size, and the time filter prunes at the cursor level."""
+    LoghubBatchRDD's time-range scan, including its intra-shard slice
+    parallelism (parallelismInShard 1..5, BATCH/LoghubBatchRDD.scala:40-108):
+    each shard's range splits into row-balanced slices planned from parquet
+    footer stats, so one hot shard fans out across tasks."""
     register(spark)
     from spark_streaming_logservice_spark.sources import store_backend as be
 
@@ -85,6 +87,7 @@ def create_rdd(
         .option("logStore", s)
         .option("startingOffsets", start)
         .option("endingOffsets", end)
+        .option("parallelismInShard", str(parallelism_in_shard))
     )
     if schema:
         reader = reader.schema(schema)

@@ -110,68 +110,158 @@ def _resolve_seq(path: str, shard: int, cursor_time: int) -> int:
     return be.seq_for_time(path, shard, cursor_time)
 
 
-class _RowProjector:
-    """Materialize backend records into tuples of the target schema.
+def _arrow_type(dtype):
+    """Spark field type → the Arrow type the Python DataSource Arrow path
+    expects (TimestampType carries tz=UTC; NTZ is naive)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
 
-    Mirrors the reference's ingest projection (SQL/LoghubSourceRDD.scala:
-    178-223): fields matched by name to content keys (converter battery),
-    ``__tag__:k`` to tags, special names to the envelope; missing keys → null,
-    unknown record keys dropped."""
+    if isinstance(dtype, T.ByteType):
+        return pa.int8()
+    if isinstance(dtype, T.ShortType):
+        return pa.int16()
+    if isinstance(dtype, T.IntegerType):
+        return pa.int32()
+    if isinstance(dtype, T.LongType):
+        return pa.int64()
+    if isinstance(dtype, T.FloatType):
+        return pa.float32()
+    if isinstance(dtype, T.DoubleType):
+        return pa.float64()
+    if isinstance(dtype, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dtype, T.StringType):
+        return pa.string()
+    if isinstance(dtype, T.DecimalType):
+        return pa.decimal128(dtype.precision, dtype.scale)
+    if isinstance(dtype, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dtype, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dtype, T.DateType):
+        return pa.date32()
+    raise TypeError(f"unsupported field type for log record: {dtype}")
+
+
+class _BatchProjector:
+    """Vectorized ingest projection: backend Arrow batches → Arrow batches of
+    the target schema, all via Arrow compute kernels (no per-row Python).
+
+    Semantics mirror the reference's ingest projection
+    (SQL/LoghubSourceRDD.scala:178-223) and converter battery
+    (SQL/Utils.scala:101-164): fields matched by name to content keys,
+    ``__tag__:k`` to tags, special names to the envelope; missing keys →
+    null, unknown record keys dropped, null in a non-nullable field → error.
+    The one column that still touches Python is the default schema's
+    ``__value__`` JSON packing (string-escape rules live in ``json``); it is
+    batch-looped over ``to_pylist`` output, not row-materialized."""
 
     def __init__(self, schema: StructType, project: str, store: str) -> None:
         self.fields = schema.fields
         self.project = project
         self.store = store
-        self.default_mode = sch.is_default_schema(schema)
-        self.converters = [
-            sch.make_converter(f.dataType, f.nullable) for f in self.fields
-        ]
+        self.out_schema = None  # built lazily (pyarrow import on executor)
 
-    def __call__(self, rec: dict, shard: int):
-        out = []
-        for f, conv in zip(self.fields, self.converters):
+    def _convert_str_array(self, arr, f):
+        """String array → target-type array per the converter battery."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql import types as T
+
+        if not f.nullable and arr.null_count:
+            raise ValueError(f"null value for non-nullable field {f.name!r}")
+        dt = f.dataType
+        at = _arrow_type(dt)
+        if isinstance(dt, T.StringType):
+            return arr
+        if isinstance(dt, T.BooleanType):
+            low = pc.utf8_lower(arr)
+            is_t = pc.equal(low, "true")
+            is_f = pc.equal(low, "false")
+            bad = pc.filter(arr, pc.invert(pc.or_kleene(is_t, is_f)).fill_null(False))
+            if len(bad):
+                raise ValueError(f"invalid boolean string {bad[0].as_py()!r}")
+            return is_t
+        if isinstance(dt, T.DecimalType):
+            # Decimal strips thousands separators (SQL/Utils.scala:118-123).
+            return pc.cast(pc.replace_substring(arr, ",", ""), at)
+        if isinstance(dt, T.TimestampType):
+            return pc.assume_timezone(pc.cast(arr, pa.timestamp("us")), "UTC")
+        return pc.cast(arr, at)
+
+    def __call__(self, batch, shard: int):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        seq = batch.column("seq")
+        time = batch.column("time")
+        contents = batch.column("contents")
+        tags = batch.column("tags")
+        cols = []
+        for f in self.fields:
             name = f.name
+            at = _arrow_type(f.dataType)
             if name in (sch.LOG_PROJECT, sch.USER_PROJECT):
-                v = self.project
+                col = pa.repeat(pa.scalar(self.project, pa.string()), n).cast(at)
             elif name in (sch.LOG_STORE, sch.USER_STORE):
-                v = self.store
+                col = pa.repeat(pa.scalar(self.store, pa.string()), n).cast(at)
             elif name == sch.SHARD:
                 v = shard if isinstance(f.dataType, (IntegerType, LongType)) else str(shard)
-                out.append(v)
-                continue
+                col = pa.repeat(pa.scalar(v).cast(at), n)
             elif name == sch.TIME:
                 if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
-                    out.append(
-                        datetime.fromtimestamp(rec["time"], tz=timezone.utc).replace(
-                            tzinfo=None
-                        )
-                    )
-                    continue
-                v = str(rec["time"])
+                    us = pc.multiply(time, pa.scalar(1_000_000, pa.int64()))
+                    col = us.cast(pa.timestamp("us")).cast(at)
+                else:
+                    col = self._convert_str_array(pc.cast(time, pa.string()), f)
             elif name == sch.TOPIC:
-                v = rec["topic"]
+                col = self._convert_str_array(batch.column("topic"), f)
             elif name == sch.SOURCE:
-                v = rec["source"]
+                col = self._convert_str_array(batch.column("source"), f)
             elif name == sch.SEQUENCE_NUMBER:
-                v = f"{rec['time']}-{rec['seq']}"
+                joined = pc.binary_join_element_wise(
+                    pc.cast(time, pa.string()), pc.cast(seq, pa.string()), "-"
+                )
+                col = self._convert_str_array(joined, f)
             elif name == sch.VALUE:
-                v = sch.pack_value_json(rec["contents"], rec["tags"])
+                packed = [
+                    sch.pack_value_json(dict(c or []), dict(t or []))
+                    for c, t in zip(contents.to_pylist(), tags.to_pylist())
+                ]
+                col = self._convert_str_array(pa.array(packed, pa.string()), f)
             elif name.startswith(sch.TAG_PREFIX):
-                v = rec["tags"].get(name[len(sch.TAG_PREFIX):])
+                key = name[len(sch.TAG_PREFIX):]
+                col = self._convert_str_array(
+                    pc.map_lookup(tags, pa.scalar(key, pa.string()), "first"), f
+                )
             else:
-                v = rec["contents"].get(name)
-            out.append(conv(v))
-        return tuple(out)
+                col = self._convert_str_array(
+                    pc.map_lookup(contents, pa.scalar(name, pa.string()), "first"), f
+                )
+            cols.append(col)
+        return pa.RecordBatch.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+            names=[f.name for f in self.fields],
+        )
 
 
 class LogstoreBatchReader(DataSourceReader):
     """Bounded scan over [startingOffsets, endingOffsets] — the rebuild of
-    LoghubRelation.buildScan (SQL/LoghubRelation.scala:27-100): one input
-    partition per shard, sentinels resolved at planning time."""
+    LoghubRelation.buildScan (SQL/LoghubRelation.scala:27-100) plus the batch
+    RDD's intra-shard parallelism (BATCH/LoghubBatchRDD.scala:40-108):
+    ``parallelismInShard`` (1..5, like the reference) splits each shard's seq
+    range into row-balanced slices from footer stats, so a hot shard is not a
+    single straggler task. Sentinels resolve at planning time."""
 
     def __init__(self, schema: StructType, options) -> None:
         self.path, self.project, self.store = _names(options)
         self.schema = schema
+        par = int(options.get("parallelisminshard", "1"))
+        if not 1 <= par <= 5:
+            raise ValueError(
+                "Parallelism in each shard should not be less than 1 or larger than 5."
+            )
         start_t = _starting_times(options, self.path, self.project, self.store, off.EARLIEST)
         end_t = _ending_times(options, self.path, self.project, self.store)
         off.validate_batch_range(start_t, end_t)
@@ -180,7 +270,9 @@ class LogstoreBatchReader(DataSourceReader):
             s = _resolve_seq(self.path, shard, start_t[shard])
             e = _resolve_seq(self.path, shard, end_t[shard])
             if e > s:
-                self._ranges.append(ShardRange(shard, s, e))
+                for cs, ce in be.slice_ranges(self.path, shard, s, e, par):
+                    if ce > cs:
+                        self._ranges.append(ShardRange(shard, cs, ce))
 
     def partitions(self):
         return self._ranges or [ShardRange(-1, 0, 0)]
@@ -188,11 +280,11 @@ class LogstoreBatchReader(DataSourceReader):
     def read(self, partition: ShardRange):
         if partition.shard < 0:
             return
-        proj = _RowProjector(self.schema, self.project, self.store)
-        for rec in be.read_rows(
+        proj = _BatchProjector(self.schema, self.project, self.store)
+        for batch in be.read_batches(
             self.path, partition.shard, partition.start_seq, partition.end_seq
         ):
-            yield proj(rec, partition.shard)
+            yield proj(batch, partition.shard)
 
 
 class LogstoreStreamReader(DataSourceStreamReader):
@@ -287,11 +379,11 @@ class LogstoreStreamReader(DataSourceStreamReader):
     def read(self, partition: ShardRange):
         if partition.shard < 0:
             return
-        proj = _RowProjector(self.schema, self.project, self.store)
-        for rec in be.read_rows(
+        proj = _BatchProjector(self.schema, self.project, self.store)
+        for batch in be.read_batches(
             self.path, partition.shard, partition.start_seq, partition.end_seq
         ):
-            yield proj(rec, partition.shard)
+            yield proj(batch, partition.shard)
 
     def commit(self, end: dict) -> None:
         # Spark's commit log is the source of truth; we only fold the

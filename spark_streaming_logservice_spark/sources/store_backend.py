@@ -160,6 +160,71 @@ def end_seq_for_count(path: str, shard: int, from_seq: int, max_records: int) ->
     return max(end, from_seq)
 
 
+def row_group_stats(path: str, shard: int) -> list[tuple[int, int, int]]:
+    """(min_seq, max_seq, num_rows) per parquet row group — footer-only."""
+    d = shard_dir(path, shard)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            stats = g.column(0).statistics  # seq is field 0
+            if stats is None or not stats.has_min_max:
+                continue
+            out.append((stats.min, stats.max, g.num_rows))
+    return sorted(out)
+
+
+def slice_ranges(
+    path: str, shard: int, start_seq: int, end_seq: int, n_slices: int
+) -> list[tuple[int, int]]:
+    """Split one shard's [start_seq, end_seq) into up to ``n_slices``
+    contiguous half-open sub-ranges — the intra-shard read-parallelism of the
+    reference's parallelismInShard (BATCH/LoghubBatchRDD.scala:67-108). The
+    reference slices the *time* range evenly; here slice boundaries come from
+    parquet row-group footer stats so slices carry ~equal row counts even
+    when ingest was bursty — a hot shard stops being a single straggler task.
+    Boundaries partition the range exactly, so correctness never depends on
+    the stats (a stale footer only skews balance)."""
+    if n_slices <= 1:
+        return [(start_seq, end_seq)]
+    groups = [
+        g
+        for g in row_group_stats(path, shard)
+        if g[1] >= start_seq and g[0] < end_seq
+    ]
+    total = sum(g[2] for g in groups)
+    if total == 0:
+        return [(start_seq, end_seq)]
+    target = max(1, -(-total // n_slices))  # ceil
+    cuts = [start_seq]
+    acc = 0
+    for mn, _mx, rows in groups:
+        if acc >= target and len(cuts) < n_slices and start_seq < mn < end_seq and mn > cuts[-1]:
+            cuts.append(mn)
+            acc = 0
+        acc += rows
+    cuts.append(end_seq)
+    return [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+
+
+def read_batches(path: str, shard: int, start_seq: int, end_seq: int):
+    """Iterate [start_seq, end_seq) as ``pyarrow.RecordBatch``es in store
+    schema — the zero-copy hot path for the DSv2 readers (rows never become
+    Python objects; projection happens with Arrow compute per batch)."""
+    ds = _shard_dataset(path, shard)
+    if ds is None:
+        return
+    filt = (pa_ds.field("seq") >= start_seq) & (pa_ds.field("seq") < end_seq)
+    for batch in ds.to_batches(filter=filt):
+        if batch.num_rows:
+            yield batch
+
+
 def read_rows(path: str, shard: int, start_seq: int, end_seq: int):
     """Iterate records of [start_seq, end_seq) as dicts, Arrow-batched
     underneath, in seq order within each batch."""

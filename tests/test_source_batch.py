@@ -173,3 +173,64 @@ def test_converter_battery_types(spark, tmp_path):
     assert str(r["c_ts"]) == "2026-01-02 03:04:05"
     assert str(r["c_date"]) == "2026-01-02"
     assert r["__time__"].isoformat() == "2023-11-14T22:13:20"
+
+
+def test_intra_shard_slicing_partitions_and_results(spark, tmp_path):
+    """parallelismInShard (1..5, BATCH/LoghubBatchRDD.scala:40-108): a
+    single-shard store must plan >1 input partition and return identical
+    data — the straggler-ceiling fix for hot shards."""
+    register(spark)
+    path = str(tmp_path / "proj" / "sliced-store")
+    # 6 separate appends → 6 parquet files/row groups to cut between
+    for i in range(6):
+        fixtures.write_messages(
+            path, [str(i * 10 + j) for j in range(10)], shard=0,
+            base_time=1_700_000_000 + i * 100,
+        )
+    base = (
+        spark.read.format("logstore").schema("msg STRING").option("path", path)
+    )
+    df1 = base.option("parallelismInShard", "1").load()
+    df3 = base.option("parallelismInShard", "3").load()
+    assert df1.rdd.getNumPartitions() == 1
+    assert df3.rdd.getNumPartitions() == 3
+    assert sorted(r["msg"] for r in df3.collect()) == sorted(
+        r["msg"] for r in df1.collect()
+    )
+
+
+def test_intra_shard_slicing_bad_parallelism(spark, store):
+    for bad in ("0", "6"):
+        with pytest.raises(Exception, match="[Pp]arallelism"):
+            (
+                spark.read.format("logstore")
+                .option("path", store)
+                .option("parallelismInShard", bad)
+                .load()
+                .collect()
+            )
+
+
+def test_slice_ranges_partition_exactly():
+    """Slices must tile [start, end) exactly regardless of stats quality."""
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    # no data on disk → single slice fallback
+    ranges = be.slice_ranges("/nonexistent-store", 0, 5, 50, 4)
+    assert ranges == [(5, 50)]
+
+
+def test_create_rdd_parallelism_passthrough(spark, tmp_path):
+    from spark_streaming_logservice_spark.compat.factories import create_rdd
+
+    path = str(tmp_path / "proj" / "rdd-sliced")
+    for i in range(4):
+        fixtures.write_messages(
+            path, [str(j) for j in range(8)], shard=0,
+            base_time=1_700_000_000 + i * 60,
+        )
+    df = create_rdd(
+        spark, path, start_time=0, schema="msg STRING", parallelism_in_shard=2
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert len(df.collect()) == 32
