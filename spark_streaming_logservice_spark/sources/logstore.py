@@ -348,17 +348,44 @@ class LogstoreStreamReader(DataSourceStreamReader):
         self._refresh_config()
         shards = be.list_shards(self.path)
         base = self._last_end or off.StreamOffset.from_dict(self.initialOffset()).shard_seqs
-        cap = max(1, self.max_per_trigger // max(len(shards), 1))
         now = int(_time.time())
         out: dict[int, int] = {}
+        lagging: dict[int, int] = {}  # shard → start seq
         for shard in shards:
             start = base.get(shard, be.shard_bounds(self.path, shard)[0])
             next_time = be.time_for_seq(self.path, shard, start)
             if next_time is not None and now - next_time < self.FAST_PATH_LAG_S:
                 out[shard] = be.shard_bounds(self.path, shard)[1]
                 continue
-            limit = be.end_seq_for_count(self.path, shard, start, cap)
-            out[shard] = max(start, limit)
+            lagging[shard] = start
+        if lagging:
+            # The full maxOffsetsPerTrigger budget is spent GLOBALLY via one
+            # merged min-time histogram walk (SQL/LoghubSource.scala:122,
+            # LoghubOffsetReader.scala:155-220) — a hot shard draws the whole
+            # remaining budget instead of cap/n_shards, and idle shards don't
+            # strand their slice of the quota. Whole-second-bucket
+            # granularity is preserved (may overshoot by one bucket).
+            hists = {
+                sh: be.second_histogram(self.path, sh, st)
+                for sh, st in lagging.items()
+            }
+            bucket_totals: dict[int, int] = {}
+            for h in hists.values():
+                for sec, cnt in h:
+                    bucket_totals[sec] = bucket_totals.get(sec, 0) + cnt
+            total = 0
+            last_sec = None
+            for sec in sorted(bucket_totals):
+                total += bucket_totals[sec]
+                last_sec = sec
+                if total >= self.max_per_trigger:
+                    break
+            for sh, st in lagging.items():
+                if last_sec is None or not hists[sh]:
+                    out[sh] = st
+                else:
+                    # first seq strictly after the last included bucket
+                    out[sh] = max(st, be.seq_for_time(self.path, sh, last_sec + 1))
         self._advance(out)
         return off.StreamOffset(dict(self._last_end)).to_dict()
 

@@ -227,3 +227,65 @@ def test_stream_stream_self_join(spark, store, tmp_path):
     assert sorted((r["key"], r["va"], r["vb"]) for r in rows) == [
         (0, 5, 5), (1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4),
     ]
+
+
+def test_shard_split_parent_drain_children_at_earliest(spark, tmp_path):
+    """Mid-stream shard split golden test
+    (TEST/LoghubMicroBatchSourceSuite.scala:153-207 splitShard=true): after
+    the split, parents 0/1 are read-only (drained, never re-read) and
+    children 2/3 appear while the query runs, binding at earliest — every
+    record arrives exactly once with correct shard provenance."""
+    import time as _t
+
+    register(spark)
+    path = str(tmp_path / "proj" / "split-store")
+    fixtures.make_store(path, {0: ["1", "2"], 1: ["3"]})
+    ckpt, out_dir = str(tmp_path / "ck-split"), str(tmp_path / "out-split")
+    df = (
+        spark.readStream.format("logstore")
+        .schema("msg STRING, __shard__ INT")
+        .option("path", path)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select("msg", "__shard__")
+    )
+    # phase 1: read pre-split data; stop; append to parents; restart → tail only
+    rows, _ = _run_to_parquet(spark, df, out_dir, ckpt, expect_rows=3)
+    assert sorted(r["msg"] for r in rows) == ["1", "2", "3"]
+    fixtures.write_messages(path, ["4", "5"], shard=0, base_time=1_700_000_200)
+    rows, _ = _run_to_parquet(spark, df, out_dir, ckpt, expect_rows=5)
+    assert sorted(r["msg"] for r in rows) == ["1", "2", "3", "4", "5"]
+
+    # phase 2: split happens WHILE the query runs — children appear mid-stream
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    _t.sleep(1.5)  # a few triggers with only the (drained) parents
+    fixtures.write_messages(path, ["6", "7"], shard=2, base_time=1_700_000_300)
+    fixtures.write_messages(path, ["8", "9"], shard=3, base_time=1_700_000_300)
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        try:
+            if spark.read.parquet(out_dir).count() >= 9:
+                _t.sleep(0.8)
+                break
+        except Exception:
+            pass
+        _t.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+
+    rows = spark.read.parquet(out_dir).collect()
+    msgs = sorted(r["msg"] for r in rows)
+    assert msgs == ["1", "2", "3", "4", "5", "6", "7", "8", "9"]  # exactly once
+    by_shard: dict[int, list[str]] = {}
+    for r in rows:
+        by_shard.setdefault(r["__shard__"], []).append(r["msg"])
+    assert sorted(by_shard[0]) == ["1", "2", "4", "5"]  # parent never re-read
+    assert sorted(by_shard[1]) == ["3"]
+    assert sorted(by_shard[2]) == ["6", "7"]  # children bound at earliest
+    assert sorted(by_shard[3]) == ["8", "9"]

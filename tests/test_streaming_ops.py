@@ -183,3 +183,46 @@ def test_rate_limit_fast_path_near_head(spark, tmp_path):
     q.awaitTermination(120)
     # single-batch fallback + fast path: ALL 10 records arrive despite cap=2
     assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+
+
+def test_rate_limit_budget_is_global_not_per_shard(tmp_path):
+    """A hot shard must be able to draw the WHOLE maxOffsetsPerTrigger
+    budget when other shards are idle (SQL/LoghubSource.scala:122's single
+    global min-time histogram walk) — not cap // n_shards."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from spark_streaming_logservice_spark.sources import store_backend as be
+    from spark_streaming_logservice_spark.sources.logstore import LogstoreStreamReader
+
+    path = str(tmp_path / "p" / "skew-store")
+    base = 1_700_000_000  # far in the past → no fast path
+    be.append_rows(
+        path, 0,
+        [{"time": base + i, "topic": "t", "source": "s",
+          "contents": {"msg": str(i)}, "tags": {}} for i in range(8)],
+    )
+    be.append_rows(
+        path, 1,
+        [{"time": base + 100, "topic": "t", "source": "s",
+          "contents": {"msg": "z"}, "tags": {}}],
+    )
+    schema = StructType([StructField("msg", StringType())])
+    reader = LogstoreStreamReader(
+        schema,
+        {"path": path, "startingoffsets": "earliest", "maxoffsetspertrigger": "4"},
+    )
+    o0 = reader.initialOffset()
+    o1 = reader.latestOffset()
+    from spark_streaming_logservice_spark import offsets as off
+
+    s = off.StreamOffset.from_dict(o0).shard_seqs
+    e = off.StreamOffset.from_dict(o1).shard_seqs
+    n0 = sum(1 for _ in be.read_rows(path, 0, s[0], e[0]))
+    n1 = sum(1 for _ in be.read_rows(path, 1, s[1], e[1]))
+    # hot shard gets the full budget of 4 (old per-shard split gave it 2)
+    assert n0 == 4, (s, e)
+    assert n1 == 0
+    # next trigger continues the walk
+    o2 = reader.latestOffset()
+    e2 = off.StreamOffset.from_dict(o2).shard_seqs
+    assert sum(1 for _ in be.read_rows(path, 0, e[0], e2[0])) == 4
