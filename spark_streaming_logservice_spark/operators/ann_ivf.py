@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_streaming_logservice_spark.operators.similarity import _dot, _norm
+from spark_streaming_logservice_spark.operators.similarity import _dot, _norm, cosine_topk
 from spark_streaming_logservice_spark.registry import query
 from spark_streaming_logservice_spark.tables import load_table
 
@@ -127,7 +127,48 @@ def ivf_search(
 
 @query("s05_ann_ivf")  # rows-only: iterative k-means has no practical SQL oracle
 def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF results (q_id, n_id, score, rk). The driver records rows-only
+    here; the binding correctness checks are (a) s06_ann_ivf_recall, which IS
+    oracle-backed, and (b) tests/test_ann.py's numpy-pinned literal fixture."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     return ivf_search(e, e.where(F.col("vec_id") < N_QUERY))
+
+
+@query(
+    "s06_ann_ivf_recall",
+    oracle="""
+    SELECT vec_id AS q_id,
+           CAST(3 AS BIGINT) AS k_returned,
+           TRUE AS in_true_top10
+    FROM embeddings WHERE vec_id < 5 ORDER BY q_id
+    """,
+)
+def s06_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF validation. The approximate neighbor list itself
+    can't be SQL-oracled (k-means is iterative), so this query instead
+    asserts the property that makes IVF *useful*: every returned neighbor
+    must sit inside the brute-force true top-10, computed in the same job
+    (empirically the worst true rank is 4 with K_CELLS=16/nprobe=2). A broken
+    quantizer, probe, or scoring path flips in_true_top10 / k_returned and
+    fails the driver's hash check against the constant-structure oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.where(F.col("vec_id") < N_QUERY)
+    ivf = ivf_search(e, q)
+    truth = cosine_topk(
+        e.select("vec_id", F.col("emb").alias("embedding")),
+        q.select("vec_id", F.col("emb").alias("embedding")),
+        k=10,
+    ).select("q_id", "n_id", F.lit(True).alias("hit"))
+    return (
+        ivf.join(truth, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_returned"),
+            F.bool_and(F.coalesce(F.col("hit"), F.lit(False))).alias("in_true_top10"),
+        )
+        .orderBy("q_id")
+    )

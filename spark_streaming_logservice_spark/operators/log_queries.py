@@ -411,17 +411,38 @@ def l11_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l12_approx_distinct")  # rows-only: HLL sketches are engine-specific
+@query(
+    "l12_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def l12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the sketch path
-    for cardinality at 100 TB. No oracle: HLL implementations differ across
-    engines by design; the driver records the weaker rows-only check."""
+    for cardinality at 100 TB. HLL sketch values are engine-specific, so the
+    estimate itself can't hash-match a DuckDB oracle; instead the query emits
+    the exact cardinality (SQL-expressible) plus ``approx_ok`` — whether the
+    HLL estimate landed within 5× its configured 1% rsd. A broken sketch path
+    flips the flag and fails the driver's hash check."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )

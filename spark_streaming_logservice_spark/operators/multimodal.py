@@ -37,8 +37,11 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (see functions/media.py); the batch shape and schema stay identical."""
     for pdf in it:
         blobs = pdf["blob"]
-        n_bytes = blobs.map(len)
-        first = blobs.map(lambda b: b[0] if len(b) else -1)
+        # Vectorized accessors only (.str.len / .str[0] — no per-element
+        # Python lambdas): this is the at-scale shape a real decoder must
+        # keep, batch-in/batch-out.
+        n_bytes = blobs.str.len()
+        first = blobs.str[0].fillna(-1)  # bytes[0] is an int; empty → NaN
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
