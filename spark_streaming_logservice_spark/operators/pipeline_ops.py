@@ -1,0 +1,324 @@
+"""Training-data pipeline operators: deterministic sampling / splits /
+mixture weighting / sequence packing, plus the two advanced join shapes a
+log-analytics engine needs (as-of join, bucketed range join).
+
+Everything here is hash-deterministic (md5, never builtin ``hash`` or RNG) so
+results are reproducible across engines, processes, and restarts — the same
+property the sink's shard routing relies on — and every operator is fully
+SQL-expressible, so each carries a DuckDB oracle for the driver's hash check.
+
+Scale notes (100 TB):
+- Sampling/split/mixture are stateless row-local filters on an md5 prefix —
+  they run inside whole-stage codegen on the scan, shuffle nothing, and
+  sample rates hold per-partition without coordination.
+- Sequence packing uses one window (partitionBy lang, orderBy doc_id): a
+  single shuffle by lang; bin assignment is a running sum, no iteration.
+- The as-of join is one window over a union — NOT a per-row subquery; state
+  is one column carried along the sort. This is the standard Spark rewrite
+  of ``ASOF JOIN`` (which Catalyst lacks).
+- The range join pre-buckets both sides on coarse time buckets and
+  equi-joins bucket-to-bucket with a residual predicate, avoiding the
+  BroadcastNestedLoopJoin a naive inequality join plans — candidate pairs
+  scale with bucket width, not |events| × |windows|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_streaming_logservice_spark.registry import query
+from spark_streaming_logservice_spark.tables import load_table
+
+PACK_BUDGET = 2048  # tokens per packed context window
+
+
+def hash_bucket(prefix: str, key: Column) -> Column:
+    """First md5 hex byte of ``prefix:key`` as 0..255 — a deterministic,
+    engine-portable uniform bucket (DuckDB: ascii-compatible via substr)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix + ":"), key.cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+
+
+def sample_deterministic(df: DataFrame, key: Column, rate_256: int, salt: str) -> DataFrame:
+    """Keep rows whose md5 bucket < rate_256 (rate = rate_256/256)."""
+    return df.where(hash_bucket(salt, key) < rate_256)
+
+
+# --- p01: deterministic stratified sample ----------------------------------
+
+@query(
+    "p01_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('p01:' || CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 64
+    ORDER BY doc_id
+    """,
+)
+def p01_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% doc sample, reproducible byte-for-byte anywhere: membership is a
+    pure function of doc_id. The full sample (not an aggregate) goes through
+    the driver's hash check."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sample_deterministic(d, F.col("doc_id"), 64, "p01")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# --- p02: train/test split ---------------------------------------------------
+
+@query(
+    "p02_train_test_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN ('0x' || substr(md5('p02:' || CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER < 230
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def p02_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~90/10 split keyed on doc_id. doc_id_sum pins the exact membership of
+    each side, not just its size."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(hash_bucket("p02", F.col("doc_id")) < 230, "train").otherwise("test")
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# --- p03: sequence packing ---------------------------------------------------
+
+@query(
+    "p03_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tok,
+             CAST(floor(
+               CAST(coalesce(sum(n_tok) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               / {PACK_BUDGET}) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+)
+def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~PACK_BUDGET-token context windows per language:
+    bin = floor(exclusive-prefix-sum / budget) over a deterministic doc order
+    — contiguous packing as one window + one aggregation, no iteration. (A
+    bin may overflow by at most one document, like the rate limiter's
+    whole-bucket overshoot; an exact first-fit would serialize.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("double") / PACK_BUDGET
+        ),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .orderBy("lang", "bin")
+    )
+
+
+# --- p04: mixture weighting --------------------------------------------------
+
+MIXTURE_RATES_256 = {"en": 64, "de": 128, "fr": 128, "es": 192, "zh": 256}
+
+
+@query(
+    "p04_mixture_weights",
+    oracle="""
+    WITH rates AS (
+      SELECT * FROM (VALUES ('en', 64), ('de', 128), ('fr', 128),
+                            ('es', 192), ('zh', 256)) AS t(lang, rate)
+    )
+    SELECT d.lang,
+           count(*) AS n_total,
+           count(*) FILTER (
+             WHERE ('0x' || substr(md5('p04:' || CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER
+                   < coalesce(r.rate, 256)
+           ) AS n_kept
+    FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def p04_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source downsampling to a target data mixture: each language keeps
+    a deterministic hash fraction (en 25%, de/fr 50%, es 75%, zh 100%).
+    Rates ride a broadcast map column, so the filter stays row-local."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        F.create_map(
+            *[x for k, v in MIXTURE_RATES_256.items() for x in (F.lit(k), F.lit(v))]
+        )[F.col("lang")],
+        F.lit(256),
+    )
+    kept = hash_bucket("p04", F.col("doc_id")) < rate
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- j01: as-of join ---------------------------------------------------------
+
+@query(
+    "j01_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    ORDER BY p.event_id
+    LIMIT 300
+    """,
+)
+def j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (every purchase ← the user's most recent strictly-prior
+    click), an operator Spark lacks natively. Rewrite: union both streams,
+    one window per user ordered by event time with a strict-past range frame,
+    carry the last click timestamp forward — O(n log n) in the sort, one
+    shuffle by user_id, no per-row subquery. DuckDB's native ASOF JOIN is the
+    oracle."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)  # strictly earlier
+    )
+    asof = ev.withColumn(
+        "last_click_us",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts_us")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        asof.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("ts_us") - F.col("last_click_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+        .limit(300)
+    )
+
+
+# --- j02: bucketed range join ------------------------------------------------
+
+INCIDENT_WINDOW_S = 300  # each error opens a 5-minute incident window
+
+
+@query(
+    "j02_range_join_bucketed",
+    oracle=f"""
+    WITH windows AS (
+      SELECT ts AS w_start, ts + INTERVAL {INCIDENT_WINDOW_S} SECOND AS w_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_type,
+           count(DISTINCT e.event_id) AS n_in_incident
+    FROM events e JOIN windows w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    WHERE e.event_type <> 'error'
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def j02_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (events inside any error-incident window)
+    executed as a BUCKETED range join: both sides key on coarse time buckets
+    of the window width — each window spans ≤2 buckets (explode), each event
+    exactly 1 — then a bucket equi-join applies the residual range predicate.
+    Catalyst turns a naive t BETWEEN lo AND hi join into
+    BroadcastNestedLoopJoin (candidate pairs = |events|×|windows|); bucketing
+    makes candidates local to a bucket, the plan a plain hash join that AQE
+    can rebalance. Same rewrite the dedup/ANN family uses: bucket first,
+    verify the exact predicate inside the bucket."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    width_us = INCIDENT_WINDOW_S * 1_000_000
+    windows = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("ts_us").alias("w_start"),
+            (F.col("ts_us") + width_us).alias("w_end"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("w_start") / width_us),
+                    F.floor((F.col("w_end") - 1) / width_us),
+                )
+            ),
+        )
+    )
+    candidates = (
+        ev.where(F.col("event_type") != "error")
+        .withColumn("bucket", F.floor(F.col("ts_us") / width_us))
+        .join(windows, "bucket")
+        .where((F.col("ts_us") >= F.col("w_start")) & (F.col("ts_us") < F.col("w_end")))
+    )
+    return (
+        candidates.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n_in_incident"))
+        .orderBy("event_type")
+    )

@@ -47,6 +47,7 @@ def load_all() -> None:
         events2,
         log_queries,
         multimodal,
+        pipeline_ops,
         relational,
         relational2,
         similarity,

@@ -58,3 +58,38 @@ def test_codegen_active(spark, sf_dir, name):
         lambda: registry.QUERIES[name](spark, sf_dir), spark
     )
     assert n >= 1, "whole-stage codegen missing"
+
+
+def test_j02_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The bucketed rewrite must plan a hash join on the bucket key — a
+    naive interval predicate would fall back to BroadcastNestedLoopJoin,
+    which is quadratic in candidate pairs at scale."""
+    df = registry.QUERIES["j02_range_join_bucketed"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Join" in plan
+
+
+def test_j01_asof_is_single_window_no_join(spark, sf_dir):
+    """The as-of rewrite is a window carry-forward, not a join: no join
+    operator at all in the plan, one shuffle for the user_id window plus the
+    final global sort."""
+    df = registry.QUERIES["j01_asof_join"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_p01_sampling_stays_in_codegen(spark, sf_dir):
+    n = pi.wholestage_codegen_spans(
+        lambda: registry.QUERIES["p01_stratified_sample"](spark, sf_dir), spark
+    )
+    assert n >= 1
+
+
+def test_p03_packing_single_shuffle_before_agg(spark, sf_dir):
+    """Window by lang and the groupBy(lang, bin) share partitioning — the
+    plan must not add a second exchange between them (+1 for the final
+    orderBy range exchange)."""
+    df = registry.QUERIES["p03_sequence_packing"](spark, sf_dir)
+    assert pi.exchange_count(df) <= 2, pi.formatted_plan(df)[:3000]
