@@ -64,6 +64,97 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+ENCODE_IMG_SCHEMA = "doc_id bigint, blob binary"
+ENCODE_WAV_SCHEMA = "doc_id bigint, blob binary"
+
+
+def encode_png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture-encode stage: a REAL grayscale PNG per document, dimensions a
+    pure function of n_chars (so the oracle can predict the decode)."""
+    from spark_streaming_logservice_spark.functions import media
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [
+                    media.make_png(int(c) % 64 + 1, (int(c) * 7) % 48 + 1)
+                    for c in pdf["n_chars"]
+                ],
+            }
+        )
+
+
+def encode_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from spark_streaming_logservice_spark.functions import media
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [media.make_wav(int(c) % 1000 + 1) for c in pdf["n_chars"]],
+            }
+        )
+
+
+@query(
+    "m02_image_decode_roundtrip",
+    oracle="""
+    SELECT doc_id, 'png' AS format,
+           CAST(n_chars % 64 + 1 AS INTEGER) AS width,
+           CAST((n_chars * 7) % 48 + 1 AS INTEGER) AS height
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def m02_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip (no stand-in): encode a valid grayscale-8
+    PNG per document (stdlib struct+zlib), then decode it with the
+    independent header parser in functions/media.py — which also inflates
+    IDAT and checks the exact scanline byte count, so corrupt pixel data
+    fails loudly. The oracle predicts the decoded dimensions from n_chars."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    blobs = d.mapInPandas(encode_png_batches, schema=ENCODE_IMG_SCHEMA)
+    return (
+        media.decode_image_meta(blobs)
+        .select("doc_id", "format", "width", "height")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "m03_audio_decode_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars % 1000 + 1 AS BIGINT) AS n_samples,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           (n_chars % 1000 + 1) * 1000 // 16000 AS duration_ms
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def m03_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip: synthesize mono 16-bit PCM WAV per
+    document (stdlib wave), decode frames/rate back via the same module on
+    the read side, derive duration. Oracle predicts all fields from
+    n_chars."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    blobs = d.mapInPandas(encode_wav_batches, schema=ENCODE_WAV_SCHEMA)
+    return (
+        media.decode_audio_meta(blobs)
+        .select("doc_id", "n_samples", "sample_rate", "duration_ms")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 @query(
     "m01_multimodal_decode",
     oracle="""
