@@ -302,10 +302,15 @@ def stage_rows(path: str, write_id: str, shard: int, rows: list[dict]) -> str:
     """Write one task's rows for one shard to the staging area. Rows must
     carry explicit seqs (the writer assigns them). Returns the staged path
     relative to the staging root: ``<write_id>/shard=<N>-<uuid>.parquet``."""
+    tbl, _ = _rows_table(rows)
+    return stage_table(path, write_id, shard, tbl)
+
+
+def stage_table(path: str, write_id: str, shard: int, tbl: pa.Table) -> str:
+    """Stage a prebuilt store-schema Arrow table (the Arrow writer's path)."""
     d = os.path.join(path, STAGING_DIR, write_id)
     os.makedirs(d, exist_ok=True)
     name = f"shard={shard}-{uuid.uuid4().hex}.parquet"
-    tbl, _ = _rows_table(rows)
     pq.write_table(tbl, os.path.join(d, name))
     return f"{write_id}/{name}"
 

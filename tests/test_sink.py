@@ -90,6 +90,15 @@ def test_decimal_timestamp_flattening(spark, tmp_path):
     assert payload["ts"] == "1704067200000"
 
 
+def _wb(rows):
+    """Rows → the single-RecordBatch iterator the Arrow writer receives."""
+    import pyarrow as pa
+
+    return iter(
+        [pa.record_batch({"msg": pa.array([r["msg"] for r in rows], pa.string())})]
+    )
+
+
 def _mk_stream_writer(path, n_shards=2):
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -112,11 +121,11 @@ def test_stream_sink_batch_redelivery_is_skipped(spark, tmp_path):
     rows = [{"msg": "a"}, {"msg": "b"}, {"msg": "c"}]
 
     w1 = _mk_stream_writer(path)
-    m1 = w1.write(iter(rows))
+    m1 = w1.write(_wb(rows))
     w1.commit([m1], batchId=0)
     # Restarted query re-delivers batch 0 through a fresh writer instance:
     w2 = _mk_stream_writer(path)
-    m2 = w2.write(iter(rows))
+    m2 = w2.write(_wb(rows))
     w2.commit([m2], batchId=0)
 
     assert _read_msgs(spark, path) == ["a", "b", "c"]
@@ -132,13 +141,13 @@ def test_stream_sink_abort_then_retry_single_copy(spark, tmp_path):
     rows = [{"msg": "x"}, {"msg": "y"}]
 
     w1 = _mk_stream_writer(path)
-    m1 = w1.write(iter(rows))
+    m1 = w1.write(_wb(rows))
     w1.abort([m1], batchId=0)
     assert _read_msgs(spark, path) == []  # nothing published
     assert os.listdir(os.path.join(path, "_staging")) == []
 
     w2 = _mk_stream_writer(path)
-    m2 = w2.write(iter(rows))
+    m2 = w2.write(_wb(rows))
     w2.commit([m2], batchId=0)
     assert _read_msgs(spark, path) == ["x", "y"]
 
@@ -151,8 +160,8 @@ def test_task_retry_publishes_only_committed_attempt(spark, tmp_path):
     rows = [{"msg": "r1"}, {"msg": "r2"}]
 
     w = _mk_stream_writer(path)
-    _abandoned = w.write(iter(rows))  # attempt 1: staged, never committed
-    m2 = w.write(iter(rows))  # attempt 2: wins
+    _abandoned = w.write(_wb(rows))  # attempt 1: staged, never committed
+    m2 = w.write(_wb(rows))  # attempt 2: wins
     w.commit([m2], batchId=0)
     assert _read_msgs(spark, path) == ["r1", "r2"]
 
@@ -166,7 +175,7 @@ def test_batch_write_abort_leaves_store_unchanged(spark, tmp_path):
     os.makedirs(path)
     schema = StructType([StructField("msg", StringType())])
     w = LogstoreBatchWriter(schema, {"path": path}, False)
-    m = w.write(iter([{"msg": "gone"}]))
+    m = w.write(_wb([{"msg": "gone"}]))
     w.abort([m])
     assert _read_msgs(spark, path) == []
     assert os.listdir(os.path.join(path, "_staging")) == []
@@ -201,8 +210,8 @@ def test_writer_seqs_unique_across_concurrent_jobs(tmp_path):
     os.makedirs(path)
     w1 = _mk_stream_writer(path, n_shards=1)
     w2 = _mk_stream_writer(path, n_shards=1)
-    m1 = w1.write(iter([{"msg": f"a{i}"} for i in range(100)]))
-    m2 = w2.write(iter([{"msg": f"b{i}"} for i in range(100)]))
+    m1 = w1.write(_wb([{"msg": f"a{i}"} for i in range(100)]))
+    m2 = w2.write(_wb([{"msg": f"b{i}"} for i in range(100)]))
     w1.commit([m1], batchId=0)
     w2.commit([m2], batchId=1)
     from spark_streaming_logservice_spark.sources import store_backend as be
