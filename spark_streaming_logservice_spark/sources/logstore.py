@@ -256,25 +256,35 @@ class LogstoreBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options) -> None:
         self.path, self.project, self.store = _names(options)
         self.schema = schema
-        par = int(options.get("parallelisminshard", "1"))
-        if not 1 <= par <= 5:
+        self._par = int(options.get("parallelisminshard", "1"))
+        if not 1 <= self._par <= 5:
             raise ValueError(
                 "Parallelism in each shard should not be less than 1 or larger than 5."
             )
-        start_t = _starting_times(options, self.path, self.project, self.store, off.EARLIEST)
-        end_t = _ending_times(options, self.path, self.project, self.store)
-        off.validate_batch_range(start_t, end_t)
-        self._ranges = []
-        for shard in be.list_shards(self.path):
-            s = _resolve_seq(self.path, shard, start_t[shard])
-            e = _resolve_seq(self.path, shard, end_t[shard])
-            if e > s:
-                for cs, ce in be.slice_ranges(self.path, shard, s, e, par):
-                    if ce > cs:
-                        self._ranges.append(ShardRange(shard, cs, ce))
+        # Validate options eagerly (bad offsets fail at load()), but resolve
+        # sentinel cursors lazily in partitions(): a re-used DataFrame then
+        # re-reads data appended between actions, matching the reference
+        # relation's per-action buildScan (TEST/LoghubRelationSuite re-use
+        # scenario) — if Spark caches the planned partitions, the snapshot is
+        # simply the first action's, which is also valid relation semantics.
+        self._start_t = _starting_times(
+            options, self.path, self.project, self.store, off.EARLIEST
+        )
+        self._end_t = _ending_times(options, self.path, self.project, self.store)
+        off.validate_batch_range(self._start_t, self._end_t)
 
     def partitions(self):
-        return self._ranges or [ShardRange(-1, 0, 0)]
+        ranges = []
+        for shard in be.list_shards(self.path):
+            start = self._start_t.get(shard, off.EARLIEST)
+            end = self._end_t.get(shard, off.LATEST)
+            s = _resolve_seq(self.path, shard, start)
+            e = _resolve_seq(self.path, shard, end)
+            if e > s:
+                for cs, ce in be.slice_ranges(self.path, shard, s, e, self._par):
+                    if ce > cs:
+                        ranges.append(ShardRange(shard, cs, ce))
+        return ranges or [ShardRange(-1, 0, 0)]
 
     def read(self, partition: ShardRange):
         if partition.shard < 0:

@@ -247,3 +247,58 @@ def test_streaming_sink_append_and_commit_markers(spark, tmp_path):
     # idempotency guard persisted (SINK/LoghubSink.scala:24-39, hardened)
     assert os.path.isdir(os.path.join(dst, "_commits"))
     assert any(n.startswith("batch-") for n in os.listdir(os.path.join(dst, "_commits")))
+
+
+def test_update_mode_aggregation_into_logstore_sink(spark, tmp_path):
+    """Update-mode streaming aggregation landed in the logstore
+    (TEST/LoghubSinkSuite.scala:171-202). Python DSv2 sinks reject Update
+    mode outright (no SupportsStreamingUpdateAsAppend hook), so the engine's
+    documented route (S18) is update-as-append through the idempotent
+    foreachBatch wrapper — each trigger appends the updated (word, count)
+    rows; final state per word is the max count seen."""
+    src = str(tmp_path / "p" / "agg-src")
+    dst = str(tmp_path / "p" / "agg-dst")
+    from spark_streaming_logservice_spark import fixtures
+    from spark_streaming_logservice_spark.streaming.queries import (
+        idempotent_foreach_batch,
+    )
+
+    fixtures.make_store(src, {0: ["a", "b", "a"]})
+    counts = (
+        spark.readStream.format("logstore")
+        .schema("msg STRING")
+        .option("path", src)
+        .option("startingOffsets", "earliest")
+        .load()
+        .groupBy("msg")
+        .count()
+    )
+
+    def write_batch(batch_df, _batch_id):
+        (
+            batch_df.write.format("logstore")
+            .option("path", dst)
+            .mode("append")
+            .save()
+        )
+
+    q = (
+        counts.writeStream.foreachBatch(
+            idempotent_foreach_batch(write_batch, str(tmp_path / "markers"))
+        )
+        .option("checkpointLocation", str(tmp_path / "ck-agg"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = (
+        spark.read.format("logstore")
+        .schema("msg STRING, count LONG")
+        .option("path", dst)
+        .load()
+    )
+    state = {}
+    for r in back.collect():
+        state[r["msg"]] = max(state.get(r["msg"], 0), r["count"])
+    assert state == {"a": 2, "b": 1}

@@ -234,3 +234,21 @@ def test_create_rdd_parallelism_passthrough(spark, tmp_path):
     )
     assert df.rdd.getNumPartitions() == 2
     assert len(df.collect()) == 32
+
+
+def test_reused_dataframe_snapshot_and_fresh_load_rereads(spark, store):
+    """The reference's relation re-runs buildScan per action, so a re-used
+    DF sees appended data (TEST/LoghubRelationSuite re-use scenario). Spark's
+    Python DataSource caches planned partitions per DataFrame, so here a
+    re-used DF is a stable snapshot (documented divergence — also valid
+    relation semantics) and a fresh load() picks up new data."""
+    reader = (
+        spark.read.format("logstore").schema("msg STRING").option("path", store)
+    )
+    df = reader.load()
+    assert len(df.collect()) == 5
+    fixtures.write_messages(store, ["9"], shard=0, base_time=1_700_000_500)
+    assert len(df.collect()) == 5  # snapshot: stable across actions
+    assert sorted(r["msg"] for r in reader.load().collect()) == [
+        "1", "2", "3", "4", "5", "9",
+    ]

@@ -289,3 +289,18 @@ def test_shard_split_parent_drain_children_at_earliest(spark, tmp_path):
     assert sorted(by_shard[1]) == ["3"]
     assert sorted(by_shard[2]) == ["6", "7"]  # children bound at earliest
     assert sorted(by_shard[3]) == ["8", "9"]
+
+
+def test_rate_limit_long_max_no_overflow(spark, store, tmp_path):
+    """maxOffsetsPerTrigger = Long.MaxValue must not overflow and must read
+    everything in one batch (TEST/LoghubMicroBatchSourceSuite.scala:276-314)."""
+    df = (
+        spark.readStream.format("logstore")
+        .schema("msg STRING")
+        .option("path", store)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(2**63 - 1))
+        .load()
+    )
+    out = _run_once(spark, df, "t_longmax", str(tmp_path / "ck-longmax"))
+    assert sorted(r["msg"] for r in out.collect()) == ["1", "2", "3", "4", "5"]
