@@ -88,12 +88,18 @@ def main() -> None:
     registry.QUERIES["q01_pricing_summary"](spark, sf_dir).count()
     registry.QUERIES["sr01_logstore_typed_agg"](spark, sf_dir).count()
 
+    # Two timed runs per query, keep the min: steady-state engine cost, not
+    # JIT/warmup jitter (methodology recorded in the artifact as runs/agg).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -102,6 +108,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": 2,
+        "agg": "min",
     }
     prev = _prev_bench()
     if prev and isinstance(prev.get("queries"), dict):
