@@ -308,6 +308,11 @@ class LogstoreStreamReader(DataSourceStreamReader):
         self.max_per_trigger = int(
             options.get("maxoffsetspertrigger", DEFAULT_MAX_OFFSETS_PER_TRIGGER)
         )
+        self._par = int(options.get("parallelisminshard", "1"))
+        if not 1 <= self._par <= 5:
+            raise ValueError(
+                "Parallelism in each shard should not be less than 1 or larger than 5."
+            )
         self._start_times = _starting_times(
             options, self.path, self.project, self.store, off.LATEST
         )
@@ -405,10 +410,16 @@ class LogstoreStreamReader(DataSourceStreamReader):
         # be ahead of this fresh reader instance's notion of progress).
         self._advance(s)
         self._advance(e)
+        # parallelismInShard applies to micro-batches too: a catch-up batch
+        # (large cap, or Long.MaxValue) over a hot shard splits into
+        # row-balanced slices instead of one straggler task. Steady-state
+        # rate-limited batches are small and stay 1 slice.
         ranges = [
-            ShardRange(sh, s.get(sh, 0), e[sh])
+            ShardRange(sh, cs, ce)
             for sh in sorted(e)
             if e[sh] > s.get(sh, 0)
+            for cs, ce in be.slice_ranges(self.path, sh, s.get(sh, 0), e[sh], self._par)
+            if ce > cs
         ]
         return ranges or [ShardRange(-1, 0, 0)]
 

@@ -304,3 +304,28 @@ def test_rate_limit_long_max_no_overflow(spark, store, tmp_path):
     )
     out = _run_once(spark, df, "t_longmax", str(tmp_path / "ck-longmax"))
     assert sorted(r["msg"] for r in out.collect()) == ["1", "2", "3", "4", "5"]
+
+
+def test_stream_catchup_batch_slices_hot_shard(spark, tmp_path):
+    """parallelismInShard in streaming: a catch-up micro-batch over one hot
+    shard splits into multiple slice partitions, and the result is identical
+    to the unsliced read."""
+    register(spark)
+    path = str(tmp_path / "proj" / "catchup-store")
+    for i in range(5):
+        fixtures.write_messages(
+            path, [str(i * 10 + j) for j in range(10)], shard=0,
+            base_time=1_700_000_000 + i * 100,
+        )
+    df = (
+        spark.readStream.format("logstore")
+        .schema("msg STRING")
+        .option("path", path)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(2**62))
+        .option("parallelismInShard", "4")
+        .load()
+    )
+    out = _run_once(spark, df, "t_catchup_sliced", str(tmp_path / "ck-cs"))
+    got = sorted(r["msg"] for r in out.collect())
+    assert got == sorted(str(v) for v in range(50))
