@@ -380,7 +380,7 @@ class LogstoreStreamReader(DataSourceStreamReader):
             # strand their slice of the quota. Whole-second-bucket
             # granularity is preserved (may overshoot by one bucket).
             hists = {
-                sh: be.second_histogram(self.path, sh, st)
+                sh: be.second_histogram(self.path, sh, st, self.max_per_trigger)
                 for sh, st in lagging.items()
             }
             bucket_totals: dict[int, int] = {}

@@ -119,18 +119,46 @@ def time_for_seq(path: str, shard: int, seq: int) -> int | None:
     return pc.min(tbl.column("time")).as_py()
 
 
-def second_histogram(path: str, shard: int, from_seq: int) -> list[tuple[int, int]]:
+def _seq_ceiling_for_count(
+    path: str, shard: int, from_seq: int, max_records: int
+) -> int | None:
+    """Footer-stats-only seq upper bound covering ≥ 2×max_records rows past
+    ``from_seq`` (the 2× margin absorbs whole-bucket overshoot). None when
+    the whole tail is needed."""
+    total = 0
+    for mn, mx, rows in row_group_stats(path, shard):
+        if mx < from_seq:
+            continue
+        total += rows
+        if total >= 2 * max_records:
+            return mx + 1
+    return None
+
+
+def second_histogram(
+    path: str, shard: int, from_seq: int, max_records: int | None = None
+) -> list[tuple[int, int]]:
     """Sorted (unix_second, record_count) buckets for records with
     seq >= from_seq — the rate-limit histogram (SQL/LoghubOffsetReader.scala:
-    155-220 walks per-time-bucket record counts)."""
+    155-220 walks per-time-bucket record counts).
+
+    With ``max_records``, the scan is bounded to O(max_records) via a
+    footer-stats seq ceiling instead of O(consumer lag): a stream that is a
+    year behind still plans each trigger by reading only ~2× the budget's
+    rows of the ``time`` column. The rate walk stops at the budget anyway,
+    so truncation never changes which buckets are included (at worst the
+    already-permitted one-bucket overshoot)."""
     ds = _shard_dataset(path, shard)
     if ds is None:
         return []
-    tbl = ds.to_table(columns=["time"], filter=pa_ds.field("seq") >= from_seq)
+    filt = pa_ds.field("seq") >= from_seq
+    if max_records is not None:
+        ceiling = _seq_ceiling_for_count(path, shard, from_seq, max_records)
+        if ceiling is not None:
+            filt = filt & (pa_ds.field("seq") < ceiling)
+    tbl = ds.to_table(columns=["time"], filter=filt)
     if tbl.num_rows == 0:
         return []
-    import pyarrow.compute as pc
-
     counts = pa.table({"time": tbl.column("time")}).group_by("time").aggregate(
         [("time", "count")]
     )

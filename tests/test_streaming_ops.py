@@ -226,3 +226,27 @@ def test_rate_limit_budget_is_global_not_per_shard(tmp_path):
     o2 = reader.latestOffset()
     e2 = off.StreamOffset.from_dict(o2).shard_seqs
     assert sum(1 for _ in be.read_rows(path, 0, e[0], e2[0])) == 4
+
+
+def test_histogram_bounded_scan_same_walk(tmp_path):
+    """The budget-bounded histogram must agree with the unbounded one over
+    the region the rate walk can actually reach (≥ max_records rows)."""
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    path = str(tmp_path / "p" / "hist-store")
+    base = 1_700_000_000
+    # 40 appends → 40 row groups, 25 rows each, one second apart
+    for i in range(40):
+        be.append_rows(
+            path, 0,
+            [{"time": base + i, "topic": "t", "source": "s",
+              "contents": {"msg": f"{i}-{j}"}, "tags": {}} for j in range(25)],
+        )
+    full = be.second_histogram(path, 0, 0)
+    bounded = be.second_histogram(path, 0, 0, max_records=100)
+    assert len(bounded) < len(full)  # the scan really was truncated
+    covered = 0
+    for (sec_b, cnt_b), (sec_f, cnt_f) in zip(bounded, full):
+        assert (sec_b, cnt_b) == (sec_f, cnt_f)  # prefix-exact
+        covered += cnt_b
+    assert covered >= 2 * 100  # ceiling kept the 2x-budget margin
