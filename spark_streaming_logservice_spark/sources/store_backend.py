@@ -90,28 +90,74 @@ def shard_bounds(path: str, shard: int) -> tuple[int, int]:
     return (lo, hi + 1)
 
 
+def _row_group_stats2(path: str, shard: int) -> list[tuple[int, int, int, int, int]]:
+    """(seq_min, seq_max, time_min, time_max, rows) per row group — footer
+    only. Powers the O(1)-in-lag cursor lookups below."""
+    d = shard_dir(path, shard)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            s_st = g.column(0).statistics  # seq
+            t_st = g.column(1).statistics  # time
+            if (
+                s_st is None or not s_st.has_min_max
+                or t_st is None or not t_st.has_min_max
+            ):
+                continue
+            out.append((s_st.min, s_st.max, t_st.min, t_st.max, g.num_rows))
+    return out
+
+
 def seq_for_time(path: str, shard: int, cursor_time: int) -> int:
     """Smallest seq whose time >= cursor_time; end_seq if none (the
-    reference's GetCursor(fromTime) semantics)."""
+    reference's GetCursor(fromTime) semantics).
+
+    Footer stats bound the scan: the answer lives in a row group whose
+    time_max >= cursor_time, and is <= the smallest seq_max among them — so
+    only groups overlapping that seq range are read, not the whole tail
+    (this runs per trigger on lagging streams)."""
     ds = _shard_dataset(path, shard)
     if ds is None:
         return 0
-    tbl = ds.to_table(
-        columns=["seq"], filter=pa_ds.field("time") >= cursor_time
-    )
-    if tbl.num_rows == 0:
+    groups = [g for g in _row_group_stats2(path, shard) if g[3] >= cursor_time]
+    if not groups:
         return shard_bounds(path, shard)[1]
+    ceiling = min(g[1] for g in groups)
+    tbl = ds.to_table(
+        columns=["seq"],
+        filter=(pa_ds.field("time") >= cursor_time) & (pa_ds.field("seq") <= ceiling),
+    )
+    if tbl.num_rows == 0:  # stats-only corner: fall back to the exact scan
+        tbl = ds.to_table(columns=["seq"], filter=pa_ds.field("time") >= cursor_time)
+        if tbl.num_rows == 0:
+            return shard_bounds(path, shard)[1]
     import pyarrow.compute as pc
 
     return pc.min(tbl.column("seq")).as_py()
 
 
 def time_for_seq(path: str, shard: int, seq: int) -> int | None:
-    """Event time of the first record with seq >= given (None if drained)."""
+    """Earliest event time at-or-after the cursor (None if drained) — the
+    stream's lag estimate for the <60s fast path. Footer-stats-bounded the
+    same way as seq_for_time: only row groups up to the smallest covering
+    seq_max are read."""
     ds = _shard_dataset(path, shard)
     if ds is None:
         return None
-    tbl = ds.to_table(columns=["time"], filter=pa_ds.field("seq") >= seq)
+    groups = [g for g in _row_group_stats2(path, shard) if g[1] >= seq]
+    if not groups:
+        return None
+    ceiling = min(g[1] for g in groups)
+    tbl = ds.to_table(
+        columns=["time"],
+        filter=(pa_ds.field("seq") >= seq) & (pa_ds.field("seq") <= ceiling),
+    )
     if tbl.num_rows == 0:
         return None
     import pyarrow.compute as pc

@@ -250,3 +250,28 @@ def test_histogram_bounded_scan_same_walk(tmp_path):
         assert (sec_b, cnt_b) == (sec_f, cnt_f)  # prefix-exact
         covered += cnt_b
     assert covered >= 2 * 100  # ceiling kept the 2x-budget margin
+
+
+def test_bounded_cursor_lookups_match_full_scan(tmp_path):
+    """seq_for_time / time_for_seq with footer-stats bounding must agree
+    with a brute-force full scan on a multi-file, multi-row-group store."""
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    path = str(tmp_path / "p" / "cursor-store")
+    base = 1_700_000_000
+    for i in range(12):
+        be.append_rows(
+            path, 0,
+            [{"time": base + i * 10 + j, "topic": "t", "source": "s",
+              "contents": {"m": f"{i}-{j}"}, "tags": {}} for j in range(5)],
+        )
+    all_rows = sorted(
+        ((r["seq"], r["time"]) for r in be.read_rows(path, 0, 0, 2**63 - 1))
+    )
+    for t_probe in (base - 5, base, base + 37, base + 57, base + 119, base + 500):
+        want = min((s for s, t in all_rows if t >= t_probe), default=be.shard_bounds(path, 0)[1])
+        assert be.seq_for_time(path, 0, t_probe) == want, t_probe
+    for s_probe in (0, all_rows[0][0], all_rows[17][0], all_rows[-1][0], all_rows[-1][0] + 1):
+        tail = [t for s, t in all_rows if s >= s_probe]
+        want = min(tail) if tail else None
+        assert be.time_for_seq(path, 0, s_probe) == want, s_probe
