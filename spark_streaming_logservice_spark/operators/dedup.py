@@ -370,3 +370,98 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < 200)
         .orderBy("doc_id")
     )
+
+
+# --- d06: per-source dedup report ------------------------------------------
+
+@query(
+    "d06_dedup_report",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 4)
+             AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def d06_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup *reporting*: per-source document counts, unique-content counts,
+    and duplication rate — the measurement side of the dedup pipeline (what
+    fraction of each crawl/source is redundant before spending compute on
+    it). Shuffles 16-byte digests, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(content_digest()).alias("n_unique"),
+            F.round(
+                1.0 - F.countDistinct(content_digest()).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- d07: benchmark decontamination ----------------------------------------
+
+def _shingles3(text_col: str = "text") -> Column:
+    """Distinct 3-token shingles (same construction as d02)."""
+    toks = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+
+
+@query(
+    "d07_decontamination",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id, count(DISTINCT s.shingle) AS n_bench_shingles
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def d07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any 3-token
+    shingle with the held-out benchmark set (here: doc_id % 97 == 0). The
+    benchmark shingle set is tiny by construction, so it broadcasts and the
+    check is one map-side semi-join over the training shingles — at 100 TB
+    the corpus streams once, nothing shuffles but the per-doc hit counts."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingles3()).alias("shingle")
+    ).distinct()
+    bench = sh.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    return (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_bench_shingles"))
+        .orderBy("doc_id")
+    )
