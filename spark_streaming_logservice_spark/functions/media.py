@@ -81,34 +81,44 @@ def make_wav(n_samples: int, sample_rate: int = 16000) -> bytes:
 
 # --- decoders ---------------------------------------------------------------
 
-def parse_image(blob: bytes, validate_pixels: bool = True):
+def parse_image(blob: bytes, validate_pixels: bool = True, strict: bool = True):
     """(format, width, height) from real container bytes; None if not a
     recognized image. PNG additionally inflates IDAT and checks the exact
-    scanline byte count for grayscale-8, so corrupt pixel data fails."""
-    if blob.startswith(_PNG_SIG) and blob[12:16] == b"IHDR":
-        width, height = struct.unpack(">II", blob[16:24])
-        bit_depth, color_type = blob[24], blob[25]
-        if validate_pixels and (bit_depth, color_type) == (8, 0):
-            idat = b"".join(_png_chunks(blob, b"IDAT"))
-            if len(zlib.decompress(idat)) != height * (1 + width):
-                raise ValueError("PNG pixel data does not match IHDR dimensions")
-        return ("png", width, height)
-    if blob[:6] in (b"GIF87a", b"GIF89a"):
-        width, height = struct.unpack("<HH", blob[6:10])
-        return ("gif", width, height)
-    if blob[:2] == b"\xff\xd8":
-        i = 2
-        while i + 9 < len(blob):
-            if blob[i] != 0xFF:
-                break
-            marker = blob[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
-                height, width = struct.unpack(">HH", blob[i + 5: i + 9])
-                return ("jpeg", width, height)
-            seg_len = struct.unpack(">H", blob[i + 2: i + 4])[0]
-            i += 2 + seg_len
+    scanline byte count for grayscale-8, so corrupt pixel data fails.
+
+    ``strict=False`` maps EVERY malformed blob (truncated header, bad zlib
+    stream, contradictory dimensions) to None instead of raising — the
+    invalid-record tolerance mode the Spark stage runs in, so one corrupt
+    blob can never fail a whole task."""
+    try:
+        if blob.startswith(_PNG_SIG) and blob[12:16] == b"IHDR":
+            width, height = struct.unpack(">II", blob[16:24])
+            bit_depth, color_type = blob[24], blob[25]
+            if validate_pixels and (bit_depth, color_type) == (8, 0):
+                idat = b"".join(_png_chunks(blob, b"IDAT"))
+                if len(zlib.decompress(idat)) != height * (1 + width):
+                    raise ValueError("PNG pixel data does not match IHDR dimensions")
+            return ("png", width, height)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            width, height = struct.unpack("<HH", blob[6:10])
+            return ("gif", width, height)
+        if blob[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(blob):
+                if blob[i] != 0xFF:
+                    break
+                marker = blob[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    height, width = struct.unpack(">HH", blob[i + 5: i + 9])
+                    return ("jpeg", width, height)
+                seg_len = struct.unpack(">H", blob[i + 2: i + 4])[0]
+                i += 2 + seg_len
+            return None
         return None
-    return None
+    except Exception:
+        if strict:
+            raise
+        return None
 
 
 def _png_chunks(blob: bytes, typ: bytes):
@@ -137,7 +147,7 @@ def decode_image_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [parse_image(b) for b in pdf[blob_col]]
+            metas = [parse_image(b, strict=False) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -158,16 +168,27 @@ def decode_image_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_
 def decode_audio_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
     """WAV decode → (n_samples, sample_rate, duration_ms), Arrow-batched."""
 
+    def _safe(b):
+        try:
+            return parse_wav(b)
+        except Exception:  # invalid-record tolerance: corrupt blob → nulls
+            return None
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [parse_wav(b) for b in pdf[blob_col]]
+            metas = [_safe(b) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_samples": pd.Series([m[0] for m in metas], dtype="int64"),
-                    "sample_rate": pd.Series([m[1] for m in metas], dtype="int32"),
-                    "duration_ms": pd.Series(
-                        [m[0] * 1000 // m[1] for m in metas], dtype="int64"
+                    "n_samples": pd.array(
+                        [m[0] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [m[1] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [m[0] * 1000 // m[1] if m and m[1] else None for m in metas],
+                        dtype="Int64",
                     ),
                     "n_bytes": pdf[blob_col].str.len().astype("int64"),
                 }

@@ -128,18 +128,8 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
-    )
     sh = (
-        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        d.select("doc_id", F.explode(_shingles3()).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -411,18 +401,21 @@ def d06_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- d07: benchmark decontamination ----------------------------------------
 
 def _shingles3(text_col: str = "text") -> Column:
-    """Distinct 3-token shingles (same construction as d02)."""
+    """Distinct 3-token shingles; documents shorter than 3 tokens yield NO
+    shingles (concat_ws would otherwise silently emit a degenerate 1-2-token
+    shingle the SQL oracles never produce)."""
     toks = F.split(F.col(text_col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
+    full = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, F.array_distinct(full)).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -398,8 +398,13 @@ class LogstoreStreamReader(DataSourceStreamReader):
                 if last_sec is None or not hists[sh]:
                     out[sh] = st
                 else:
-                    # first seq strictly after the last included bucket
-                    out[sh] = max(st, be.seq_for_time(self.path, sh, last_sec + 1))
+                    # first seq AT OR PAST THE CURSOR strictly after the last
+                    # included bucket — min_seq=st so rows behind the cursor
+                    # (already consumed, or out-of-order backfills) can never
+                    # pull the boundary backwards and stall the shard
+                    out[sh] = max(
+                        st, be.seq_for_time(self.path, sh, last_sec + 1, min_seq=st)
+                    )
         self._advance(out)
         return off.StreamOffset(dict(self._last_end)).to_dict()
 
@@ -442,6 +447,22 @@ class LogstoreStreamReader(DataSourceStreamReader):
 class _WriteResult(WriterCommitMessage):
     rows: int
     staged: list[str]
+
+
+# Per-process monotonic counter for writer seq blocks: two write() calls in
+# the same executor process can never overlap their (ms + counter) ranges,
+# whatever the wall clock does. Starts at a random offset so freshly-forked
+# workers don't all begin at 0.
+_SEQ_LOCK = __import__("threading").Lock()
+_SEQ_BASE = int.from_bytes(os.urandom(2), "big")
+
+
+def _seq_block(n: int) -> int:
+    global _SEQ_BASE
+    with _SEQ_LOCK:
+        base = _SEQ_BASE
+        _SEQ_BASE += n
+        return base
 
 
 def stable_shard(key: str, n_shards: int) -> int:
@@ -530,13 +551,14 @@ class LogstoreBatchWriter(DataSourceArrowWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        # Unique, time-ordered seqs: ((ms + counter) << 20) | pid10 | salt10.
-        # The salt decorrelates concurrent jobs that land in the same
-        # millisecond with equal partition ids (two streams, or a stream plus
-        # a batch write) — partition id alone is only unique within one job.
+        # Unique, time-ordered seqs: ((ms + block) << 21) | pid10 | salt11.
+        # The per-process monotonic block makes same-process write() calls
+        # collision-FREE even within one millisecond; across processes the
+        # partition id (within a job) and the 11-bit salt (across concurrent
+        # jobs) decorrelate. Shift 21 keeps the int64 headroom to ~year 2109.
         base_ms = int(_time.time() * 1_000)
-        salt = int.from_bytes(_os.urandom(2), "big") & 0x3FF
-        low20 = ((pid & 0x3FF) << 10) | salt
+        salt = int.from_bytes(_os.urandom(2), "big") & 0x7FF
+        low21 = ((pid & 0x3FF) << 11) | salt
         fields = self.schema.fields
         names = np.array([f.name for f in fields], dtype=object)
         staged: list[str] = []
@@ -573,7 +595,9 @@ class LogstoreBatchWriter(DataSourceArrowWriter):
                 )
             else:
                 shards = np.full(n, pid % self.n_shards, dtype="int64")
-            seqs = ((base_ms + total + np.arange(n, dtype="int64")) << 20) | low20
+            seqs = (
+                (base_ms + _seq_block(n) + np.arange(n, dtype="int64")) << 21
+            ) | low21
             # contents map assembly: row-major flatten of the (n, k) value
             # grid, masked by validity — vectorized offsets, no per-row dicts
             valid = np.stack(
@@ -655,17 +679,39 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamArrowWriter):
         return os.path.exists(os.path.join(self.commits_dir, f"batch-{batch_id}"))
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
-        if self.committed_batch(batchId):
-            # Redelivery after restart: drop the staged re-run, keep the store
-            # exactly as the first delivery left it (LoghubSink.scala:31-38).
+        """Exactly-once across every crash window: the marker is a MANIFEST
+        (the staged file list), written atomically BEFORE publishing. The
+        marker is the commit point — a crash before it leaves only invisible
+        staging (redelivery publishes a fresh copy); a crash after it, mid-
+        publish, is completed idempotently on redelivery by replaying the
+        manifest with already-moved files skipped. The reference's guard
+        (LoghubSink.scala:31-38) only skips the happy redelivery path; the
+        manifest also closes its publish-then-crash duplicate window."""
+        import json as _json
+
+        marker = os.path.join(self.commits_dir, f"batch-{batchId}")
+        if os.path.exists(marker):
+            # Redelivery: finish the recorded publish (no-op when the first
+            # delivery completed), then drop this delivery's staging.
+            with open(marker) as f:
+                manifest = _json.load(f)
+            be.publish_staged(self.path, manifest.get("staged", []), missing_ok=True)
             be.discard_staged(self.path, self.write_id)
             return
-        self._publish(messages)
+        staged = [p for m in messages if m is not None for p in m.staged]
         os.makedirs(self.commits_dir, exist_ok=True)
-        marker = os.path.join(self.commits_dir, f"batch-{batchId}.tmp")
-        with open(marker, "w") as f:
-            f.write(str(sum(m.rows for m in messages if m is not None)))
-        os.replace(marker, os.path.join(self.commits_dir, f"batch-{batchId}"))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "rows": sum(m.rows for m in messages if m is not None),
+                    "staged": staged,
+                },
+                f,
+            )
+        os.replace(tmp, marker)  # commit point
+        be.publish_staged(self.path, staged, missing_ok=True)
+        be.discard_staged(self.path, self.write_id)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         be.discard_staged(self.path, self.write_id)

@@ -90,12 +90,25 @@ def shard_bounds(path: str, shard: int) -> tuple[int, int]:
     return (lo, hi + 1)
 
 
+# Footer-stats cache: (path, shard) → (dir_mtime_ns, stats). latestOffset
+# consults stats 3-4 times per lagging shard per trigger; one os.stat tells
+# us whether the directory changed (appends create files → mtime bumps), so
+# unchanged shards cost one syscall instead of a full footer sweep.
+_STATS_CACHE: dict[tuple[str, int], tuple[int, list]] = {}
+
+
 def _row_group_stats2(path: str, shard: int) -> list[tuple[int, int, int, int, int]]:
     """(seq_min, seq_max, time_min, time_max, rows) per row group — footer
-    only. Powers the O(1)-in-lag cursor lookups below."""
+    only, mtime-cached. Powers the O(1)-in-lag cursor lookups below."""
     d = shard_dir(path, shard)
-    if not os.path.isdir(d):
+    try:
+        mtime = os.stat(d).st_mtime_ns
+    except FileNotFoundError:
         return []
+    key = (os.path.abspath(path), shard)
+    hit = _STATS_CACHE.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     out = []
     for f in os.listdir(d):
         if not f.endswith(".parquet"):
@@ -111,30 +124,38 @@ def _row_group_stats2(path: str, shard: int) -> list[tuple[int, int, int, int, i
             ):
                 continue
             out.append((s_st.min, s_st.max, t_st.min, t_st.max, g.num_rows))
+    _STATS_CACHE[key] = (mtime, out)
     return out
 
 
-def seq_for_time(path: str, shard: int, cursor_time: int) -> int:
-    """Smallest seq whose time >= cursor_time; end_seq if none (the
-    reference's GetCursor(fromTime) semantics).
+def seq_for_time(
+    path: str, shard: int, cursor_time: int, min_seq: int = 0
+) -> int:
+    """Smallest seq >= min_seq whose time >= cursor_time; end_seq if none
+    (the reference's GetCursor(fromTime) semantics). ``min_seq`` lets the
+    rate walk resolve its end boundary relative to the consumer cursor, so
+    already-consumed rows (or backfills behind the cursor) can never pull
+    the result backwards.
 
     Footer stats bound the scan: the answer lives in a row group whose
-    time_max >= cursor_time, and is <= the smallest seq_max among them — so
-    only groups overlapping that seq range are read, not the whole tail
-    (this runs per trigger on lagging streams)."""
+    time_max >= cursor_time and seq_max >= min_seq, and is <= the smallest
+    seq_max among them — only groups overlapping that seq range are read,
+    not the whole tail (this runs per trigger on lagging streams)."""
     ds = _shard_dataset(path, shard)
     if ds is None:
         return 0
-    groups = [g for g in _row_group_stats2(path, shard) if g[3] >= cursor_time]
+    base = (pa_ds.field("time") >= cursor_time) & (pa_ds.field("seq") >= min_seq)
+    groups = [
+        g
+        for g in _row_group_stats2(path, shard)
+        if g[3] >= cursor_time and g[1] >= min_seq
+    ]
     if not groups:
         return shard_bounds(path, shard)[1]
     ceiling = min(g[1] for g in groups)
-    tbl = ds.to_table(
-        columns=["seq"],
-        filter=(pa_ds.field("time") >= cursor_time) & (pa_ds.field("seq") <= ceiling),
-    )
+    tbl = ds.to_table(columns=["seq"], filter=base & (pa_ds.field("seq") <= ceiling))
     if tbl.num_rows == 0:  # stats-only corner: fall back to the exact scan
-        tbl = ds.to_table(columns=["seq"], filter=pa_ds.field("time") >= cursor_time)
+        tbl = ds.to_table(columns=["seq"], filter=base)
         if tbl.num_rows == 0:
             return shard_bounds(path, shard)[1]
     import pyarrow.compute as pc
@@ -143,10 +164,12 @@ def seq_for_time(path: str, shard: int, cursor_time: int) -> int:
 
 
 def time_for_seq(path: str, shard: int, seq: int) -> int | None:
-    """Earliest event time at-or-after the cursor (None if drained) — the
-    stream's lag estimate for the <60s fast path. Footer-stats-bounded the
-    same way as seq_for_time: only row groups up to the smallest covering
-    seq_max are read."""
+    """Event time of the FIRST record at-or-after the seq cursor (None if
+    drained) — the stream's lag estimate for the <60s fast path. First by
+    seq, not min-time-of-tail: with out-of-order event times a recent
+    backfill must not make a lagging shard look caught-up (or vice versa).
+    Footer-stats-bounded: the first record lives at seq <= the smallest
+    covering seq_max, so only those row groups are read."""
     ds = _shard_dataset(path, shard)
     if ds is None:
         return None
@@ -155,14 +178,15 @@ def time_for_seq(path: str, shard: int, seq: int) -> int | None:
         return None
     ceiling = min(g[1] for g in groups)
     tbl = ds.to_table(
-        columns=["time"],
+        columns=["seq", "time"],
         filter=(pa_ds.field("seq") >= seq) & (pa_ds.field("seq") <= ceiling),
     )
     if tbl.num_rows == 0:
         return None
     import pyarrow.compute as pc
 
-    return pc.min(tbl.column("time")).as_py()
+    idx = pc.index(tbl.column("seq"), pc.min(tbl.column("seq"))).as_py()
+    return tbl.column("time")[idx].as_py()
 
 
 def _seq_ceiling_for_count(
@@ -170,14 +194,19 @@ def _seq_ceiling_for_count(
 ) -> int | None:
     """Footer-stats-only seq upper bound covering ≥ 2×max_records rows past
     ``from_seq`` (the 2× margin absorbs whole-bucket overshoot). None when
-    the whole tail is needed."""
+    the whole tail is needed. A group straddling the cursor contributes 0 to
+    the count (its rows may lie before from_seq) but still extends the
+    ceiling — conservative: coverage is never overstated."""
     total = 0
+    best = None
     for mn, mx, rows in row_group_stats(path, shard):
         if mx < from_seq:
             continue
-        total += rows
+        if mn >= from_seq:  # fully past the cursor: rows all count
+            total += rows
+        best = mx + 1 if best is None else max(best, mx + 1)
         if total >= 2 * max_records:
-            return mx + 1
+            return best
     return None
 
 
@@ -214,43 +243,10 @@ def second_histogram(
     return [(int(t), int(c)) for t, c in pairs]
 
 
-def end_seq_for_count(path: str, shard: int, from_seq: int, max_records: int) -> int:
-    """Rate limit: advance in whole-second buckets until adding a bucket
-    reaches/exceeds ``max_records`` (bucket granularity, never mid-bucket —
-    may overshoot by up to one bucket, replicating
-    SQL/LoghubOffsetReader.scala:205-213). Returns the capped end_seq."""
-    hist = second_histogram(path, shard, from_seq)
-    if not hist:
-        return from_seq
-    total = 0
-    last_included_sec = None
-    for sec, cnt in hist:
-        total += cnt
-        last_included_sec = sec
-        if total >= max_records:
-            break
-    # end = first seq strictly after last_included_sec
-    end = seq_for_time(path, shard, last_included_sec + 1)
-    return max(end, from_seq)
-
-
 def row_group_stats(path: str, shard: int) -> list[tuple[int, int, int]]:
-    """(min_seq, max_seq, num_rows) per parquet row group — footer-only."""
-    d = shard_dir(path, shard)
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for f in os.listdir(d):
-        if not f.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(d, f)).metadata
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            stats = g.column(0).statistics  # seq is field 0
-            if stats is None or not stats.has_min_max:
-                continue
-            out.append((stats.min, stats.max, g.num_rows))
-    return sorted(out)
+    """(min_seq, max_seq, num_rows) per parquet row group — footer-only
+    (seq projection of the cached two-column stats)."""
+    return sorted((s, e, n) for s, e, _t0, _t1, n in _row_group_stats2(path, shard))
 
 
 def slice_ranges(
@@ -372,14 +368,6 @@ def append_rows(path: str, shard: int, rows: list[dict]) -> int:
 STAGING_DIR = "_staging"
 
 
-def stage_rows(path: str, write_id: str, shard: int, rows: list[dict]) -> str:
-    """Write one task's rows for one shard to the staging area. Rows must
-    carry explicit seqs (the writer assigns them). Returns the staged path
-    relative to the staging root: ``<write_id>/shard=<N>-<uuid>.parquet``."""
-    tbl, _ = _rows_table(rows)
-    return stage_table(path, write_id, shard, tbl)
-
-
 def stage_table(path: str, write_id: str, shard: int, tbl: pa.Table) -> str:
     """Stage a prebuilt store-schema Arrow table (the Arrow writer's path)."""
     d = os.path.join(path, STAGING_DIR, write_id)
@@ -389,17 +377,25 @@ def stage_table(path: str, write_id: str, shard: int, tbl: pa.Table) -> str:
     return f"{write_id}/{name}"
 
 
-def publish_staged(path: str, staged: list[str]) -> None:
+def publish_staged(path: str, staged: list[str], missing_ok: bool = False) -> None:
     """Atomically move staged files into their shard directories. Only the
     files named in ``staged`` (the successful tasks' commit messages) are
-    published; leftovers from failed attempts stay in staging."""
+    published; leftovers from failed attempts stay in staging.
+
+    ``missing_ok`` makes the publish replayable: a file already renamed by a
+    previous (crashed mid-publish) attempt is skipped, so re-running the
+    same manifest completes the publish exactly once."""
     for rel in staged:
         src = os.path.join(path, STAGING_DIR, rel)
         name = os.path.basename(rel)
         shard = int(name.split("-", 1)[0].split("=")[1])
         d = shard_dir(path, shard)
         os.makedirs(d, exist_ok=True)
-        os.replace(src, os.path.join(d, "part-" + name.split("-", 1)[1]))
+        try:
+            os.replace(src, os.path.join(d, "part-" + name.split("-", 1)[1]))
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
 
 
 def discard_staged(path: str, write_id: str) -> None:

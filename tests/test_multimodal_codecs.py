@@ -74,3 +74,35 @@ def test_spark_audio_decode_stage(spark):
     )
     r = media.decode_audio_meta(df).collect()[0]
     assert (r["n_samples"], r["sample_rate"], r["duration_ms"]) == (1600, 16000, 100)
+
+
+def test_truncated_blobs_tolerated_not_strict():
+    """strict=False maps malformed containers to None (invalid-record
+    tolerance); strict=True raises for the corrupt-pixel case."""
+    truncated_png = base64.b64decode(PNG_1X1_B64)[:20]  # sig + partial IHDR
+    assert media.parse_image(truncated_png, strict=False) is None
+    with pytest.raises(Exception):
+        media.parse_image(truncated_png, strict=True)
+    assert media.parse_image(b"GIF89a\x01", strict=False) is None
+
+
+def test_spark_decode_stage_survives_corrupt_blob(spark):
+    """One corrupt blob must yield a null row, never fail the task."""
+    good = media.make_png(4, 3)
+    bad = base64.b64decode(PNG_1X1_B64)[:20]
+    df = spark.createDataFrame(
+        [(1, good), (2, bad), (3, b"not an image")], "doc_id LONG, blob BINARY"
+    )
+    rows = {r["doc_id"]: r for r in media.decode_image_meta(df).collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 4, 3)
+    assert rows[2]["format"] is None and rows[2]["width"] is None
+    assert rows[3]["format"] is None
+
+
+def test_spark_audio_stage_survives_corrupt_blob(spark):
+    df = spark.createDataFrame(
+        [(1, media.make_wav(100)), (2, b"RIFFgarbage")], "doc_id LONG, blob BINARY"
+    )
+    rows = {r["doc_id"]: r for r in media.decode_audio_meta(df).collect()}
+    assert rows[1]["n_samples"] == 100
+    assert rows[2]["n_samples"] is None

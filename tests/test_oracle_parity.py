@@ -75,3 +75,16 @@ def test_query_matches_oracle(spark, sf_dir, name):
     ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_short_documents_yield_no_shingles(spark):
+    """<3-token docs must produce ZERO shingles (Spark side previously
+    emitted a degenerate 1-2-token shingle the SQL oracle never builds)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.operators.dedup import _shingles3
+
+    df = spark.createDataFrame(
+        [("x",), ("foo bar",), ("a b c",)], "text STRING"
+    ).select(F.size(_shingles3()).alias("n"))
+    assert [r["n"] for r in df.collect()] == [0, 0, 1]

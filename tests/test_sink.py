@@ -345,3 +345,58 @@ def test_concurrent_writers_isolated_and_unique(spark, tmp_path):
     seqs = [r["seq"] for sh in be.list_shards(path) for r in be.read_rows(path, sh, 0, 2**63 - 1)]
     assert len(seqs) == len(set(seqs)) == 400
     assert os.listdir(os.path.join(path, "_staging")) == []
+
+
+def test_crash_after_marker_before_publish_recovers_exactly_once(spark, tmp_path):
+    """The manifest marker is the commit point: a crash BETWEEN marker write
+    and publish must be completed (not duplicated) when the batch is
+    redelivered (code-review r2: publish-then-marker window)."""
+    import json as _json
+
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    path = str(tmp_path / "p" / "crash-store")
+    os.makedirs(path)
+    rows = [{"msg": "a"}, {"msg": "b"}]
+
+    w1 = _mk_stream_writer(path)
+    m1 = w1.write(_wb(rows))
+    # simulate commit() crashing right after the marker landed:
+    os.makedirs(os.path.join(path, "_commits"))
+    with open(os.path.join(path, "_commits", "batch-0"), "w") as f:
+        _json.dump({"rows": m1.rows, "staged": m1.staged}, f)
+    assert _read_msgs(spark, path) == []  # nothing visible yet
+
+    # redelivery through a fresh writer completes the recorded publish
+    w2 = _mk_stream_writer(path)
+    m2 = w2.write(_wb(rows))
+    w2.commit([m2], batchId=0)
+    assert _read_msgs(spark, path) == ["a", "b"]  # exactly once
+    assert os.listdir(os.path.join(path, "_staging")) == [w1.write_id] or \
+        os.listdir(os.path.join(path, "_staging")) == []
+
+
+def test_crash_mid_publish_recovers_exactly_once(spark, tmp_path):
+    """Crash after SOME manifest files were renamed: redelivery finishes the
+    rest and never re-publishes the moved ones."""
+    import json as _json
+
+    from spark_streaming_logservice_spark.sources import store_backend as be
+
+    path = str(tmp_path / "p" / "midpub-store")
+    os.makedirs(path)
+    w1 = _mk_stream_writer(path, n_shards=2)
+    # route to both shards via two batches with explicit partition... easier:
+    # two write() calls → two staged files in the manifest
+    m1 = w1.write(_wb([{"msg": "x"}]))
+    m2 = w1.write(_wb([{"msg": "y"}]))
+    staged = m1.staged + m2.staged
+    os.makedirs(os.path.join(path, "_commits"))
+    with open(os.path.join(path, "_commits", "batch-0"), "w") as f:
+        _json.dump({"rows": 2, "staged": staged}, f)
+    be.publish_staged(path, staged[:1])  # crash midway: one file moved
+
+    w2 = _mk_stream_writer(path, n_shards=2)
+    m3 = w2.write(_wb([{"msg": "x"}, {"msg": "y"}]))
+    w2.commit([m3], batchId=0)
+    assert _read_msgs(spark, path) == ["x", "y"]  # both present, once each
