@@ -359,3 +359,226 @@ def q23_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(f"`{k}`"), F.lit(0)).alias(v) for k, v in labels.items()
     ]
     return pivoted.select(*cols).orderBy("o_orderstatus")
+
+
+# --- q08: national market share (TPC-H Q8 shape) ---------------------------
+
+@query(
+    "q08_market_share",
+    oracle="""
+    WITH all_nations AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN region r   ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of ASIA's ECONOMY-part revenue per
+    year. One fact-fact shuffle (lineitem⋈orders); every dimension —
+    customer, both nation roles, region, supplier, part — broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        df.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- q09: product-type profit (TPC-H Q9 shape, cost proxy) -----------------
+
+@query(
+    "q09_product_profit",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - l.l_quantity * p.p_retailprice * 0.8), 2) AS profit
+    FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per supplier-nation, per year, profit on parts whose
+    name contains 'red'. The schema has no partsupp/ps_supplycost, so cost is
+    the defined proxy quantity × 0.8 × p_retailprice — the join/aggregate
+    shape (fact⋈fact + three broadcast dims + LIKE filter) is what Q9
+    exercises."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.8
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy(F.asc("supp_nation"), F.desc("o_year"))
+    )
+
+
+# --- q17: small-quantity revenue (TPC-H Q17 shape) -------------------------
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'SMALL'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue that would vanish if sub-20%-of-average-quantity
+    orders stopped. The correlated scalar subquery becomes one extra
+    aggregate on lineitem joined back by partkey — two passes over the
+    fact table, no per-row subquery."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
+    avg_q = l.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --- q24: cheapest supplier per part (TPC-H Q2 shape, via lineitem) --------
+
+@query(
+    "q24_cheapest_supplier_per_part",
+    oracle="""
+    WITH offers AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             round(avg(l.l_extendedprice / l.l_quantity), 4) AS unit_price
+      FROM lineitem l
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT o.partkey, o.suppkey, o.unit_price,
+             row_number() OVER (PARTITION BY o.partkey
+                                ORDER BY o.unit_price, o.suppkey) AS rk
+      FROM offers o
+        JOIN supplier s ON o.suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT ra.partkey, ra.suppkey, ra.unit_price
+    FROM ranked ra JOIN part p ON ra.partkey = p.p_partkey
+    WHERE ra.rk = 1 AND p.p_type = 'SMALL'
+    ORDER BY ra.unit_price DESC, ra.partkey
+    LIMIT 40
+    """,
+)
+def q24_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape without a partsupp table: observed unit prices from
+    lineitem stand in for supply cost; pick each SMALL part's cheapest
+    EUROPE supplier. Aggregation shrinks the fact table to (part, supplier)
+    offers BEFORE the window, so the rank runs on the small aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
+    offers = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_price"
+        )
+    )
+    euro = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    w = Window.partitionBy("partkey").orderBy(F.asc("unit_price"), F.asc("suppkey"))
+    return (
+        offers.join(F.broadcast(euro), F.col("suppkey") == F.col("s_suppkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select("partkey", "suppkey", "unit_price")
+        .orderBy(F.desc("unit_price"), F.asc("partkey"))
+        .limit(40)
+    )
