@@ -93,3 +93,28 @@ def test_p03_packing_single_shuffle_before_agg(spark, sf_dir):
     orderBy range exchange)."""
     df = registry.QUERIES["p03_sequence_packing"](spark, sf_dir)
     assert pi.exchange_count(df) <= 2, pi.formatted_plan(df)[:3000]
+
+
+def test_q08_single_fact_shuffle_all_dims_broadcast(spark, sf_dir):
+    """Q8's 7-table join: the only shuffle join is lineitem⋈orders; every
+    dimension (customer, nation x2, region, supplier, part) broadcasts."""
+    df = registry.QUERIES["q08_market_share"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:3000]
+    assert pi.has_pushed_filters(df)
+
+
+def test_q17_no_cartesian_or_nested_loop(spark, sf_dir):
+    df = registry.QUERIES["q17_small_quantity_revenue"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q24_window_runs_on_aggregate_not_fact(spark, sf_dir):
+    """The ranking window must sit above the (part,supplier) aggregate, not
+    the raw fact table — Window after HashAggregate in the plan."""
+    df = registry.QUERIES["q24_cheapest_supplier_per_part"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("HashAggregate") > plan.index("Window")  # formatted plan lists top-down
