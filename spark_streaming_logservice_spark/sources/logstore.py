@@ -397,14 +397,15 @@ class LogstoreStreamReader(DataSourceStreamReader):
             for sh, st in lagging.items():
                 if last_sec is None or not hists[sh]:
                     out[sh] = st
-                else:
-                    # first seq AT OR PAST THE CURSOR strictly after the last
-                    # included bucket — min_seq=st so rows behind the cursor
-                    # (already consumed, or out-of-order backfills) can never
-                    # pull the boundary backwards and stall the shard
-                    out[sh] = max(
-                        st, be.seq_for_time(self.path, sh, last_sec + 1, min_seq=st)
-                    )
+                    continue
+                # The walk allocates whole buckets; each shard then advances
+                # past exactly its allocated ROW COUNT in seq order
+                # (nth_seq). A time-cut boundary can deadlock at the cursor
+                # when event times interleave non-monotonically with seqs;
+                # counting rows guarantees progress whenever any unread row
+                # exists, and equals the time cut on time-ordered data.
+                n_sh = sum(cnt for sec, cnt in hists[sh] if sec <= last_sec)
+                out[sh] = be.nth_seq(self.path, sh, st, n_sh) if n_sh else st
         self._advance(out)
         return off.StreamOffset(dict(self._last_end)).to_dict()
 
@@ -449,20 +450,22 @@ class _WriteResult(WriterCommitMessage):
     staged: list[str]
 
 
-# Per-process monotonic counter for writer seq blocks: two write() calls in
-# the same executor process can never overlap their (ms + counter) ranges,
-# whatever the wall clock does. Starts at a random offset so freshly-forked
-# workers don't all begin at 0.
+# Per-process monotonic seq-range allocator in the millisecond domain: a
+# write() call takes [start, start+n) where start = max(wall_ms + jitter,
+# previous top) — same-process ranges can never overlap, even across a
+# backwards wall-clock step (NTP). The random jitter decorrelates
+# freshly-forked workers. Cross-process uniqueness comes from the partition
+# id (within a job) and the salt (across jobs) in the low bits.
 _SEQ_LOCK = __import__("threading").Lock()
-_SEQ_BASE = int.from_bytes(os.urandom(2), "big")
+_SEQ_JITTER = int.from_bytes(os.urandom(2), "big")
+_SEQ_NEXT = [0]
 
 
-def _seq_block(n: int) -> int:
-    global _SEQ_BASE
+def _seq_range(n: int) -> int:
     with _SEQ_LOCK:
-        base = _SEQ_BASE
-        _SEQ_BASE += n
-        return base
+        start = max(int(_time.time() * 1_000) + _SEQ_JITTER, _SEQ_NEXT[0])
+        _SEQ_NEXT[0] = start + n
+        return start
 
 
 def stable_shard(key: str, n_shards: int) -> int:
@@ -551,12 +554,12 @@ class LogstoreBatchWriter(DataSourceArrowWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        # Unique, time-ordered seqs: ((ms + block) << 21) | pid10 | salt11.
-        # The per-process monotonic block makes same-process write() calls
-        # collision-FREE even within one millisecond; across processes the
+        # Unique, time-ordered seqs: (alloc_ms << 21) | pid10 | salt11, where
+        # alloc_ms comes from the monotonic _seq_range allocator — same-
+        # process write() calls are collision-free regardless of wall-clock
+        # behavior (including backwards steps); across processes the
         # partition id (within a job) and the 11-bit salt (across concurrent
         # jobs) decorrelate. Shift 21 keeps the int64 headroom to ~year 2109.
-        base_ms = int(_time.time() * 1_000)
         salt = int.from_bytes(_os.urandom(2), "big") & 0x7FF
         low21 = ((pid & 0x3FF) << 11) | salt
         fields = self.schema.fields
@@ -596,7 +599,7 @@ class LogstoreBatchWriter(DataSourceArrowWriter):
             else:
                 shards = np.full(n, pid % self.n_shards, dtype="int64")
             seqs = (
-                (base_ms + _seq_block(n) + np.arange(n, dtype="int64")) << 21
+                (_seq_range(n) + np.arange(n, dtype="int64")) << 21
             ) | low21
             # contents map assembly: row-major flatten of the (n, k) value
             # grid, masked by validity — vectorized offsets, no per-row dicts
@@ -690,12 +693,16 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamArrowWriter):
         import json as _json
 
         marker = os.path.join(self.commits_dir, f"batch-{batchId}")
-        if os.path.exists(marker):
+        if self.committed_batch(batchId):
             # Redelivery: finish the recorded publish (no-op when the first
-            # delivery completed), then drop this delivery's staging.
+            # delivery completed; already-moved files are skipped), then
+            # sweep the original delivery's staging dirs AND this one's.
             with open(marker) as f:
                 manifest = _json.load(f)
-            be.publish_staged(self.path, manifest.get("staged", []), missing_ok=True)
+            staged = manifest.get("staged", [])
+            be.publish_staged(self.path, staged, missing_ok=True)
+            for wid in {p.split("/", 1)[0] for p in staged}:
+                be.discard_staged(self.path, wid)
             be.discard_staged(self.path, self.write_id)
             return
         staged = [p for m in messages if m is not None for p in m.staged]
@@ -710,11 +717,18 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamArrowWriter):
                 f,
             )
         os.replace(tmp, marker)  # commit point
-        be.publish_staged(self.path, staged, missing_ok=True)
+        # First publish is STRICT: a staged file missing here means lost
+        # rows, and the batch must fail (and retry) loudly, not silently
+        # commit a partial publish. Only the replay path skips moved files.
+        be.publish_staged(self.path, staged)
         be.discard_staged(self.path, self.write_id)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
-        be.discard_staged(self.path, self.write_id)
+        # Once the marker exists, staging holds the only copy of data the
+        # manifest promises — sweeping it would turn a failed publish into
+        # silent loss on redelivery. Only pre-marker aborts clean up.
+        if not self.committed_batch(batchId):
+            be.discard_staged(self.path, self.write_id)
 
 
 class LogstoreDataSource(DataSource):

@@ -67,52 +67,39 @@ def _shard_dataset(path: str, shard: int) -> pa_ds.Dataset | None:
 def shard_bounds(path: str, shard: int) -> tuple[int, int]:
     """(min_seq, end_seq) where end_seq = max_seq + 1; (0, 0) when empty.
 
-    Reads only parquet footer statistics — no data pages — so planning cost
-    is O(files), not O(rows)."""
-    d = shard_dir(path, shard)
-    if not os.path.isdir(d):
+    Derived from the signature-cached footer statistics — no data pages —
+    so planning cost is O(files) on change and O(1) otherwise."""
+    groups = _row_group_stats2(path, shard)
+    if not groups:
         return (0, 0)
-    lo: int | None = None
-    hi: int | None = None
-    for f in os.listdir(d):
-        if not f.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(d, f)).metadata
-        for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(0)  # seq is field 0
-            stats = col.statistics
-            if stats is None or not stats.has_min_max:
-                continue
-            lo = stats.min if lo is None else min(lo, stats.min)
-            hi = stats.max if hi is None else max(hi, stats.max)
-    if lo is None or hi is None:
-        return (0, 0)
-    return (lo, hi + 1)
+    return (min(g[0] for g in groups), max(g[1] for g in groups) + 1)
 
 
-# Footer-stats cache: (path, shard) → (dir_mtime_ns, stats). latestOffset
-# consults stats 3-4 times per lagging shard per trigger; one os.stat tells
-# us whether the directory changed (appends create files → mtime bumps), so
-# unchanged shards cost one syscall instead of a full footer sweep.
-_STATS_CACHE: dict[tuple[str, int], tuple[int, list]] = {}
+# Footer-stats cache: (path, shard) → (signature, stats). latestOffset
+# consults stats 3-4 times per lagging shard per trigger; the signature is
+# (dir mtime_ns, parquet file count) — the count guards against two
+# publishes landing within one filesystem timestamp granule (the store is
+# append-only, so a same-tick change always changes the count). Unchanged
+# shards cost one stat + one listdir instead of a full footer sweep.
+_STATS_CACHE: dict[tuple[str, int], tuple[tuple, list]] = {}
 
 
 def _row_group_stats2(path: str, shard: int) -> list[tuple[int, int, int, int, int]]:
     """(seq_min, seq_max, time_min, time_max, rows) per row group — footer
-    only, mtime-cached. Powers the O(1)-in-lag cursor lookups below."""
+    only, signature-cached. Powers the O(1)-in-lag cursor lookups below."""
     d = shard_dir(path, shard)
     try:
         mtime = os.stat(d).st_mtime_ns
+        names = [f for f in os.listdir(d) if f.endswith(".parquet")]
     except FileNotFoundError:
         return []
+    sig = (mtime, len(names))
     key = (os.path.abspath(path), shard)
     hit = _STATS_CACHE.get(key)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and hit[0] == sig:
         return hit[1]
     out = []
-    for f in os.listdir(d):
-        if not f.endswith(".parquet"):
-            continue
+    for f in names:
         md = pq.ParquetFile(os.path.join(d, f)).metadata
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
@@ -124,7 +111,7 @@ def _row_group_stats2(path: str, shard: int) -> list[tuple[int, int, int, int, i
             ):
                 continue
             out.append((s_st.min, s_st.max, t_st.min, t_st.max, g.num_rows))
-    _STATS_CACHE[key] = (mtime, out)
+    _STATS_CACHE[key] = (sig, out)
     return out
 
 
@@ -187,6 +174,35 @@ def time_for_seq(path: str, shard: int, seq: int) -> int | None:
 
     idx = pc.index(tbl.column("seq"), pc.min(tbl.column("seq"))).as_py()
     return tbl.column("time")[idx].as_py()
+
+
+def nth_seq(path: str, shard: int, from_seq: int, n: int) -> int:
+    """Half-open end after the ``n`` smallest seqs >= from_seq; shard end
+    when fewer than ``n`` remain. This is the deadlock-free boundary for the
+    rate walk: it advances by ROW COUNT in seq order, so progress is
+    guaranteed whenever at least one unread row exists — even when event
+    times interleave non-monotonically with seqs (where a time-cut boundary
+    can sit at the cursor forever). Footer-stats-bounded to O(n) rows."""
+    if n <= 0:
+        return from_seq
+    ds = _shard_dataset(path, shard)
+    if ds is None:
+        return from_seq
+    filt = pa_ds.field("seq") >= from_seq
+    ceiling = _seq_ceiling_for_count(path, shard, from_seq, n)
+    if ceiling is not None:
+        filt = filt & (pa_ds.field("seq") < ceiling)
+    tbl = ds.to_table(columns=["seq"], filter=filt)
+    seqs = sorted(tbl.column("seq").to_pylist())
+    if ceiling is not None and len(seqs) < n:
+        # stats-only corner: the bounded window held fewer rows than promised
+        tbl = ds.to_table(columns=["seq"], filter=pa_ds.field("seq") >= from_seq)
+        seqs = sorted(tbl.column("seq").to_pylist())
+    if not seqs:
+        return from_seq
+    if len(seqs) < n:
+        return shard_bounds(path, shard)[1]
+    return seqs[n - 1] + 1
 
 
 def _seq_ceiling_for_count(

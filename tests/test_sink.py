@@ -372,8 +372,34 @@ def test_crash_after_marker_before_publish_recovers_exactly_once(spark, tmp_path
     m2 = w2.write(_wb(rows))
     w2.commit([m2], batchId=0)
     assert _read_msgs(spark, path) == ["a", "b"]  # exactly once
-    assert os.listdir(os.path.join(path, "_staging")) == [w1.write_id] or \
-        os.listdir(os.path.join(path, "_staging")) == []
+    # recovery sweeps BOTH the crashed delivery's staging and its own
+    assert os.listdir(os.path.join(path, "_staging")) == []
+
+
+def test_abort_after_marker_keeps_staging_for_recovery(spark, tmp_path):
+    """abort() must NOT sweep staging once the batch marker exists — those
+    files are the only copy the manifest promises; redelivery completes the
+    publish from them."""
+    import json as _json
+
+    path = str(tmp_path / "p" / "abort-marker-store")
+    os.makedirs(path)
+    rows = [{"msg": "k1"}, {"msg": "k2"}]
+
+    w1 = _mk_stream_writer(path)
+    m1 = w1.write(_wb(rows))
+    os.makedirs(os.path.join(path, "_commits"))
+    with open(os.path.join(path, "_commits", "batch-0"), "w") as f:
+        _json.dump({"rows": m1.rows, "staged": m1.staged}, f)
+    # publish failed → Spark calls abort; staging must survive
+    w1.abort([m1], batchId=0)
+    assert os.listdir(os.path.join(path, "_staging")) == [w1.write_id]
+
+    w2 = _mk_stream_writer(path)
+    m2 = w2.write(_wb(rows))
+    w2.commit([m2], batchId=0)
+    assert _read_msgs(spark, path) == ["k1", "k2"]  # recovered, exactly once
+    assert os.listdir(os.path.join(path, "_staging")) == []
 
 
 def test_crash_mid_publish_recovers_exactly_once(spark, tmp_path):

@@ -333,3 +333,36 @@ def test_histogram_straddling_group_is_conservative(tmp_path):
     from_seq = 990
     assert be.second_histogram(path, 0, from_seq, max_records=10) == \
         be.second_histogram(path, 0, from_seq)
+
+
+def test_rate_walk_progress_with_inverse_time_interleaving(tmp_path):
+    """Newer-time row at a LOWER seq than older-time rows past the cursor:
+    a time-cut boundary sits at the cursor forever; the row-count boundary
+    (nth_seq) must still drain the shard (code-review r2, second pass)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from spark_streaming_logservice_spark import offsets as off
+    from spark_streaming_logservice_spark.sources import store_backend as be
+    from spark_streaming_logservice_spark.sources.logstore import LogstoreStreamReader
+
+    path = str(tmp_path / "p" / "inverse-store")
+    be.append_rows(path, 0, [
+        {"seq": 5, "time": 100, "topic": "t", "source": "s",
+         "contents": {"msg": "newer"}, "tags": {}},
+        {"seq": 6, "time": 50, "topic": "t", "source": "s",
+         "contents": {"msg": "older"}, "tags": {}},
+    ])
+    schema = StructType([StructField("msg", StringType())])
+    reader = LogstoreStreamReader(
+        schema, {"path": path, "startingoffsets": "earliest",
+                 "maxoffsetspertrigger": "1"})
+    reader._last_end = {0: 5}
+    prev, seen = 5, 0
+    for _ in range(4):
+        end = off.StreamOffset.from_dict(reader.latestOffset()).shard_seqs[0]
+        assert end >= prev
+        seen += sum(1 for _r in be.read_rows(path, 0, prev, end))
+        prev = end
+        if seen >= 2:
+            break
+    assert seen == 2, "walk stalled on inverse time/seq interleaving"
