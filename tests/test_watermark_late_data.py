@@ -51,8 +51,10 @@ def test_late_data_dropped(spark, tmp_path):
         except Exception:
             return set()
 
-    # wait until the early windows close (watermark = t+100-10 ≫ t+5)
-    deadline = time.time() + 60
+    # wait until the early windows close (watermark = t+100-10 ≫ t+5);
+    # generous deadline — under full-suite CPU contention the parquet sink
+    # can take well over a minute to emit its first append
+    deadline = time.time() + 150
     while time.time() < deadline and not rows():
         time.sleep(0.3)
     first = rows()
