@@ -506,3 +506,46 @@ def l10_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(20)
     )
+
+
+@query(
+    "l14_hof_battery",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                AS BIGINT) AS total_chars,
+           CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS max_len,
+           array_to_string(list_sort(toks)[1:3], '|') AS first3
+    FROM t
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def l14_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions end-to-end: filter → transform →
+    aggregate → array_sort → slice, all JVM lambda expressions inside
+    whole-stage codegen (the array never round-trips to Python). DuckDB's
+    list_* family is the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    lens = F.transform(toks, lambda t: F.length(t))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tok"),
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+            .cast("long")
+            .alias("total_chars"),
+            F.array_max(lens).cast("long").alias("max_len"),
+            F.concat_ws("|", F.slice(F.array_sort(toks), 1, 3)).alias("first3"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -52,6 +52,39 @@ ORDER BY size_class, p_type
 """
 
 
+# Recursive CTE (Spark 4's WITH RECURSIVE): generate the calendar of months
+# 1995-01..2001-08 recursively, then left-join monthly order counts — the
+# classic gap-filling query that needs row GENERATION, not just filtering.
+# Integer month arithmetic keeps the text in the ANSI subset both engines
+# parse identically (interval-literal syntax differs between them).
+SQL04 = """
+WITH RECURSIVE months(ym) AS (
+  SELECT 23940
+  UNION ALL
+  SELECT ym + 1 FROM months WHERE ym < 24019
+)
+SELECT CAST(floor(ym / 12.0) AS BIGINT) AS yr,
+       CAST(ym - CAST(floor(ym / 12.0) AS BIGINT) * 12 + 1 AS BIGINT) AS mth,
+       count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders
+  ON year(o_orderdate) * 12 + month(o_orderdate) - 1 = ym
+GROUP BY 1, 2
+ORDER BY yr, mth
+"""
+
+# GROUPING SETS with a grouping-bit column: three aggregation granularities
+# in one pass over the fact table (Spark expands to a single Expand+Agg).
+SQL05 = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS revenue,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
 def _sql_query(sql: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -63,3 +96,5 @@ def _sql_query(sql: str):
 query("sql01_grouped_filter", oracle=SQL01)(_sql_query(SQL01))
 query("sql02_cte_window_join", oracle=SQL02)(_sql_query(SQL02))
 query("sql03_case_classification", oracle=SQL03)(_sql_query(SQL03))
+query("sql04_recursive_month_gaps", oracle=SQL04)(_sql_query(SQL04))
+query("sql05_grouping_sets", oracle=SQL05)(_sql_query(SQL05))
