@@ -135,3 +135,54 @@ def e04_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+# --- e05: cohort retention -------------------------------------------------
+
+@query(
+    "e05_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(CAST(floor(epoch(date_trunc('week', e.ts))) AS BIGINT)
+                        / 604800.0
+                  - CAST(floor(epoch(f.cohort_week)) AS BIGINT) / 604800.0)
+                  AS BIGINT) AS week_n
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_n, count(*) AS n_active
+    FROM activity
+    WHERE week_n <= 4
+    GROUP BY cohort_week, week_n
+    ORDER BY cohort_week, week_n
+    """,
+)
+def e05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted as
+    active N weeks later — the standard product-analytics rollup. Two passes
+    over events (first-seen aggregate, then a distinct activity join); the
+    firsts side is per-user and broadcasts at test scale, shuffles by
+    user_id at 100 TB (AQE picks)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    wk = 604_800
+    week_n = F.floor(
+        F.unix_timestamp(F.date_trunc("week", F.col("ts")).cast("timestamp")) / wk
+        - F.unix_timestamp(F.col("cohort_week").cast("timestamp")) / wk
+    ).cast("long")
+    activity = (
+        e.join(firsts, "user_id")
+        .select("user_id", "cohort_week", week_n.alias("week_n"))
+        .distinct()
+    )
+    return (
+        activity.where(F.col("week_n") <= 4)
+        .groupBy(F.col("cohort_week").cast("date").alias("cohort_week"), "week_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_n")
+    )
