@@ -694,13 +694,16 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamArrowWriter):
 
         marker = os.path.join(self.commits_dir, f"batch-{batchId}")
         if self.committed_batch(batchId):
-            # Redelivery: finish the recorded publish (no-op when the first
-            # delivery completed; already-moved files are skipped), then
-            # sweep the original delivery's staging dirs AND this one's.
+            # Redelivery: COMPLETE the recorded publish (no-op when the first
+            # delivery finished). replay_staged distinguishes already-moved
+            # (destination exists → skip) from genuinely lost (neither side
+            # exists → raise) — a lost manifest entry must fail loudly, not
+            # silently commit a partial batch. Then sweep the original
+            # delivery's staging dirs and this one's.
             with open(marker) as f:
                 manifest = _json.load(f)
             staged = manifest.get("staged", [])
-            be.publish_staged(self.path, staged, missing_ok=True)
+            be.replay_staged(self.path, staged)
             for wid in {p.split("/", 1)[0] for p in staged}:
                 be.discard_staged(self.path, wid)
             be.discard_staged(self.path, self.write_id)
@@ -724,10 +727,27 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamArrowWriter):
         be.discard_staged(self.path, self.write_id)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
-        # Once the marker exists, staging holds the only copy of data the
-        # manifest promises — sweeping it would turn a failed publish into
-        # silent loss on redelivery. Only pre-marker aborts clean up.
-        if not self.committed_batch(batchId):
+        # Staging must survive ONLY when this write's files are promised by
+        # the batch's manifest (marker written, publish failed — they are
+        # the rows' only copy, and redelivery replays them). Any other
+        # failed attempt — including a failed redelivery of an already-
+        # committed batch, whose manifest names a different write_id —
+        # sweeps its staging, or it would leak forever.
+        import json as _json
+
+        marker = os.path.join(self.commits_dir, f"batch-{batchId}")
+        keep = False
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    manifest = _json.load(f)
+                keep = any(
+                    p.split("/", 1)[0] == self.write_id
+                    for p in manifest.get("staged", [])
+                )
+            except (OSError, ValueError):
+                keep = True  # unreadable manifest: keep staging, stay safe
+        if not keep:
             be.discard_staged(self.path, self.write_id)
 
 

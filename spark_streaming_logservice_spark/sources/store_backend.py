@@ -105,12 +105,16 @@ def _row_group_stats2(path: str, shard: int) -> list[tuple[int, int, int, int, i
             g = md.row_group(rg)
             s_st = g.column(0).statistics  # seq
             t_st = g.column(1).statistics  # time
-            if (
-                s_st is None or not s_st.has_min_max
-                or t_st is None or not t_st.has_min_max
-            ):
-                continue
-            out.append((s_st.min, s_st.max, t_st.min, t_st.max, g.num_rows))
+            if s_st is None or not s_st.has_min_max:
+                continue  # seq stats are the addressing backbone; unusable
+            if t_st is None or not t_st.has_min_max:
+                # time stats missing (e.g. externally-written file): keep the
+                # group with conservative time bounds — time-based pruning
+                # just can't prune it, and shard_bounds/nth_seq stay exact
+                t_lo, t_hi = -(2**63), 2**63 - 1
+            else:
+                t_lo, t_hi = t_st.min, t_st.max
+            out.append((s_st.min, s_st.max, t_lo, t_hi, g.num_rows))
     _STATS_CACHE[key] = (sig, out)
     return out
 
@@ -188,21 +192,29 @@ def nth_seq(path: str, shard: int, from_seq: int, n: int) -> int:
     ds = _shard_dataset(path, shard)
     if ds is None:
         return from_seq
+    import numpy as np
+
     filt = pa_ds.field("seq") >= from_seq
     ceiling = _seq_ceiling_for_count(path, shard, from_seq, n)
     if ceiling is not None:
         filt = filt & (pa_ds.field("seq") < ceiling)
-    tbl = ds.to_table(columns=["seq"], filter=filt)
-    seqs = sorted(tbl.column("seq").to_pylist())
+    seqs = ds.to_table(columns=["seq"], filter=filt).column("seq").to_numpy(
+        zero_copy_only=False
+    )
     if ceiling is not None and len(seqs) < n:
         # stats-only corner: the bounded window held fewer rows than promised
-        tbl = ds.to_table(columns=["seq"], filter=pa_ds.field("seq") >= from_seq)
-        seqs = sorted(tbl.column("seq").to_pylist())
-    if not seqs:
+        seqs = (
+            ds.to_table(columns=["seq"], filter=pa_ds.field("seq") >= from_seq)
+            .column("seq")
+            .to_numpy(zero_copy_only=False)
+        )
+    if len(seqs) == 0:
         return from_seq
     if len(seqs) < n:
         return shard_bounds(path, shard)[1]
-    return seqs[n - 1] + 1
+    # nth order statistic in native code (planning hot path — a catch-up
+    # budget can make this millions of values)
+    return int(np.partition(seqs, n - 1)[n - 1]) + 1
 
 
 def _seq_ceiling_for_count(
@@ -393,25 +405,40 @@ def stage_table(path: str, write_id: str, shard: int, tbl: pa.Table) -> str:
     return f"{write_id}/{name}"
 
 
-def publish_staged(path: str, staged: list[str], missing_ok: bool = False) -> None:
-    """Atomically move staged files into their shard directories. Only the
-    files named in ``staged`` (the successful tasks' commit messages) are
-    published; leftovers from failed attempts stay in staging.
+def _staged_src_dst(path: str, rel: str) -> tuple[str, str]:
+    src = os.path.join(path, STAGING_DIR, rel)
+    name = os.path.basename(rel)
+    shard = int(name.split("-", 1)[0].split("=")[1])
+    d = shard_dir(path, shard)
+    return src, os.path.join(d, "part-" + name.split("-", 1)[1])
 
-    ``missing_ok`` makes the publish replayable: a file already renamed by a
-    previous (crashed mid-publish) attempt is skipped, so re-running the
-    same manifest completes the publish exactly once."""
+
+def publish_staged(path: str, staged: list[str]) -> None:
+    """Atomically move staged files into their shard directories — STRICT: a
+    missing source fails the publish loudly. Only the files named in
+    ``staged`` (the successful tasks' commit messages) are published;
+    leftovers from failed attempts stay in staging."""
     for rel in staged:
-        src = os.path.join(path, STAGING_DIR, rel)
-        name = os.path.basename(rel)
-        shard = int(name.split("-", 1)[0].split("=")[1])
-        d = shard_dir(path, shard)
-        os.makedirs(d, exist_ok=True)
-        try:
-            os.replace(src, os.path.join(d, "part-" + name.split("-", 1)[1]))
-        except FileNotFoundError:
-            if not missing_ok:
-                raise
+        src, dst = _staged_src_dst(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+
+
+def replay_staged(path: str, staged: list[str]) -> None:
+    """Idempotently COMPLETE a manifest publish after a crash: move each
+    still-staged file; a missing source is fine only when its destination
+    already exists (the previous attempt moved it). A manifest entry that is
+    neither staged nor published means the batch's rows are gone — raise,
+    never silently commit a partial publish."""
+    for rel in staged:
+        src, dst = _staged_src_dst(path, rel)
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+        elif not os.path.exists(dst):
+            raise OSError(
+                f"manifest entry lost (neither staged nor published): {rel}"
+            )
 
 
 def discard_staged(path: str, write_id: str) -> None:

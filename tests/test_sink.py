@@ -426,3 +426,48 @@ def test_crash_mid_publish_recovers_exactly_once(spark, tmp_path):
     m3 = w2.write(_wb([{"msg": "x"}, {"msg": "y"}]))
     w2.commit([m3], batchId=0)
     assert _read_msgs(spark, path) == ["x", "y"]  # both present, once each
+
+
+def test_replay_with_lost_manifest_entry_fails_loudly(spark, tmp_path):
+    """A manifest entry that is neither staged nor published means lost
+    rows: the redelivery replay must raise, not silently commit a partial
+    batch (code-review r2, third pass)."""
+    import json as _json
+
+    path = str(tmp_path / "p" / "lost-store")
+    os.makedirs(path)
+    w1 = _mk_stream_writer(path)
+    m1 = w1.write(_wb([{"msg": "a"}]))
+    m2 = w1.write(_wb([{"msg": "b"}]))
+    os.makedirs(os.path.join(path, "_commits"))
+    with open(os.path.join(path, "_commits", "batch-0"), "w") as f:
+        _json.dump({"rows": 2, "staged": m1.staged + m2.staged}, f)
+    # lose one staged file entirely (disk fault) before any publish
+    import shutil
+
+    lost = os.path.join(path, "_staging", m1.staged[0])
+    os.remove(lost)
+
+    w2 = _mk_stream_writer(path)
+    m3 = w2.write(_wb([{"msg": "a"}, {"msg": "b"}]))
+    with pytest.raises(OSError, match="manifest entry lost"):
+        w2.commit([m3], batchId=0)
+
+
+def test_failed_redelivery_of_committed_batch_sweeps_staging(spark, tmp_path):
+    """abort() on a redelivery attempt of an ALREADY-committed batch must
+    sweep that attempt's staging (its write_id is not in the manifest) —
+    otherwise every failed redelivery leaks a staging dir forever."""
+    path = str(tmp_path / "p" / "leak-store")
+    os.makedirs(path)
+    rows = [{"msg": "z"}]
+
+    w1 = _mk_stream_writer(path)
+    m1 = w1.write(_wb(rows))
+    w1.commit([m1], batchId=0)  # fully committed, staging clean
+
+    w2 = _mk_stream_writer(path)  # redelivery attempt that fails pre-commit
+    _m2 = w2.write(_wb(rows))
+    w2.abort([_m2], batchId=0)
+    assert os.listdir(os.path.join(path, "_staging")) == []
+    assert _read_msgs(spark, path) == ["z"]
