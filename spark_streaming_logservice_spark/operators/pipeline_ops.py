@@ -322,3 +322,42 @@ def j02_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("event_id").alias("n_in_incident"))
         .orderBy("event_type")
     )
+
+
+# --- p05: curriculum buckets -------------------------------------------------
+
+@query(
+    "p05_curriculum_buckets",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS quartile
+      FROM documents
+    )
+    SELECT lang, quartile,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM ranked
+    GROUP BY lang, quartile
+    ORDER BY lang, quartile
+    """,
+)
+def p05_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling: per-language difficulty quartiles (n_chars as
+    the proxy, doc_id as the deterministic tiebreak) — the bucketing a
+    training loader consumes easy-to-hard. One window shuffle by lang, then
+    the aggregation reuses the same partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("lang", "n_chars", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "quartile")
+    )
