@@ -11,9 +11,14 @@ rebroadcast (k is tiny by construction, so the driver round-trip is the
 correct plan, not a shortcut).
 
 Deterministic: centroids seed from the k lowest vec_ids; no RNG.
-Rows-only in the correctness gate: a faithful SQL oracle would need the same
-Lloyd iterations — the driver records row-count/schema for it, and
-tests/test_ann.py pins determinism and structure.
+Oracle-backed since round 3: the DuckDB oracle replays the identical
+pipeline as a CTE chain — seed = k lowest vec_ids, each Lloyd step is a
+positional-explode groupBy mean renormalized, assignment/probing are
+row_number over centroid dot products. Both engines accumulate dot products
+and norms sequentially over the list (zip_with+aggregate vs
+list_dot_product/list_sum), and scores are rounded to 6 decimals with a
+vec_id tie-break before ranking, so ranking is stable across engines.
+tests/test_ann.py additionally pins literal rows vs a numpy reimplementation.
 """
 
 from __future__ import annotations
@@ -125,11 +130,96 @@ def ivf_search(
     )
 
 
-@query("s05_ann_ivf")  # rows-only: iterative k-means has no practical SQL oracle
+# The oracle replays build_ivf_index + ivf_search exactly: normalize, seed
+# centroids from the K_CELLS lowest vec_ids, two Lloyd steps (nearest-cell
+# assignment by dot product, positional-mean update, renormalize), final
+# assignment, nprobe=2 query cells, probe-limited scoring, top-3 per query.
+_IVF_ITER = """
+    a{i} AS (
+        SELECT vec_id, emb, cell FROM (
+            SELECT b.vec_id, b.emb, s.cell,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.emb, s.cvec) DESC, s.cell ASC
+                   ) AS crk
+            FROM base b CROSS JOIN {prev} s
+        ) WHERE crk = 1
+    ),
+    m{i} AS (
+        SELECT cell, pos, avg(val) AS m
+        FROM (SELECT cell, unnest(emb) AS val,
+                     unnest(range(1, len(emb) + 1)) AS pos
+              FROM a{i})
+        GROUP BY cell, pos
+    ),
+    c{i} AS (
+        SELECT cell,
+               list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cvec
+        FROM (SELECT cell, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cell)
+    )"""
+
+_S05_ORACLE = (
+    """
+    WITH raw AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    base AS (
+        SELECT vec_id,
+               list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS emb
+        FROM raw
+    ),
+    seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               emb AS cvec
+        FROM base ORDER BY vec_id LIMIT 16
+    ),"""
+    + _IVF_ITER.format(i=1, prev="seed")
+    + ","
+    + _IVF_ITER.format(i=2, prev="c1")
+    + """,
+    idx AS (
+        SELECT vec_id, emb, cell FROM (
+            SELECT b.vec_id, b.emb, s.cell,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.emb, s.cvec) DESC, s.cell ASC
+                   ) AS crk
+            FROM base b CROSS JOIN c2 s
+        ) WHERE crk = 1
+    ),
+    qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < 5),
+    qc AS (
+        SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.q_emb, c.cvec) DESC, c.cell ASC
+                   ) AS crk
+            FROM qv q CROSS JOIN c2 c
+        ) WHERE crk <= 2
+    ),
+    cand AS (
+        SELECT qc.q_id, i.vec_id AS n_id,
+               round(list_dot_product(qv.q_emb, i.emb), 6) AS score
+        FROM qc JOIN idx i USING (cell) JOIN qv USING (q_id)
+        WHERE qc.q_id <> i.vec_id
+    )
+    SELECT q_id, n_id, score, rk FROM (
+        SELECT q_id, n_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rk
+        FROM cand
+    ) WHERE rk <= 3 ORDER BY q_id, rk
+    """
+)
+
+
+@query("s05_ann_ivf", oracle=_S05_ORACLE)
 def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw IVF results (q_id, n_id, score, rk). The driver records rows-only
-    here; the binding correctness checks are (a) s06_ann_ivf_recall, which IS
-    oracle-backed, and (b) tests/test_ann.py's numpy-pinned literal fixture."""
+    """Raw IVF results (q_id, n_id, score, rk), fully oracle-backed: the
+    DuckDB CTE chain above replays seeding, both Lloyd steps, probing and
+    scoring (see module docstring for why the float paths agree).
+    tests/test_ann.py additionally pins the rows against a numpy
+    reimplementation."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
