@@ -149,9 +149,13 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
     )
+    # No broadcast hint on the sizes joins: sizes is a per-document relation
+    # (O(corpus) rows at 100 TB), so forcing a broadcast would OOM executors.
+    # Left to AQE, the join is a shuffled hash/sort-merge join at scale and
+    # still auto-broadcasts when the runtime size is actually small.
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
@@ -253,7 +257,9 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("bsz") >= 2) & (F.col("bsz") <= 50))
         .select("band", "bkey")
     )
-    pruned = bands.join(F.broadcast(band_ok), ["band", "bkey"])
+    # band_ok is O(buckets) = O(corpus) rows at 100 TB — no broadcast hint;
+    # AQE broadcasts it only when the runtime size permits.
+    pruned = bands.join(band_ok, ["band", "bkey"])
     a = pruned.alias("a")
     b = bands.alias("b")
     cand = (
@@ -285,9 +291,11 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")
     )
+    # sizes is per-document (O(corpus) at 100 TB): never force-broadcast it.
+    # AQE picks broadcast only when the runtime size is genuinely small.
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(100)

@@ -44,6 +44,15 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of user-forced broadcast hints in the analyzed logical plan
+    (AQE's own runtime broadcasts don't appear here — this counts only
+    ``F.broadcast(...)`` / ``/*+ BROADCAST */`` the query author wrote, the
+    thing that can OOM executors when the hinted side is O(corpus))."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return analyzed.count("ResolvedHint (strategy=broadcast")
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """HashAggregate appears in partial+final pairs when map-side combine is
     active (keys: 'partial_' functions in the partial node)."""

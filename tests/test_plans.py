@@ -60,6 +60,18 @@ def test_codegen_active(spark, sf_dir, name):
     assert n >= 1, "whole-stage codegen missing"
 
 
+@pytest.mark.parametrize("name", ["d04_minhash_lsh_pairs", "d02_ngram_jaccard"])
+def test_dedup_never_forces_per_doc_broadcast(spark, sf_dir, name):
+    """The per-document ``sizes``/``band_ok`` relations are O(corpus) rows at
+    100 TB — a forced broadcast there OOMs executors. The queries must carry
+    NO user broadcast hints at all; runtime broadcasting is AQE's call based
+    on actual sizes."""
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert pi.broadcast_hint_count(df) == 0, (
+        f"{name} must not force-broadcast per-document relations"
+    )
+
+
 def test_j02_range_join_is_hash_not_nested_loop(spark, sf_dir):
     """The bucketed rewrite must plan a hash join on the bucket key — a
     naive interval predicate would fall back to BroadcastNestedLoopJoin,
