@@ -224,11 +224,11 @@ class _BatchProjector:
                 )
                 col = self._convert_str_array(joined, f)
             elif name == sch.VALUE:
-                packed = [
-                    sch.pack_value_json(dict(c or []), dict(t or []))
-                    for c, t in zip(contents.to_pylist(), tags.to_pylist())
-                ]
-                col = self._convert_str_array(pa.array(packed, pa.string()), f)
+                # Arrow string kernels end to end; only rows whose payload
+                # needs JSON escaping drop to the scalar packer (schema.py).
+                col = self._convert_str_array(
+                    sch.pack_value_json_arrow(contents, tags), f
+                )
             elif name.startswith(sch.TAG_PREFIX):
                 key = name[len(sch.TAG_PREFIX):]
                 col = self._convert_str_array(
@@ -557,10 +557,21 @@ class LogstoreBatchWriter(DataSourceArrowWriter):
         # Unique, time-ordered seqs: (alloc_ms << 21) | pid10 | salt11, where
         # alloc_ms comes from the monotonic _seq_range allocator — same-
         # process write() calls are collision-free regardless of wall-clock
-        # behavior (including backwards steps); across processes the
-        # partition id (within a job) and the 11-bit salt (across concurrent
-        # jobs) decorrelate. Shift 21 keeps the int64 headroom to ~year 2109.
-        salt = int.from_bytes(_os.urandom(2), "big") & 0x7FF
+        # behavior (including backwards steps), so low-bit collisions only
+        # matter across processes. There, three independent factors have to
+        # line up: the per-process 16-bit allocator jitter must align the ms
+        # ranges, pid10 must match, and the salt must match. The salt mixes
+        # os.getpid(), 8 bytes of urandom and the aliased high partition
+        # bits (pid >= 1024 wraps pid10), so same-host processes and
+        # partition aliases draw decorrelated salts even under a weak
+        # entropy pool — joint collision odds ~2^-27 per overlapping row
+        # pair. Shift 21 keeps the int64 headroom to ~year 2109.
+        import hashlib as _hashlib
+
+        salt_src = _hashlib.md5(
+            b"%d:%d:" % (_os.getpid(), pid >> 10) + _os.urandom(8)
+        ).digest()
+        salt = int.from_bytes(salt_src[:2], "big") & 0x7FF
         low21 = ((pid & 0x3FF) << 11) | salt
         fields = self.schema.fields
         names = np.array([f.name for f in fields], dtype=object)
@@ -677,9 +688,27 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamArrowWriter):
     def __init__(self, schema: StructType, options, overwrite: bool) -> None:
         LogstoreBatchWriter.__init__(self, schema, options, overwrite)
         self.commits_dir = os.path.join(self.path, "_commits")
+        # batchIds are scoped to ONE streaming query's checkpoint lineage;
+        # two distinct queries appending to the same store both start at
+        # batch 0, so a marker keyed by batchId alone would make query B
+        # mistake query A's batch 0 for its own redelivery (and replay A's
+        # manifest while silently dropping B's staged rows). Namespace the
+        # marker by query identity — the checkpoint location (Spark passes
+        # it in the writer options) is exactly the scope batchIds live in.
+        # Direct construction without one keeps the bare name (single-query
+        # stores, and every pre-existing store layout, read back unchanged).
+        import hashlib as _hashlib
+
+        qid = options.get("checkpointlocation") or options.get("queryname")
+        self._marker_ns = (
+            _hashlib.md5(qid.encode("utf-8")).hexdigest()[:10] + "-" if qid else ""
+        )
+
+    def _marker_path(self, batch_id: int) -> str:
+        return os.path.join(self.commits_dir, f"batch-{self._marker_ns}{batch_id}")
 
     def committed_batch(self, batch_id: int) -> bool:
-        return os.path.exists(os.path.join(self.commits_dir, f"batch-{batch_id}"))
+        return os.path.exists(self._marker_path(batch_id))
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         """Exactly-once across every crash window: the marker is a MANIFEST
@@ -692,7 +721,7 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamArrowWriter):
         manifest also closes its publish-then-crash duplicate window."""
         import json as _json
 
-        marker = os.path.join(self.commits_dir, f"batch-{batchId}")
+        marker = self._marker_path(batchId)
         if self.committed_batch(batchId):
             # Redelivery: COMPLETE the recorded publish (no-op when the first
             # delivery finished). replay_staged distinguishes already-moved
@@ -735,7 +764,7 @@ class LogstoreStreamWriter(LogstoreBatchWriter, DataSourceStreamArrowWriter):
         # sweeps its staging, or it would leak forever.
         import json as _json
 
-        marker = os.path.join(self.commits_dir, f"batch-{batchId}")
+        marker = self._marker_path(batchId)
         keep = False
         if os.path.exists(marker):
             try:

@@ -248,9 +248,15 @@ def second_histogram(
     With ``max_records``, the scan is bounded to O(max_records) via a
     footer-stats seq ceiling instead of O(consumer lag): a stream that is a
     year behind still plans each trigger by reading only ~2× the budget's
-    rows of the ``time`` column. The rate walk stops at the budget anyway,
-    so truncation never changes which buckets are included (at worst the
-    already-permitted one-bucket overshoot)."""
+    rows of the ``time`` column. When event times are monotone with seqs
+    (the writer's normal layout), the rate walk stops at the budget anyway,
+    so truncation doesn't change which buckets are included beyond the
+    already-permitted one-bucket overshoot. When times and seqs interleave
+    out of order, a low-time bucket may be undercounted past the ceiling, so
+    the merged walk can pick a slightly different last bucket than an
+    unbounded walk would — still safe: offsets advance by row count, never
+    past real data, and undercounted rows are simply picked up by the next
+    trigger."""
     ds = _shard_dataset(path, shard)
     if ds is None:
         return []

@@ -304,6 +304,44 @@ def test_update_mode_aggregation_into_logstore_sink(spark, tmp_path):
     assert state == {"a": 2, "b": 1}
 
 
+def test_update_mode_direct_sink_raises_actionable_error(spark, tmp_path):
+    """``outputMode("update")`` straight into ``format("logstore")`` cannot
+    work — Python DSv2 sinks have no SupportsStreamingUpdateAsAppend hook —
+    and the failure must be a clear, named rejection (not a silent wrong
+    answer or an opaque planner error). The supported route is
+    update-as-append through ``streaming.queries.idempotent_foreach_batch``
+    (S18), exercised by test_update_mode_aggregation_into_logstore_sink."""
+    src = str(tmp_path / "p" / "upd-src")
+    dst = str(tmp_path / "p" / "upd-dst")
+    from spark_streaming_logservice_spark import fixtures
+
+    fixtures.make_store(src, {0: ["a", "b", "a"]})
+    counts = (
+        spark.readStream.format("logstore")
+        .schema("msg STRING")
+        .option("path", src)
+        .option("startingOffsets", "earliest")
+        .load()
+        .groupBy("msg")
+        .count()
+        .selectExpr("msg", "CAST(count AS STRING) AS count")
+    )
+    q = (
+        counts.writeStream.format("logstore")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ck-upd"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="does not support Update mode"):
+            q.awaitTermination(120)
+            raise AssertionError("update-mode logstore sink must fail")
+    finally:
+        q.stop()
+
+
 def test_concurrent_writers_isolated_and_unique(spark, tmp_path):
     """Two concurrent jobs writing the same store must not corrupt each
     other: staging dirs are per-write, publishes are atomic renames, seqs
@@ -471,3 +509,41 @@ def test_failed_redelivery_of_committed_batch_sweeps_staging(spark, tmp_path):
     w2.abort([_m2], batchId=0)
     assert os.listdir(os.path.join(path, "_staging")) == []
     assert _read_msgs(spark, path) == ["z"]
+
+
+def test_two_queries_same_store_do_not_cross_dedup(spark, tmp_path):
+    """batchIds are per-checkpoint: two distinct streaming queries appending
+    to one store both deliver a batch 0. The commit markers are namespaced by
+    query identity (checkpoint location), so query B's batch 0 must publish
+    its own rows — not get mistaken for a redelivery of query A's batch 0
+    (which would replay A's manifest and silently drop B's rows)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from spark_streaming_logservice_spark.sources.logstore import LogstoreStreamWriter
+
+    path = str(tmp_path / "p" / "shared-store")
+    os.makedirs(path)
+    schema = StructType([StructField("msg", StringType())])
+
+    def writer(ck):
+        return LogstoreStreamWriter(
+            schema,
+            {"path": path, "shards": "2", "checkpointlocation": ck},
+            False,
+        )
+
+    wa = writer("/ck/query-a")
+    ma = wa.write(_wb([{"msg": "from-a"}]))
+    wa.commit([ma], batchId=0)
+
+    wb_ = writer("/ck/query-b")
+    mb = wb_.write(_wb([{"msg": "from-b"}]))
+    wb_.commit([mb], batchId=0)  # same batchId, different query → must publish
+
+    assert _read_msgs(spark, path) == ["from-a", "from-b"]
+
+    # and a true redelivery within query B is still deduplicated
+    wb2 = writer("/ck/query-b")
+    mb2 = wb2.write(_wb([{"msg": "from-b"}]))
+    wb2.commit([mb2], batchId=0)
+    assert _read_msgs(spark, path) == ["from-a", "from-b"]
