@@ -70,6 +70,67 @@ def pack_value_json(contents: dict[str, str], tags: dict[str, str]) -> str:
     return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
 
 
+# Characters json.dumps(ensure_ascii=False) escapes: quote, backslash and
+# C0 controls. Rows free of them JSON-pack by plain string concatenation.
+_JSON_ESCAPE_RE = '["\\\\\\x00-\\x1f]'
+
+
+def pack_value_json_arrow(contents, tags):
+    """Vectorized ``__value__`` packing: one ``pyarrow.StringArray`` from two
+    map<string,string> arrays, built entirely with Arrow string kernels.
+    Rows whose keys/values contain a character json.dumps would escape (rare
+    on the log wire) fall back to :func:`pack_value_json` individually, so
+    output is byte-identical to the scalar path. Duplicate map keys can't
+    occur: the sink writer assembles contents from distinct field names."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _chunked(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    contents, tags = _chunked(contents), _chunked(tags)
+    n = len(contents)
+
+    def _side(m, prefix: str):
+        """(per-row joined '"k":"v"' fragments, per-row raw key+value concat)
+        for one map column. A nonempty map always joins to a nonempty string
+        (every entry contributes at least '"":""'), so empty-join ⟺ empty or
+        null row."""
+        keys = m.keys.cast(pa.string())
+        vals = m.items.cast(pa.string())
+        if prefix:
+            keys = pc.binary_join_element_wise(pa.scalar(prefix), keys, "")
+        frag = pc.binary_join_element_wise('"', keys, '":"', vals, '"', "")
+        raw = pc.binary_join_element_wise(keys, vals, "")
+        offsets = m.offsets
+        joined = pc.binary_join(pa.ListArray.from_arrays(offsets, frag), ",")
+        rawjoin = pc.binary_join(pa.ListArray.from_arrays(offsets, raw), "a")
+        fill = pa.scalar("", pa.string())
+        return pc.coalesce(joined, fill), pc.coalesce(rawjoin, fill)
+
+    cjoin, craw = _side(contents, "")
+    tjoin, traw = _side(tags, TAG_PREFIX)
+    sep = pc.if_else(
+        pc.and_(pc.not_equal(cjoin, ""), pc.not_equal(tjoin, "")),
+        pa.scalar(",", pa.string()),
+        pa.scalar("", pa.string()),
+    )
+    packed = pc.binary_join_element_wise("{", cjoin, sep, tjoin, "}", "")
+    needs_escape = pc.or_(
+        pc.match_substring_regex(craw, _JSON_ESCAPE_RE),
+        pc.match_substring_regex(traw, _JSON_ESCAPE_RE),
+    )
+    if not pc.any(needs_escape).as_py():
+        return packed
+    idx = [i for i, f in enumerate(needs_escape.to_pylist()) if f]
+    out = packed.to_pylist()
+    esc_c = contents.take(pa.array(idx)).to_pylist()
+    esc_t = tags.take(pa.array(idx)).to_pylist()
+    for i, c, t in zip(idx, esc_c, esc_t):
+        out[i] = pack_value_json(dict(c or []), dict(t or []))
+    return pa.array(out, pa.string())
+
+
 def _to_bool(s: str) -> bool:
     if s.lower() == "true":
         return True

@@ -140,3 +140,39 @@ def test_flatten_then_convert_roundtrip(vals):
     (the full write→read loop for integral payloads)."""
     strings = [sch.flatten_value("x", T.IntegerType(), v) for v in vals]
     assert _arrow_convert(strings, T.IntegerType()) == vals
+
+
+_map_entries = st.lists(
+    st.tuples(
+        st.text(max_size=8),  # keys: any unicode incl. quotes/controls
+        st.text(max_size=12),
+    ),
+    max_size=5,
+    unique_by=lambda kv: kv[0],  # writer never emits duplicate keys
+)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), _map_entries),
+            st.one_of(st.none(), _map_entries),
+        ),
+        max_size=12,
+    )
+)
+def test_pack_value_json_arrow_agrees_with_scalar(rows):
+    """The vectorized __value__ packer must be byte-identical to
+    json.dumps-based pack_value_json for every payload, including keys and
+    values that need JSON escaping (quote, backslash, control chars) and
+    null/empty maps — those route through the per-row fallback."""
+    mt = pa.map_(pa.string(), pa.string())
+    contents = pa.array([c for c, _ in rows], mt)
+    tags = pa.array([t for _, t in rows], mt)
+    got = sch.pack_value_json_arrow(contents, tags).to_pylist()
+    want = [
+        sch.pack_value_json(dict(c or []), dict(t or []))
+        for c, t in rows
+    ]
+    assert got == want
