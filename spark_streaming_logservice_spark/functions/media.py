@@ -107,6 +107,11 @@ def parse_image(blob: bytes, validate_pixels: bool = True, strict: bool = True):
             while i + 9 < len(blob):
                 if blob[i] != 0xFF:
                     break
+                # JPEG allows any number of 0xFF fill bytes before a marker
+                # (ITU T.81 §B.1.1.2) — skip them, or a padded stream reads
+                # marker=0xFF and misparses the real marker byte as length.
+                while i + 9 < len(blob) and blob[i + 1] == 0xFF:
+                    i += 1
                 marker = blob[i + 1]
                 if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                     height, width = struct.unpack(">HH", blob[i + 5: i + 9])

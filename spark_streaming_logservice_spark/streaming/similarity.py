@@ -33,8 +33,10 @@ def streaming_topk_foreach_batch(corpus: DataFrame, out_path: str, k: int = 3):
             F.col("vec_id").cast("bigint").alias("vec_id"),
             parse_wire_embedding(F.col("embedding_json")).alias("embedding"),
         ).where(F.col("embedding").isNotNull())
-        if queries.isEmpty():
-            return
+        # No isEmpty() pre-check: that is a driver action (an extra Spark job
+        # every micro-batch, doubling per-trigger job count at cadence). An
+        # empty batch flows through as a zero-row top-k and a zero-row
+        # parquet append — one job either way.
         topk = cosine_topk(corpus, queries, k=k).withColumn(
             "batch_id", F.lit(batch_id)
         )

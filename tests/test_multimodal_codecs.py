@@ -38,6 +38,18 @@ def test_parse_jpeg_sof():
     assert media.parse_image(b"\xff\xd8" + app0 + sof0) == ("jpeg", 80, 120)
 
 
+def test_parse_jpeg_skips_fill_bytes():
+    """JPEG permits runs of 0xFF fill bytes before any marker (T.81
+    §B.1.1.2); the walk must skip them instead of reading marker=0xFF and
+    misparsing the real marker byte as a segment length."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 120, 80
+    ) + b"\x01\x11\x00"
+    padded = b"\xff\xd8" + b"\xff" * 4 + app0 + b"\xff\xff" + sof0
+    assert media.parse_image(padded) == ("jpeg", 80, 120)
+
+
 def test_png_roundtrip_and_pixel_validation():
     blob = media.make_png(17, 5)
     assert media.parse_image(blob) == ("png", 17, 5)
