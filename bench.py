@@ -73,6 +73,83 @@ def _prev_bench() -> dict | None:
     return None
 
 
+def _streaming_bench(spark, tmp_root: str, max_per_trigger: int = 65_536) -> dict:
+    """Streaming-source throughput: drain a pre-built store through
+    ``readStream.format("logstore")`` at the reference's flow-control cap
+    (BASELINE.md: 65,536 records/trigger) into a no-op sink, and report
+    rows/sec over the non-empty triggers. Proves the trigger cap is
+    compute-bound, not planner-bound (planning is O(budget))."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.sources.logstore import LogstoreDataSource
+
+    spark.dataSource.register(LogstoreDataSource)
+    store = os.path.join(tmp_root, "stream-store")
+    n_rows, n_shards = 6 * max_per_trigger, 4
+    # explicit done-marker: the store is batch-written, so no _commits dir
+    # exists to infer from, and a re-run must not append a second copy
+    built = os.path.join(tmp_root, "_STORE_OK")
+    if not os.path.exists(built):
+        # 6 triggers' worth of rows, ~100 time buckets, built via the Arrow
+        # batch writer (same wire format the stream reader consumes).
+        (
+            spark.range(n_rows)
+            .select(
+                F.concat(F.lit("m"), F.col("id")).alias("msg"),
+                (F.lit(1_700_000_000) + (F.col("id") % 100)).alias("t"),
+            )
+            .repartition(n_shards)
+            .write.format("logstore")
+            .option("path", store)
+            .option("shards", str(n_shards))
+            .option("timecolumn", "t")
+            .mode("append")
+            .save()
+        )
+        with open(built, "w") as f:
+            f.write(str(n_rows))
+    ck = os.path.join(tmp_root, f"stream-ck-{int(_t.time() * 1000)}")
+    q = (
+        spark.readStream.format("logstore")
+        .schema("msg STRING")
+        .option("path", store)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(max_per_trigger))
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 300
+        done = 0
+        while _t.time() < deadline:
+            done = sum(
+                p["numInputRows"] for p in (q.recentProgress or []) if p
+            )
+            if done >= n_rows:
+                break
+            _t.sleep(0.2)
+        progress = [
+            p
+            for p in (q.recentProgress or [])
+            if p and p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    rows = sum(p["numInputRows"] for p in progress)
+    ms = sum(p["durationMs"]["triggerExecution"] for p in progress)
+    return {
+        "max_per_trigger": max_per_trigger,
+        "triggers": len(progress),
+        "rows": rows,
+        "rows_per_sec": round(rows / (ms / 1000.0), 1) if ms else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -111,6 +188,53 @@ def main() -> None:
         "runs": 2,
         "agg": "min",
     }
+
+    # Scale section (VERDICT r2 item 4): the same headliners at a 10×
+    # key-consistent replica, one timed run each, reported with per-query
+    # scaling factors (≈10 ⇒ linear plan; ≫10 ⇒ superlinear risk at 100 TB).
+    # sr01 is excluded — it runs on its own fixture store, not the SF tables.
+    scale_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    if scale_factor > 1:
+        try:
+            import tempfile
+
+            from spark_streaming_logservice_spark.scaledata import make_scaled
+
+            scale_dir = os.path.join(
+                tempfile.gettempdir(), f"spark_graft_scale_{scale_factor}x"
+            )
+            make_scaled(sf_dir, scale_dir, scale_factor)
+            scaled: dict[str, float] = {}
+            for name in HEADLINE:
+                if name == "sr01_logstore_typed_agg":
+                    continue
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, scale_dir).count()
+                scaled[name] = round(time.perf_counter() - t0, 3)
+            out["scale"] = {
+                "factor": scale_factor,
+                "value": round(sum(scaled.values()), 3),
+                "queries": scaled,
+                "runs": 1,
+                "scaling_vs_base": {
+                    n: round(scaled[n] / timings[n], 2)
+                    for n in scaled
+                    if timings.get(n)
+                },
+            }
+        except Exception as ex:  # scale section is best-effort, never fatal
+            out["scale"] = {"error": f"{type(ex).__name__}: {ex}"}
+
+    # Streaming throughput section (VERDICT r2 item 5).
+    try:
+        import tempfile
+
+        out["streaming"] = _streaming_bench(
+            spark, os.path.join(tempfile.gettempdir(), "spark_graft_streambench")
+        )
+    except Exception as ex:
+        out["streaming"] = {"error": f"{type(ex).__name__}: {ex}"}
+
     prev = _prev_bench()
     if prev and isinstance(prev.get("queries"), dict):
         out["vs_prev"] = {

@@ -113,12 +113,59 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- s02: LSH-bucketed ANN -------------------------------------------------
 
-def _duckdb_cell() -> str:
-    terms = [
-        f"(CASE WHEN emb[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
-        for i in range(N_PLANES)
-    ]
-    return "(" + " + ".join(terms) + ")"
+TARGET_PER_CELL = 2  # expected bucket occupancy the plane count aims for
+
+
+def adaptive_n_planes(n: int, dim: int) -> int:
+    """Corpus-scaled hyperplane count: enough sign bits that expected cell
+    occupancy stays ~TARGET_PER_CELL, floored at N_PLANES and capped by the
+    embedding dimension (axis-aligned planes use one dim each).
+
+    This is the scale knob the 10× bench exposed: with a FIXED plane count,
+    cells get linearly denser as the corpus grows and the per-cell all-pairs
+    stage turns quadratic (measured 31× time at 10× rows). Growing planes
+    with log2(corpus) keeps occupancy — and therefore per-cell pair cost —
+    constant, so the whole query scales linearly. Recall at very high plane
+    counts is the classic single-table LSH tradeoff; the multi-band variant
+    (d04-style OR over band keys) is the recall lever when that matters."""
+    import math
+
+    x = max((n + 1) // TARGET_PER_CELL, 2)
+    return min(max(N_PLANES, math.ceil(math.log2(x))), dim)
+
+
+def _corpus_planes(e: DataFrame) -> int:
+    """One scalar-aggregate driver round-trip (count + dim), same class as
+    the IVF k-row centroid collect — not a data collect."""
+    row = e.select(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("emb")).alias("dim")
+    ).first()
+    return adaptive_n_planes(row["n"] or 0, row["dim"] or N_PLANES)
+
+
+def _cell_expr(planes: int) -> Column:
+    cell = None
+    for i in range(planes):
+        term = F.when(F.element_at("emb", i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        cell = term if cell is None else cell + term
+    return cell
+
+
+# DuckDB mirror of adaptive_n_planes + _cell_expr: planes from the same
+# count/dim formula (integer x, float log2 — both engines agree on the ceil
+# for any realistic corpus count), cell bits over the leading `planes` dims.
+_DUCK_PARAMS = f"""
+    params AS (
+      SELECT LEAST(
+               GREATEST({N_PLANES},
+                        CAST(ceil(log2(CAST(GREATEST((count(*) + 1) // {TARGET_PER_CELL}, 2) AS DOUBLE))) AS BIGINT)),
+               min(len(embedding))
+             ) AS planes
+      FROM embeddings
+    )"""
+
+_DUCK_CELL = """list_sum(list_transform(range(1, planes + 1),
+        i -> CASE WHEN emb[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END))"""
 
 
 @query(
@@ -126,8 +173,8 @@ def _duckdb_cell() -> str:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ), cells AS (
-      SELECT vec_id, emb, {_duckdb_cell()} AS cell FROM e
+    ), {_DUCK_PARAMS}, cells AS (
+      SELECT vec_id, emb, {_DUCK_CELL} AS cell FROM e, params
     ), scored AS (
       SELECT a.vec_id AS q_id, b.vec_id AS n_id,
              round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS score
@@ -147,11 +194,7 @@ def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cell = None
-    for i in range(N_PLANES):
-        term = F.when(F.element_at("emb", i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
-        cell = term if cell is None else cell + term
-    cells = e.withColumn("cell", cell)
+    cells = e.withColumn("cell", _cell_expr(_corpus_planes(e)))
     a = cells.where(F.col("vec_id") < 4 * N_QUERY).alias("a")
     b = cells.alias("b")
     scored = (
@@ -185,8 +228,8 @@ def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ), cells AS (
-      SELECT vec_id, emb, {_duckdb_cell()} AS cell FROM e
+    ), {_DUCK_PARAMS}, cells AS (
+      SELECT vec_id, emb, {_DUCK_CELL} AS cell FROM e, params
     ), pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS cosine
@@ -201,15 +244,14 @@ def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (north-star dedup family): LSH cells bound
     the candidate set to same-bucket pairs — the all-pairs cross join never
-    materializes, which is what makes this shape viable at 100 TB."""
+    materializes. The plane count scales with log2(corpus) (see
+    adaptive_n_planes) so cell occupancy — and with it per-cell pair cost —
+    stays constant as the corpus grows; that is what makes this shape viable
+    at 100 TB, not the bucketing alone."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cell = None
-    for i in range(N_PLANES):
-        term = F.when(F.element_at("emb", i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
-        cell = term if cell is None else cell + term
-    cells = e.withColumn("cell", cell)
+    cells = e.withColumn("cell", _cell_expr(_corpus_planes(e)))
     a = cells.alias("a")
     b = cells.alias("b")
     return (
