@@ -76,6 +76,8 @@ _DRIVER_PRIORITY = [
     # oracle restructured in round 3 — needs a fresh driver row
     "s05_ann_ivf",
     "s06_ann_ivf_recall",
+    # new in round 3
+    "m04_video_frame_sample",
 ]
 
 

@@ -118,3 +118,78 @@ def test_spark_audio_stage_survives_corrupt_blob(spark):
     rows = {r["doc_id"]: r for r in media.decode_audio_meta(df).collect()}
     assert rows[1]["n_samples"] == 100
     assert rows[2]["n_samples"] is None
+
+
+# --- Y4M video --------------------------------------------------------------
+
+# Hand-laid-out YUV4MPEG2 stream (2x2 C420, 2 frames) — an external byte
+# layout our encoder never produced: extra header params, FRAME params line,
+# non-neutral chroma.
+Y4M_EXTERNAL = (
+    b"YUV4MPEG2 W2 H2 F30000:1001 It A128:117 C420mpeg2 XYSCSS=420MPEG2\n"
+    b"FRAME\n" + bytes([10, 20, 30, 40]) + bytes([1, 2])
+    + b"FRAMEXSOMEPARAM=1\n" + bytes([50, 60, 70, 80]) + bytes([3, 4])
+)
+
+
+def test_parse_external_y4m():
+    w, h, num, den, cs, n = media.parse_y4m(Y4M_EXTERNAL)
+    assert (w, h, num, den, cs, n) == (2, 2, 30000, 1001, "420mpeg2", 2)
+
+
+def test_iter_y4m_frames_external():
+    frames = list(media.iter_y4m_frames(Y4M_EXTERNAL))
+    assert [(i, w, h) for i, w, h, _f, _y in frames] == [(0, 2, 2), (1, 2, 2)]
+    assert bytes(frames[0][4]) == bytes([10, 20, 30, 40])  # Y plane only
+    assert bytes(frames[1][3]) == bytes([50, 60, 70, 80, 3, 4])  # full frame
+
+
+def test_y4m_roundtrip_colorspaces():
+    for cs, factor in [("mono", 1.0), ("420jpeg", 1.5), ("422", 2.0), ("444", 3.0)]:
+        blob = media.make_y4m(4, 2, 3, fps=(25, 1), colorspace=cs,
+                              y_fill=lambda i: i * 10)
+        w, h, num, den, got_cs, n = media.parse_y4m(blob)
+        assert (w, h, num, den, got_cs, n) == (4, 2, 25, 1, cs, 3)
+        frames = list(media.iter_y4m_frames(blob))
+        assert len(frames) == 3
+        for i, _w, _h, frame, y in frames:
+            assert len(frame) == int(8 * factor)
+            assert bytes(y) == bytes([i * 10]) * 8
+
+
+def test_y4m_corrupt_rejected():
+    good = media.make_y4m(2, 2, 2)
+    assert media.parse_y4m(good[:-1], strict=False) is None  # truncated frame
+    assert media.parse_y4m(b"YUV4MPEG2 F25:1\nFRAME\n", strict=False) is None  # no W/H
+    assert media.parse_y4m(b"not video", strict=False) is None
+    bad_marker = good.replace(b"FRAME\n", b"FRUME\n", 1)
+    with pytest.raises(ValueError):
+        media.parse_y4m(bad_marker, strict=True)
+
+
+def test_spark_frame_sampling_stage(spark):
+    """sample_frames fans one blob row out to every_n-th frame rows with raw
+    bytes; corrupt blobs are skipped, not fatal."""
+    v1 = media.make_y4m(2, 2, 7, y_fill=lambda i: i)   # frames 0..6 -> 0,3,6
+    v2 = media.make_y4m(4, 2, 2, y_fill=lambda i: 99)  # frames 0,1 -> 0
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, b"garbage")], "doc_id LONG, blob BINARY"
+    )
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], r["width"], r["height"], bytes(r["frame"])[0])
+        for r in media.sample_frames(df, every_n=3).collect()
+    )
+    assert rows == [(1, 0, 2, 2, 0), (1, 3, 2, 2, 3), (1, 6, 2, 2, 6),
+                    (2, 0, 4, 2, 99)]
+
+
+def test_spark_frame_features_stage(spark):
+    df = spark.createDataFrame(
+        [(5, media.make_y4m(2, 2, 4, y_fill=lambda i: 7 * i))],
+        "doc_id LONG, blob BINARY",
+    )
+    rows = sorted(
+        (r["frame_idx"], r["y_mean"])
+        for r in media.sample_frame_features(df, every_n=2).collect()
+    )
+    assert rows == [(0, 0.0), (2, 14.0)]
