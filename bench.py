@@ -165,13 +165,17 @@ def main() -> None:
     registry.QUERIES["q01_pricing_summary"](spark, sf_dir).count()
     registry.QUERIES["sr01_logstore_typed_agg"](spark, sf_dir).count()
 
-    # Two timed runs per query, keep the min: steady-state engine cost, not
+    # Three timed runs per query, keep the min: steady-state engine cost, not
     # JIT/warmup jitter (methodology recorded in the artifact as runs/agg).
+    # Two runs proved insufficient on noisy virtualized hosts — JIT warmup of
+    # a query's codegen'd stages routinely bleeds into run 2, and the min of
+    # two inflated runs reads as a phantom regression round-over-round.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
@@ -185,7 +189,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "runs": 2,
+        "runs": runs,
         "agg": "min",
     }
 
@@ -204,18 +208,25 @@ def main() -> None:
                 tempfile.gettempdir(), f"spark_graft_scale_{scale_factor}x"
             )
             make_scaled(sf_dir, scale_dir, scale_factor)
+            # Two runs keep-min here too: the scaling_vs_base factors are the
+            # headline claim of this section, and a single noisy run at 10×
+            # can misreport a linear plan as superlinear by 2×.
             scaled: dict[str, float] = {}
             for name in HEADLINE:
                 if name == "sr01_logstore_typed_agg":
                     continue
-                t0 = time.perf_counter()
-                registry.QUERIES[name](spark, scale_dir).count()
-                scaled[name] = round(time.perf_counter() - t0, 3)
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    registry.QUERIES[name](spark, scale_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                scaled[name] = round(best, 3)
             out["scale"] = {
                 "factor": scale_factor,
                 "value": round(sum(scaled.values()), 3),
                 "queries": scaled,
-                "runs": 1,
+                "runs": 2,
                 "scaling_vs_base": {
                     n: round(scaled[n] / timings[n], 2)
                     for n in scaled
