@@ -78,6 +78,8 @@ _DRIVER_PRIORITY = [
     "s06_ann_ivf_recall",
     # new in round 3
     "m04_video_frame_sample",
+    "d08_dedup_clusters",
+    "d09_dedup_survivors",
 ]
 
 

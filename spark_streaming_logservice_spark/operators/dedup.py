@@ -198,10 +198,10 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- d04: LSH banding → candidate pairs → verified Jaccard -----------------
 
-@query(
-    "d04_minhash_lsh_pairs",
-    oracle=_duckdb_minhash_cte()
-    + """
+# Shared CTE chain (appended after _duckdb_minhash_cte()): banding →
+# capped buckets → candidate pairs → token-intersection → sizes. d04's
+# final SELECT scores pairs; d08/d09 build clusters on top of it.
+_DUCKDB_LSH_PAIR_CTES = """
     , bands AS (
       SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM sig
       UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
@@ -226,6 +226,14 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN filtered fb ON fb.doc_id = c.doc_b AND fa.token = fb.token
       GROUP BY c.doc_a, c.doc_b
     )
+"""
+
+
+@query(
+    "d04_minhash_lsh_pairs",
+    oracle=_duckdb_minhash_cte()
+    + _DUCKDB_LSH_PAIR_CTES
+    + """
     SELECT i.doc_a, i.doc_b,
            round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
     FROM inter i
@@ -237,6 +245,25 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    return (
+        lsh_verified_pairs(d)
+        .select(
+            "doc_a", "doc_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )
+
+
+def lsh_verified_pairs(d: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs with exact verified token Jaccard:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, one row per candidate pair.
+
+    This is the scale path for near-dup pair generation: banding turns the
+    all-pairs problem into an equi-join on band keys, the bucket cap keeps
+    candidates linear in corpus size, and verification touches only the
+    candidate pairs.
+    """
     sig = minhash_signature(d)
     bands = None
     for band in range(N_MINHASH // 2):
@@ -296,9 +323,7 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
-        .limit(100)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -465,4 +490,158 @@ def d07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_bench_shingles"))
         .orderBy("doc_id")
+    )
+
+
+# --- d08/d09: near-dup clusters via connected components -------------------
+# Pairs alone don't collapse a corpus: similarity is not transitive, but
+# dedup policy IS — if a~b and b~c, keeping both a and c still leaves
+# near-dups in the training set. The standard pipeline closes the pair
+# relation into clusters (connected components) and keeps one canonical doc
+# per cluster.
+
+_CLUSTER_MIN_JACCARD = 0.8
+
+# DuckDB oracle for the transitive closure: recursive label spreading. A
+# label (candidate component id) walks outward from every node, but only
+# onto larger-id nodes — the component minimum therefore reaches every
+# member, and min(label) per node is exactly the component id that the
+# large-star/small-star Spark operator computes. Aggregation isn't allowed
+# inside the recursion, so the min is taken after the walk.
+_DUCKDB_CLUSTER_CTES = (
+    """
+    , verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= """
+    + str(_CLUSTER_MIN_JACCARD)
+    + """
+    ), cnodes AS (
+      SELECT DISTINCT doc_a AS id FROM verified
+      UNION SELECT DISTINCT doc_b FROM verified
+    ), cedges AS (
+      SELECT doc_a AS s, doc_b AS d FROM verified
+      UNION ALL SELECT doc_b AS s, doc_a AS d FROM verified
+    ), walk(id, label) AS (
+      SELECT id, id FROM cnodes
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN cedges e ON e.s = w.id
+      WHERE w.label < e.d
+    ), assign AS (
+      SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    )
+"""
+)
+
+
+def _duckdb_cluster_sql(tail: str) -> str:
+    """Full oracle: minhash CTEs (recursive variant) + LSH pair CTEs +
+    connected-components CTEs + the query-specific ``tail``."""
+    head = _duckdb_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return head + _DUCKDB_LSH_PAIR_CTES + _DUCKDB_CLUSTER_CTES + tail
+
+
+def neardup_clusters(d: DataFrame, min_jaccard: float = _CLUSTER_MIN_JACCARD) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup cluster, where
+    cluster_id is the minimum doc_id of the cluster. Docs without any
+    qualifying pair are absent (singleton clusters)."""
+    from spark_streaming_logservice_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = lsh_verified_pairs(d).where(F.col("jaccard") >= min_jaccard)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query(
+    "d08_dedup_clusters",
+    oracle=_duckdb_cluster_sql(
+        """
+    SELECT a.doc_id, a.cluster_id, c.cluster_size,
+           a.doc_id = a.cluster_id AS is_canonical
+    FROM assign a
+      JOIN (SELECT cluster_id, count(*) AS cluster_size
+            FROM assign GROUP BY cluster_id) c
+        ON c.cluster_id = a.cluster_id
+    ORDER BY a.cluster_id, a.doc_id
+    """
+    ),
+)
+def d08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH pairs (jaccard >= 0.8) closed transitively via
+    large-star/small-star connected components (operators/graph.py). The
+    canonical member is the minimum doc_id.
+
+    At 100 TB: pair generation is the bucketed LSH path (linear in corpus),
+    and the closure runs O(log^2 n) shuffle rounds over the pair set — which
+    is orders of magnitude smaller than the corpus. The cluster-size join is
+    per-cluster (O(clusters) rows) and left to AQE.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cc = neardup_clusters(d)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+@query(
+    "d09_dedup_survivors",
+    oracle=_duckdb_cluster_sql(
+        """
+    , dropped AS (
+      SELECT doc_id FROM assign WHERE doc_id <> cluster_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE dr.doc_id IS NULL) AS n_kept,
+           round(1.0 - CAST(count(*) FILTER (WHERE dr.doc_id IS NULL)
+                            AS DOUBLE) / count(*), 4) AS drop_rate
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+    ),
+)
+def d09_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collapse report: per source, how many docs survive near-dup
+    clustering (canonical members + singletons) — the acceptance metric a
+    pipeline operator reads before shipping a deduped corpus.
+
+    The anti-join key set (non-canonical cluster members) is bounded by the
+    pair set, not the corpus; the corpus itself streams through once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dropped = (
+        neardup_clusters(d)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    kept = d.join(dropped, "doc_id", "left_anti")
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_source = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        per_source.join(kept_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                1.0 - F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_docs"),
+                4,
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
     )

@@ -1,0 +1,78 @@
+"""Connected components (operators/graph.py): large-star/small-star closure.
+
+Verified against a plain-Python union-find on hand-built and pseudo-random
+edge sets — the operator must produce exactly (node -> component-min) for
+every node that appears in an edge.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from spark_streaming_logservice_spark.operators.graph import connected_components
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    return got
+
+
+def _expect(edges):
+    return set(_union_find(edges).items())
+
+
+def test_chain_collapses_to_min(spark):
+    # Path graph: worst case for naive propagation (O(diameter) rounds);
+    # star-alternation must still close it.
+    edges = [(i, i + 1) for i in range(1, 12)]
+    assert _run(spark, edges) == _expect(edges)
+
+
+def test_two_components_and_duplicates(spark):
+    edges = [(5, 9), (9, 7), (20, 30), (30, 25), (5, 9), (9, 5), (7, 7)]
+    clean = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _expect(clean)
+
+
+def test_star_already_converged(spark):
+    edges = [(1, k) for k in range(2, 9)]
+    assert _run(spark, edges) == _expect(edges)
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert connected_components(df).count() == 0
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(1000, 1120))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    clean = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _expect(clean)
