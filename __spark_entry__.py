@@ -80,6 +80,8 @@ _DRIVER_PRIORITY = [
     "m04_video_frame_sample",
     "d08_dedup_clusters",
     "d09_dedup_survivors",
+    "t06_repetition_metrics",
+    "t07_pii_redaction",
 ]
 
 

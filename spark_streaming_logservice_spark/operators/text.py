@@ -220,6 +220,222 @@ def _duckdb_langid_sql() -> str:
     """
 
 
+# --- t06: repetition / boilerplate metrics (Gopher-style) ------------------
+# Three classic repetition signals from the Gopher data-quality rules
+# (Rae et al. 2021, "Scaling Language Models", table A1): fraction of
+# all 2-grams occupied by the single most frequent 2-gram, fraction of
+# 3-gram occurrences that are repeats, and duplicate-token fraction.
+# High values flag boilerplate/spam documents before training.
+
+@query(
+    "t06_repetition_metrics",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS g
+      FROM tk WHERE len(tk) >= 2
+    ), a2 AS (
+      SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+    ), m2 AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_2gram_frac
+      FROM a2 GROUP BY doc_id
+    ), g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      FROM tk WHERE len(tk) >= 3
+    ), a3 AS (
+      SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g
+    ), m3 AS (
+      SELECT doc_id,
+             round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   / sum(c), 4) AS dup_3gram_frac
+      FROM a3 GROUP BY doc_id
+    ), tokm AS (
+      SELECT doc_id,
+             round(1 - CAST(len(list_distinct(tk)) AS DOUBLE)
+                   / greatest(len(tk), 1), 4) AS dup_token_frac
+      FROM tk
+    )
+    SELECT d.doc_id,
+           coalesce(m2.top_2gram_frac, 0) AS top_2gram_frac,
+           coalesce(m3.dup_3gram_frac, 0) AS dup_3gram_frac,
+           tokm.dup_token_frac
+    FROM documents d
+      LEFT JOIN m2 ON m2.doc_id = d.doc_id
+      LEFT JOIN m3 ON m3.doc_id = d.doc_id
+      JOIN tokm ON tokm.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    LIMIT 200
+    """,
+)
+def t06_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics. Gram counting is explode → two-level
+    aggregation (distributed, map-side combine); the duplicate-token
+    fraction stays a pure higher-order expression — no shuffle at all for
+    that column. At 100 TB the join keys are doc_id (already the corpus
+    partitioning), and nothing but (doc_id, fraction) rows shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+
+    def grams(n: int) -> Column:
+        parts = lambda i: [F.element_at(F.col("tk"), i + j + 1) for j in range(n)]  # noqa: E731
+        full = F.transform(
+            F.sequence(F.lit(0), F.size(F.col("tk")) - n),
+            lambda i: F.concat_ws(" ", *parts(i)),
+        )
+        return F.when(F.size(F.col("tk")) >= n, full).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    tk = d.select("doc_id", toks.alias("tk"))
+    a2 = (
+        tk.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m2 = a2.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top_2gram_frac")
+    )
+    a3 = (
+        tk.select("doc_id", F.explode(grams(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m3 = a3.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c"),
+            4,
+        ).alias("dup_3gram_frac")
+    )
+    tokm = tk.select(
+        "doc_id",
+        F.round(
+            1
+            - F.size(F.array_distinct(F.col("tk"))).cast("double")
+            / F.greatest(F.size(F.col("tk")), F.lit(1)),
+            4,
+        ).alias("dup_token_frac"),
+    )
+    return (
+        d.select("doc_id")
+        .join(m2, "doc_id", "left")
+        .join(m3, "doc_id", "left")
+        .join(tokm, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce("dup_3gram_frac", F.lit(0.0)).alias("dup_3gram_frac"),
+            "dup_token_frac",
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# --- t07: PII detection & redaction ----------------------------------------
+# The corpus is synthetic and PII-free, so the query plants deterministic
+# PII first (same pattern as d01's self-union fixture): emails on
+# doc_id % 7, phone numbers on % 11, IPv4s on % 13. The redactor is the
+# real operator under test — regex scrub + per-type counts, all JVM-side
+# regexp expressions. Patterns are written to mean the same thing in Java
+# regex (Spark) and RE2 (DuckDB).
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, then phones, then IPv4s (email first: its local part
+    may contain digits-and-dots that the IP pattern would half-match)."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
+@query(
+    "t07_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ok '
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN 'call 555-867-5309 now ' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN 'host 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7 up '
+                     ELSE '' END
+             || text AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_IPV4}'))
+             AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{PII_PHONE}', '<PHONE>', 'g'),
+                     '{PII_IPV4}', '<IP>', 'g')) AS clean_hash
+    FROM seeded
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def t07_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit("reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com ok "),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("call 555-867-5309 now ")).otherwise(
+                ""
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit("host 10.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".7 up "),
+                ),
+            ).otherwise(""),
+            F.col("text"),
+        ).alias("text"),
+    )
+    no_email = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    return (
+        seeded.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.regexp_count(F.col("text"), F.lit(PII_PHONE))
+            .cast("bigint")
+            .alias("n_phones"),
+            # count IPs after email scrub: an email's host part must not
+            # double-count as a near-IP (mirrored in the oracle)
+            F.regexp_count(no_email, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+            F.md5(redact_pii(F.col("text"))).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 @query("t05_langid_confusion", oracle=_duckdb_langid_sql())
 def t05_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -123,6 +123,29 @@ def test_q17_no_cartesian_or_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_t06_prunes_to_two_columns(spark, sf_dir):
+    df = registry.QUERIES["t06_repetition_metrics"](spark, sf_dir)
+    scans = pi.read_schema_columns(df)
+    assert scans and all(cols <= {"doc_id", "text"} for cols in scans), scans
+
+
+def test_t07_redaction_stays_in_codegen(spark, sf_dir):
+    """PII regexes are regexp_replace/regexp_count built-ins — the whole
+    redaction must stay inside whole-stage codegen (no Python stage)."""
+    n = pi.wholestage_codegen_spans(
+        lambda: registry.QUERIES["t07_pii_redaction"](spark, sf_dir), spark
+    )
+    assert n >= 1
+
+
+def test_d08_clusters_no_forced_broadcast(spark, sf_dir):
+    """Pair generation and the cluster-size join are per-document /
+    per-cluster relations — O(corpus) rows at 100 TB; broadcasting is AQE's
+    runtime call, never a hint."""
+    df = registry.QUERIES["d08_dedup_clusters"](spark, sf_dir)
+    assert pi.broadcast_hint_count(df) == 0
+
+
 def test_q24_window_runs_on_aggregate_not_fact(spark, sf_dir):
     """The ranking window must sit above the (part,supplier) aggregate, not
     the raw fact table — Window after HashAggregate in the plan."""
