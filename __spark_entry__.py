@@ -82,6 +82,8 @@ _DRIVER_PRIORITY = [
     "d09_dedup_survivors",
     "t06_repetition_metrics",
     "t07_pii_redaction",
+    "s07_ann_pq",
+    "s08_pq_code_balance",
 ]
 
 

@@ -43,6 +43,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from spark_streaming_logservice_spark.operators import (  # noqa: F401
         ann_ivf,
+        ann_pq,
         dedup,
         events2,
         log_queries,
