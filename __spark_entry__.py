@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = [
     "t07_pii_redaction",
     "s07_ann_pq",
     "s08_pq_code_balance",
+    "p06_mixture_upsample",
 ]
 
 

@@ -361,3 +361,61 @@ def p05_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "quartile")
     )
+
+
+# --- p06: mixture upsampling (fractional-epoch materialization) ------------
+# p04 *measures* a target mixture by downsampling; a training run also needs
+# the opposite: materializing fractional epochs (weight 2.75 = every doc
+# twice, plus a deterministic 75% hash slice a third time). Copies carry a
+# copy_idx so downstream packing/shuffling can salt on it.
+
+@query(
+    "p06_mixture_upsample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             0.5 + (CAST(substr(source, 4) AS INTEGER) % 4) * 0.75 AS wt
+      FROM documents
+    ), nc AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) AS INTEGER)
+             + CASE WHEN ('0x' || substr(md5('p06:' || CAST(doc_id AS VARCHAR)), 1, 2))::INTEGER
+                         < CAST(round((wt - floor(wt)) * 256) AS INTEGER)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx
+    FROM nc WHERE n_copies >= 1
+    ORDER BY doc_id, copy_idx
+    LIMIT 300
+    """,
+)
+def p06_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling: source srcN gets weight
+    0.5 + (N % 4) * 0.75 ∈ {0.5, 1.25, 2.0, 2.75}; every doc yields
+    floor(w) copies plus one more for a hash-selected frac(w) slice.
+
+    Scale shape: row-local expressions end-to-end (bucket test + explode of
+    a ≤3-element sequence) — no shuffle at all before the presentation
+    sort; the fractions (.0/.25/.5/.75) are exact in binary, so both
+    engines compute identical copy counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wt = 0.5 + (F.substring("source", 4, 8).cast("int") % 4) * 0.75
+    frac_rate = F.round((wt - F.floor(wt)) * 256).cast("int")
+    n_copies = F.floor(wt).cast("int") + F.when(
+        hash_bucket("p06", F.col("doc_id")) < frac_rate, 1
+    ).otherwise(0)
+    return (
+        d.select("doc_id", "source", n_copies.alias("n_copies"))
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_copies").cast("bigint"))
+            ).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
+        .limit(300)
+    )
