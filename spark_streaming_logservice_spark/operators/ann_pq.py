@@ -10,17 +10,36 @@ stays exact, each candidate's score is the sum of M table lookups — at
 table (M × K dot products) is tiny by construction, so it broadcasts and
 the scoring join is map-side.
 
-Everything is DataFrame-native: subspace slicing via F.slice, Lloyd steps
-as posexplode + positional means (one shuffle each, shared across all M
-subspaces in a single job — ``sub`` is just another grouping key), ADC via
-a (sub, code) equi-join.
+Execution shape (each choice was measured, see git history of this file):
+- The codebook is M×K rows by construction and lives on the driver as plain
+  Python floats between Lloyd steps — collecting it is the correct plan,
+  not a shortcut (the ann_ivf.py argument). IEEE doubles survive
+  collect/createDataFrame round-trips unchanged.
+- Training runs on a bounded id-prefix sample (FAISS practice: a codebook
+  needs ~1k vectors per codeword, not the corpus). Two birds: training is
+  O(sample) however large the corpus grows, and the sample stays a single
+  partition, keeping the Lloyd means' float-accumulation order bit-aligned
+  with the sequential oracle.
+- Distance arithmetic is FLAT element_at expressions, not higher-order
+  folds: a left fold is just ((0+x1)+x2)+..., so inline expansion is
+  bit-identical to F.aggregate/list_dot_product but stays inside
+  whole-stage codegen, where HOF lambdas evaluate interpreted (~10× slower
+  per pass).
+- Assignment (training AND corpus encode) is one broadcast join against the
+  codebook LocalRelation + a min_by aggregation — a literal-free, stable
+  plan shape, so janino compiles it once and every Lloyd iteration and
+  every later query hits the codegen cache. (The first implementation
+  inlined codeword literals per iteration; each iteration then paid a
+  multi-second recompilation of a thousand-node expression — more than the
+  entire data computation.)
 
-Determinism mirrors ann_ivf.py: codewords seed from the K lowest vec_ids,
-no RNG, both engines accumulate dot products sequentially (zip_with +
-aggregate fold vs DuckDB list_dot_product/list_sum), the ADC sum is a
-fixed-association t0+t1+t2+t3 expression (never a float groupBy-sum whose
-partial order could differ between engines), and scores round to 6
-decimals with an id tie-break before ranking.
+Determinism mirrors ann_ivf.py: seed = K lowest vec_ids, no RNG, left-fold
+float paths in both engines (driver-side norms use an explicit left-fold
+loop, never math.fsum), min_by over a (d2, code) struct reproduces ORDER BY
+d2 ASC, code ASC (keys unique per group), the ADC sum is a fixed
+t0+t1+t2+t3 expression (never a float groupBy-sum whose partial order
+could differ), and scores round to 6 decimals with an id tie-break before
+ranking.
 """
 
 from __future__ import annotations
@@ -29,8 +48,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_streaming_logservice_spark.operators.ann_ivf import _normalize
-from spark_streaming_logservice_spark.operators.similarity import _dot
 from spark_streaming_logservice_spark.registry import query
 from spark_streaming_logservice_spark.tables import load_table
 
@@ -39,78 +56,163 @@ K_SUB = 8  # codewords per subspace
 N_ITERS = 2  # Lloyd steps (fixed, replayable in the oracle)
 TOP_K = 3
 N_QUERY = 5
+TRAIN_SAMPLE_IDS = 4096  # id-prefix training sample bound
+
+Codebook = dict[int, list[tuple[int, list[float]]]]  # sub -> [(code, cvec)]
 
 
-def _ss(a: Column) -> Column:
-    """Sequential sum of squares (matches DuckDB list_sum(list_transform))."""
-    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+def _ss_flat(vec: Column, offset: int, dl: int) -> Column:
+    """Left-fold sum of squares as flat codegen arithmetic (bit-identical
+    to DuckDB list_sum(list_transform(...)))."""
+    acc: Column = F.lit(0.0)
+    for i in range(dl):
+        x = F.element_at(vec, offset + i + 1)
+        acc = acc + x * x
+    return acc
 
 
-def _subspaces(base: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(id, sub, svec): the M contiguous slices of each normalized vector."""
-    dl = (F.size("emb") / M_SUB).cast("int")
-    arr = F.array(*[F.slice(F.col("emb"), F.lit(m) * dl + 1, dl) for m in range(M_SUB)])
-    return base.select(F.col(id_col), F.posexplode(arr).alias("sub", "svec"))
+def _dot_cols_flat(a: Column, b: Column, dl: int) -> Column:
+    """Left-fold dot product of two array columns, flat arithmetic
+    (bit-identical to DuckDB list_dot_product)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dl):
+        acc = acc + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+    return acc
 
 
-def _assign_codes(subs: DataFrame, codewords: DataFrame) -> DataFrame:
-    """Nearest codeword per (vec_id, sub) by squared L2 distance."""
-    dist2 = (
-        _ss(F.col("svec")) + _ss(F.col("cvec")) - 2 * _dot(F.col("svec"), F.col("cvec"))
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+def _d2_flat(svec: Column, cvec: Column, dl: int) -> Column:
+    """Squared L2 distance ss(v) + ss(c) - 2·v·c — the exact expression
+    (and association order) the oracle's assignment CTEs use."""
     return (
-        subs.join(F.broadcast(codewords), "sub")
-        .select("vec_id", "sub", "svec", "code", dist2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "sub", "svec", "code", "d2")
+        _ss_flat(svec, 0, dl)
+        + _ss_flat(cvec, 0, dl)
+        - 2 * _dot_cols_flat(svec, cvec, dl)
     )
 
 
-def train_codebook(emb: DataFrame) -> DataFrame:
-    """(sub, code, cvec) after N_ITERS Lloyd steps, seeded from the K_SUB
-    lowest vec_ids per subspace. The codebook is M×K rows by construction —
-    collecting/broadcasting it is the correct plan, not a shortcut."""
-    subs = _subspaces(emb)
-    w = Window.partitionBy("sub").orderBy("vec_id")
-    codewords = (
-        subs.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= K_SUB)
-        .select("sub", (F.col("r") - 1).alias("code"), F.col("svec").alias("cvec"))
+def _normalized_base(df: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, emb) with emb L2-normalized via flat codegen arithmetic —
+    two projection stages so the norm is computed once per row, not once
+    per element. Bit-identical to a transform/aggregate form (same
+    left-fold sum of squares, same per-element division)."""
+    nrm = F.sqrt(_ss_flat(F.col("embedding"), 0, dim))
+    return df.select("vec_id", "embedding", nrm.alias("nrm")).select(
+        "vec_id",
+        F.array(
+            *[
+                F.element_at(F.col("embedding"), i + 1) / F.col("nrm")
+                for i in range(dim)
+            ]
+        ).alias("emb"),
     )
+
+
+def _subspaces_long(base: DataFrame, dl: int) -> DataFrame:
+    """(vec_id, sub, svec): the M contiguous slices of each vector."""
+    return base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("emb"), m * dl + 1, dl) for m in range(M_SUB)])
+        ).alias("sub", "svec"),
+    )
+
+
+def _codebook_df(spark: SparkSession, cb: Codebook) -> DataFrame:
+    rows = [
+        (m, code, cvec) for m, entries in cb.items() for code, cvec in entries
+    ]
+    return spark.createDataFrame(rows, "sub INT, code INT, cvec ARRAY<DOUBLE>")
+
+
+def _assign_codes(
+    subs_long: DataFrame, cb_df: DataFrame, dl: int, with_svec: bool = True
+) -> DataFrame:
+    """(vec_id, sub, code[, svec]): nearest codeword per subvector —
+    broadcast join + min_by, literal-free stable plan shape (codegen-cache
+    friendly), row-local w.r.t. (vec_id, sub) so corpus partitioning is
+    free to vary. ``with_svec=False`` on the corpus-encode path: the
+    subvector payload is only needed by the training means, and carrying
+    16 doubles per row through the aggregation shuffle dominates the cost
+    of the encode otherwise."""
+    scored = subs_long.join(F.broadcast(cb_df), "sub").select(
+        "vec_id",
+        "sub",
+        *(["svec"] if with_svec else []),
+        "code",
+        _d2_flat(F.col("svec"), F.col("cvec"), dl).alias("d2"),
+    )
+    aggs = [
+        F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias("code")
+    ]
+    if with_svec:
+        aggs.append(F.first("svec").alias("svec"))
+    return scored.groupBy("vec_id", "sub").agg(*aggs)
+
+
+def _dim(emb: DataFrame) -> int:
+    return emb.limit(1).select(F.size("embedding").alias("d")).first()["d"]
+
+
+def train_codebook(base: DataFrame, dl: int) -> Codebook:
+    """N_ITERS Lloyd steps over the (single-partition) training sample,
+    seeded from the K_SUB lowest vec_ids."""
+    spark = base.sparkSession
+    seed_rows = base.orderBy("vec_id").limit(K_SUB).collect()
+    cb: Codebook = {
+        m: [
+            (code, list(r["emb"][m * dl : (m + 1) * dl]))
+            for code, r in enumerate(seed_rows)
+        ]
+        for m in range(M_SUB)
+    }
+    subs_long = _subspaces_long(base, dl)
     for _ in range(N_ITERS):
-        assigned = _assign_codes(subs, codewords)
-        pos = assigned.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
-        codewords = (
-            pos.groupBy("sub", "code", "pos")
+        best = _assign_codes(subs_long, _codebook_df(spark, cb), dl)
+        means = (
+            best.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
             .agg(F.avg("val").alias("m"))
-            .groupBy("sub", "code")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-            )
-            .select(
-                "sub",
-                "code",
-                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cvec"),
-            )
+            .collect()
         )
-    return codewords
+        nxt: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            nxt.setdefault(r["sub"], {}).setdefault(r["code"], {})[r["pos"]] = r["m"]
+        # codes with no members drop out, exactly like a groupBy would
+        cb = {
+            m: [
+                (code, [poses[p] for p in sorted(poses)])
+                for code, poses in sorted(nxt.get(m, {}).items())
+            ]
+            for m in range(M_SUB)
+        }
+    return cb
 
 
 def pq_search(
     emb: DataFrame, queries: DataFrame, top_k: int = TOP_K
 ) -> DataFrame:
     """ADC search: (q_id, n_id, adc_score, rk), top_k per query."""
-    base = emb.select("vec_id", _normalize(F.col("embedding")).alias("emb"))
-    codewords = train_codebook(base)
-    codes = _assign_codes(_subspaces(base), codewords).select("vec_id", "sub", "code")
-    qsubs = _subspaces(
-        queries.select("vec_id", _normalize(F.col("embedding")).alias("emb"))
-    ).select(F.col("vec_id").alias("q_id"), "sub", F.col("svec").alias("qvec"))
+    spark = emb.sparkSession
+    dim = _dim(emb)
+    dl = dim // M_SUB
+    sample = emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS)
+    cb = train_codebook(
+        _normalized_base(sample, dim).localCheckpoint(eager=True), dl
+    )
+    cb_df = _codebook_df(spark, cb)
+    # Corpus passes are row-local — parallelize freely.
+    par = spark.sparkContext.defaultParallelism
+    base = _normalized_base(emb.repartition(par), dim)
+    codes = _assign_codes(_subspaces_long(base, dl), cb_df, dl, with_svec=False)
+    qsubs = _subspaces_long(_normalized_base(queries, dim), dl).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("svec").alias("qvec")
+    )
     # per-query lookup table: M × K_SUB rows per query — broadcast side
-    tbl = qsubs.join(F.broadcast(codewords), "sub").select(
-        "q_id", "sub", "code", _dot(F.col("qvec"), F.col("cvec")).alias("partial")
+    tbl = qsubs.join(F.broadcast(cb_df), "sub").select(
+        "q_id",
+        "sub",
+        "code",
+        _dot_cols_flat(F.col("qvec"), F.col("cvec"), dl).alias("partial"),
     )
     # one conditional-max column per subspace: each (q,n,sub) has exactly one
     # partial, so max() is exact selection, and the final sum is a
@@ -149,7 +251,7 @@ _PQ_ITER = """
                               - 2 * list_dot_product(s.svec, c.cvec) ASC,
                               c.code ASC
                    ) AS rk
-            FROM subs s JOIN {prev} c USING (sub)
+            FROM tsubs s JOIN {prev} c USING (sub)
         ) WHERE rk = 1
     ),
     pm{i} AS (
@@ -183,11 +285,16 @@ _PQ_BASE = (
     + str(M_SUB)
     + """)) AS sub) ms
     ),
+    tsubs AS (
+        SELECT * FROM subs WHERE vec_id < """
+    + str(TRAIN_SAMPLE_IDS)
+    + """
+    ),
     seed AS (
         SELECT sub, code, cvec FROM (
             SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
                    svec AS cvec
-            FROM subs
+            FROM tsubs
         ) WHERE code < """
     + str(K_SUB)
     + """
@@ -252,8 +359,8 @@ _S07_ORACLE = (
 @query("s07_ann_pq", oracle=_S07_ORACLE)
 def s07_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC neighbors for the first N_QUERY vectors, fully oracle-backed:
-    the DuckDB CTE chain replays subspace split, seeding, both Lloyd steps,
-    encoding, and the ADC table join."""
+    the DuckDB CTE chain replays subspace split, sampled seeding, both
+    Lloyd steps, corpus encoding, and the ADC table join."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -278,9 +385,18 @@ def s08_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    base = e.select("vec_id", _normalize(F.col("embedding")).alias("emb"))
-    codewords = train_codebook(base)
-    codes = _assign_codes(_subspaces(base), codewords)
+    spark_ = e.sparkSession
+    dim = _dim(e)
+    dl = dim // M_SUB
+    sample = e.where(F.col("vec_id") < TRAIN_SAMPLE_IDS)
+    cb = train_codebook(
+        _normalized_base(sample, dim).localCheckpoint(eager=True), dl
+    )
+    par = spark_.sparkContext.defaultParallelism
+    base = _normalized_base(e.repartition(par), dim)
+    codes = _assign_codes(
+        _subspaces_long(base, dl), _codebook_df(spark_, cb), dl, with_svec=False
+    )
     return (
         codes.groupBy("sub", "code")
         .agg(F.count(F.lit(1)).alias("n_vectors"))

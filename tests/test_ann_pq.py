@@ -9,6 +9,7 @@ from spark_streaming_logservice_spark.operators.ann_pq import (
     K_SUB,
     M_SUB,
     N_ITERS,
+    TRAIN_SAMPLE_IDS,
     pq_search,
 )
 from spark_streaming_logservice_spark.operators.similarity import cosine_topk
@@ -29,10 +30,11 @@ def _numpy_pq(ids: np.ndarray, vecs: np.ndarray, q_ids: np.ndarray, top_k: int =
     ids, vecs = ids[order], vecs[order]
     vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     d = vecs.shape[1] // M_SUB
+    train = vecs[ids < TRAIN_SAMPLE_IDS]
     books = []
     codes = np.zeros((len(ids), M_SUB), dtype=int)
     for m in range(M_SUB):
-        sub = vecs[:, m * d : (m + 1) * d]
+        sub = train[:, m * d : (m + 1) * d]
         cw = sub[:K_SUB].copy()
         for _ in range(N_ITERS):
             d2 = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
@@ -46,7 +48,8 @@ def _numpy_pq(ids: np.ndarray, vecs: np.ndarray, q_ids: np.ndarray, top_k: int =
             # drop empty codewords the way the DataFrame groupBy does
             live = np.array([(assign == c).any() for c in range(len(cw))])
             cw = cw[live]
-        d2 = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
+        full = vecs[:, m * d : (m + 1) * d]
+        d2 = ((full[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
         codes[:, m] = d2.argmin(axis=1)
         books.append(cw)
     out = []
