@@ -3,22 +3,31 @@ quantizer + probe-limited search, built from pure DataFrame operations.
 
 The scale story (north-star §2.5 "IVF or LSH-bucketed variant as the scale
 path"): brute force is O(queries × corpus); IVF assigns the corpus to k
-coarse cells once (iterative Lloyd steps, each one shuffle), then each query
-scores only the vectors in its nprobe closest cells — O(queries × corpus/k ×
-nprobe). Everything is JVM-side array arithmetic (zip_with/aggregate); the
-only state between iterations is a k-row centroid table, collected and
-rebroadcast (k is tiny by construction, so the driver round-trip is the
-correct plan, not a shortcut).
+coarse cells once, then each query scores only the vectors in its nprobe
+closest cells — O(queries × corpus/k × nprobe).
 
-Deterministic: centroids seed from the k lowest vec_ids; no RNG.
-Oracle-backed since round 3: the DuckDB oracle replays the identical
-pipeline as a CTE chain — seed = k lowest vec_ids, each Lloyd step is a
-positional-explode groupBy mean renormalized, assignment/probing are
-row_number over centroid dot products. Both engines accumulate dot products
-and norms sequentially over the list (zip_with+aggregate vs
-list_dot_product/list_sum), and scores are rounded to 6 decimals with a
-vec_id tie-break before ranking, so ranking is stable across engines.
-tests/test_ann.py additionally pins literal rows vs a numpy reimplementation.
+Execution shape (shared with ann_pq.py, each choice measured — see git
+history): the quantizer trains on a bounded id-prefix sample (classic IVF
+practice; O(sample) at any corpus size, and the sample's single partition
+keeps the Lloyd means' float-accumulation order bit-aligned with the
+sequential oracle); centroids are k rows by construction and live on the
+driver between steps (IEEE doubles survive collect/createDataFrame
+round-trips unchanged) — a lazy centroid DataFrame would re-run the whole
+training chain once per downstream use; cell assignment is a broadcast
+join against the centroid LocalRelation + min_by aggregation, a
+literal-free stable plan shape compiled once; all dot products and norms
+are flat element_at arithmetic (bit-identical left folds that stay inside
+whole-stage codegen, where higher-order-function lambdas evaluate
+interpreted); corpus-wide passes are row-local and repartition freely.
+
+Determinism: centroids seed from the k lowest vec_ids; no RNG. Ranking by
+score DESC, cell ASC is realized as min_by over a (-score, cell) struct —
+IEEE negation is an exact sign flip, so the total order matches the
+oracle's descending sort bit-for-bit. Scores round to 6 decimals with a
+vec_id tie-break before the final ranking. The DuckDB oracle replays the
+identical pipeline (sampled seeding, both Lloyd steps, probing, scoring);
+tests/test_ann.py additionally pins literal rows vs a numpy
+reimplementation.
 """
 
 from __future__ import annotations
@@ -27,7 +36,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_streaming_logservice_spark.operators.similarity import _dot, _norm, cosine_topk
 from spark_streaming_logservice_spark.registry import query
 from spark_streaming_logservice_spark.tables import load_table
 
@@ -36,62 +44,97 @@ N_ITERS = 2
 N_PROBE = 2
 TOP_K = 3
 N_QUERY = 5
+TRAIN_SAMPLE_IDS = 4096  # id-prefix training sample bound
 
 
-def _normalize(col: Column) -> Column:
-    n = _norm(col)
-    return F.transform(col, lambda x: x / n)
+def _ss_flat(vec: Column, dim: int) -> Column:
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        x = F.element_at(vec, i + 1)
+        acc = acc + x * x
+    return acc
 
 
-def build_ivf_index(emb: DataFrame, k: int = K_CELLS, iters: int = N_ITERS) -> DataFrame:
-    """Assign every vector to a coarse cell. Returns (vec_id, emb, cell)."""
-    base = emb.select("vec_id", _normalize(F.col("emb")).alias("emb"))
-    # deterministic seed: k lowest ids
-    centroids = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
-            F.col("emb").alias("cvec"),
-        )
-    )
-    for _ in range(iters):
-        assigned = _assign(base, centroids)
-        # Lloyd update: element-wise mean per cell, renormalized.
-        pos = assigned.select(
-            "cell", F.posexplode("emb").alias("pos", "val")
-        )
-        means = (
-            pos.groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                ).alias("pm")
-            )
-            .select(
-                "cell",
-                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cvec"),
-            )
-        )
-        centroids = means.select("cell", _normalize(F.col("cvec")).alias("cvec"))
-    return _assign(base, centroids), centroids
+def _dot_flat(a: Column, b: Column, dim: int) -> Column:
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+    return acc
 
 
-def _assign(base: DataFrame, centroids: DataFrame, rank: int = 1) -> DataFrame:
-    """Nearest-centroid assignment (top-``rank`` cells per vector)."""
-    scored = base.crossJoin(F.broadcast(centroids)).select(
+def _normalized(df: DataFrame, dim: int, vec_col: str = "emb") -> DataFrame:
+    """(vec_id, emb) L2-normalized, flat arithmetic, two projection stages
+    so the norm computes once per row."""
+    nrm = F.sqrt(_ss_flat(F.col(vec_col), dim))
+    return df.select("vec_id", F.col(vec_col).alias("v"), nrm.alias("nrm")).select(
         "vec_id",
-        "emb",
-        "cell",
-        _dot(F.col("emb"), F.col("cvec")).alias("cscore"),
+        F.array(
+            *[F.element_at(F.col("v"), i + 1) / F.col("nrm") for i in range(dim)]
+        ).alias("emb"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cell"))
-    out = scored.withColumn("crk", F.row_number().over(w)).where(F.col("crk") <= rank)
-    if rank == 1:
-        return out.select("vec_id", "emb", "cell")
-    return out.select("vec_id", "emb", "cell", "crk")
+
+
+def _norm_py(vals: list[float]) -> list[float]:
+    """Driver-side renormalization with the same left-fold / per-element
+    division the engines use (never math.fsum)."""
+    s = 0.0
+    for v in vals:
+        s = s + v * v
+    n = s**0.5
+    return [v / n for v in vals]
+
+
+def _centroids_df(spark: SparkSession, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(cents, "cell INT, cvec ARRAY<DOUBLE>")
+
+
+def _assign_top1(
+    base: DataFrame, cents_df: DataFrame, dim: int, with_emb: bool
+) -> DataFrame:
+    """Nearest cell per vector by score DESC, cell ASC — broadcast join +
+    min_by over (-score, cell). ``with_emb`` keeps the vector payload
+    (needed by Lloyd means and by IVF-Flat candidate scoring)."""
+    scored = base.join(F.broadcast(cents_df), how="cross").select(
+        "vec_id",
+        *(["emb"] if with_emb else []),
+        "cell",
+        (-_dot_flat(F.col("emb"), F.col("cvec"), dim)).alias("nscore"),
+    )
+    aggs = [
+        F.min_by(F.col("cell"), F.struct(F.col("nscore"), F.col("cell"))).alias(
+            "cell"
+        )
+    ]
+    if with_emb:
+        aggs.append(F.first("emb").alias("emb"))
+    return scored.groupBy("vec_id").agg(*aggs)
+
+
+def train_centroids(
+    sample: DataFrame, dim: int, k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Lloyd steps over the (single-partition) sample; centroids round-trip
+    through the driver exactly."""
+    spark = sample.sparkSession
+    seed_rows = sample.orderBy("vec_id").limit(k).collect()
+    cents = [(cell, list(r["emb"])) for cell, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = _assign_top1(sample, _centroids_df(spark, cents), dim, with_emb=True)
+        means = (
+            assigned.select("cell", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        # empty cells drop out, exactly like the groupBy does
+        cents = [
+            (cell, _norm_py([poses[p] for p in sorted(poses)]))
+            for cell, poses in sorted(by_cell.items())
+        ]
+    return cents
 
 
 def ivf_search(
@@ -103,24 +146,38 @@ def ivf_search(
 ) -> DataFrame:
     """Probe-limited ANN: score each query only against vectors whose cell is
     among the query's nprobe closest centroids."""
-    index, centroids = build_ivf_index(emb, k)
-    qn = queries.select(
-        F.col("vec_id").alias("q_id"), _normalize(F.col("emb")).alias("q_emb")
+    spark = emb.sparkSession
+    dim = emb.limit(1).select(F.size("emb").alias("d")).first()["d"]
+    sample = _normalized(
+        emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS), dim
+    ).localCheckpoint(eager=True)
+    cents_df = _centroids_df(spark, train_centroids(sample, dim, k, N_ITERS))
+    # corpus pass: row-local, repartitions freely
+    par = spark.sparkContext.defaultParallelism
+    index = _assign_top1(
+        _normalized(emb.repartition(par), dim), cents_df, dim, with_emb=True
     )
-    # query → nprobe cells
+    qn = _normalized(queries, dim).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    # query → nprobe cells: queries are the small side, a window is fine
+    qw = Window.partitionBy("q_id").orderBy(F.asc("nscore"), F.asc("cell"))
     q_cells = (
-        _assign(
-            qn.select(F.col("q_id").alias("vec_id"), F.col("q_emb").alias("emb")),
-            centroids,
-            rank=nprobe,
+        qn.join(F.broadcast(cents_df), how="cross")
+        .select(
+            "q_id",
+            "cell",
+            (-_dot_flat(F.col("q_emb"), F.col("cvec"), dim)).alias("nscore"),
         )
-        .select(F.col("vec_id").alias("q_id"), "cell")
+        .withColumn("crk", F.row_number().over(qw))
+        .where(F.col("crk") <= nprobe)
+        .select("q_id", "cell")
     )
     cand = q_cells.join(index, "cell").where(F.col("q_id") != F.col("vec_id"))
     scored = cand.join(F.broadcast(qn), "q_id").select(
         "q_id",
         F.col("vec_id").alias("n_id"),
-        F.round(_dot(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+        F.round(_dot_flat(F.col("q_emb"), F.col("emb"), dim), 6).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
     return (
@@ -130,10 +187,11 @@ def ivf_search(
     )
 
 
-# The oracle replays build_ivf_index + ivf_search exactly: normalize, seed
-# centroids from the K_CELLS lowest vec_ids, two Lloyd steps (nearest-cell
-# assignment by dot product, positional-mean update, renormalize), final
-# assignment, nprobe=2 query cells, probe-limited scoring, top-3 per query.
+# The oracle replays the pipeline exactly: normalize, seed centroids from
+# the K_CELLS lowest vec_ids of the training sample, two Lloyd steps
+# (nearest-cell assignment by dot product, positional-mean update,
+# renormalize), full-corpus assignment, nprobe=2 query cells, probe-limited
+# scoring, top-3 per query.
 _IVF_ITER = """
     a{i} AS (
         SELECT vec_id, emb, cell FROM (
@@ -142,7 +200,7 @@ _IVF_ITER = """
                        PARTITION BY b.vec_id
                        ORDER BY list_dot_product(b.emb, s.cvec) DESC, s.cell ASC
                    ) AS crk
-            FROM base b CROSS JOIN {prev} s
+            FROM tbase b CROSS JOIN {prev} s
         ) WHERE crk = 1
     ),
     m{i} AS (
@@ -168,10 +226,17 @@ _S05_ORACLE = (
                list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS emb
         FROM raw
     ),
+    tbase AS (
+        SELECT * FROM base WHERE vec_id < """
+    + str(TRAIN_SAMPLE_IDS)
+    + """
+    ),
     seed AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
                emb AS cvec
-        FROM base ORDER BY vec_id LIMIT 16
+        FROM tbase ORDER BY vec_id LIMIT """
+    + str(K_CELLS)
+    + """
     ),"""
     + _IVF_ITER.format(i=1, prev="seed")
     + ","
@@ -187,7 +252,9 @@ _S05_ORACLE = (
             FROM base b CROSS JOIN c2 s
         ) WHERE crk = 1
     ),
-    qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < 5),
+    qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < """
+    + str(N_QUERY)
+    + """),
     qc AS (
         SELECT q_id, cell FROM (
             SELECT q.q_id, c.cell,
@@ -196,7 +263,9 @@ _S05_ORACLE = (
                        ORDER BY list_dot_product(q.q_emb, c.cvec) DESC, c.cell ASC
                    ) AS crk
             FROM qv q CROSS JOIN c2 c
-        ) WHERE crk <= 2
+        ) WHERE crk <= """
+    + str(N_PROBE)
+    + """
     ),
     cand AS (
         SELECT qc.q_id, i.vec_id AS n_id,
@@ -208,7 +277,9 @@ _S05_ORACLE = (
         SELECT q_id, n_id, score,
                row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rk
         FROM cand
-    ) WHERE rk <= 3 ORDER BY q_id, rk
+    ) WHERE rk <= """
+    + str(TOP_K)
+    + """ ORDER BY q_id, rk
     """
 )
 
@@ -216,9 +287,9 @@ _S05_ORACLE = (
 @query("s05_ann_ivf", oracle=_S05_ORACLE)
 def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw IVF results (q_id, n_id, score, rk), fully oracle-backed: the
-    DuckDB CTE chain above replays seeding, both Lloyd steps, probing and
-    scoring (see module docstring for why the float paths agree).
-    tests/test_ann.py additionally pins the rows against a numpy
+    DuckDB CTE chain above replays sampled seeding, both Lloyd steps,
+    probing and scoring (see module docstring for why the float paths
+    agree). tests/test_ann.py additionally pins the rows against a numpy
     reimplementation."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -236,13 +307,14 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s06_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable IVF validation. The approximate neighbor list itself
-    can't be SQL-oracled (k-means is iterative), so this query instead
-    asserts the property that makes IVF *useful*: every returned neighbor
-    must sit inside the brute-force true top-10, computed in the same job
-    (empirically the worst true rank is 4 with K_CELLS=16/nprobe=2). A broken
-    quantizer, probe, or scoring path flips in_true_top10 / k_returned and
-    fails the driver's hash check against the constant-structure oracle."""
+    """Driver-checkable IVF validation: every returned neighbor must sit
+    inside the brute-force true top-10, computed in the same job
+    (empirically the worst true rank is 4 with K_CELLS=16/nprobe=2). A
+    broken quantizer, probe, or scoring path flips in_true_top10 /
+    k_returned and fails the driver's hash check against the
+    constant-structure oracle."""
+    from spark_streaming_logservice_spark.operators.similarity import cosine_topk
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
