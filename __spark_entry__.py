@@ -85,6 +85,11 @@ _DRIVER_PRIORITY = [
     "s07_ann_pq",
     "s08_pq_code_balance",
     "p06_mixture_upsample",
+    "d10_window_dedup",
+    "d11_incremental_dedup",
+    "t08_filter_rules",
+    "p07_balanced_shards",
+    "s09_centroid_residuals",
 ]
 
 

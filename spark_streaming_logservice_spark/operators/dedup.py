@@ -645,3 +645,150 @@ def d09_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- d10: exact substring (token-window) dedup -----------------------------
+# The Lee et al. ("Deduplicating Training Data Makes Language Models
+# Better") exact-substring pass, at token granularity: any W-token window
+# that appears verbatim in more than one document marks duplicated text.
+# Unlike MinHash (document-level, approximate), this catches copied
+# passages inside otherwise-distinct documents.
+
+WINDOW_W = 8
+
+
+def _window_hashes(text_col: str = "text", w: int = WINDOW_W) -> Column:
+    """md5 of every overlapping w-token window (step 1); docs shorter than
+    w tokens yield no windows."""
+    toks = F.split(F.col(text_col), " ")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (w - 1), F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(w)])
+        ),
+    )
+    return F.when(F.size(toks) >= w, wins).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@query(
+    "d10_window_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - {WINDOW_W - 2}, 1)),
+                    i -> md5(array_to_string(toks[i:i+{WINDOW_W - 1}], ' ')))) AS wh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), per AS (
+      SELECT doc_id, wh, count(*) AS n_pos FROM w GROUP BY doc_id, wh
+    ), dup AS (
+      SELECT wh FROM per GROUP BY wh HAVING count(*) >= 2
+    ), stats AS (
+      SELECT p.doc_id, sum(n_pos) AS n_dup FROM per p JOIN dup USING (wh)
+      GROUP BY p.doc_id
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_windows,
+           CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           round(CAST(coalesce(s.n_dup, 0) AS DOUBLE) / t.n_windows, 4) AS dup_frac
+    FROM tot t LEFT JOIN stats s ON s.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def d10_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction via exact token-window matching:
+    a window is duplicated when its hash occurs in >= 2 distinct documents.
+
+    At 100 TB: windows never leave the map side as text — only 16-byte md5
+    digests shuffle, and both aggregations (per-doc-per-window, then
+    per-window doc count) get map-side partial combine. The corpus streams
+    exactly once; the dup-window set is joined back as a semi-join on the
+    digest (bounded by the duplicated subset, not the corpus).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(_window_hashes()).alias("wh"))
+    per = w.groupBy("doc_id", "wh").agg(F.count(F.lit(1)).alias("n_pos"))
+    dup = (
+        per.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("wh")
+    )
+    stats = (
+        per.join(dup, "wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pos").alias("n_dup"))
+    )
+    tot = per.groupBy("doc_id").agg(F.sum("n_pos").alias("n_windows"))
+    return (
+        tot.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_windows"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- d11: incremental dedup (new batch vs historical corpus) ---------------
+
+@query(
+    "d11_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+    ), inc AS (
+      SELECT doc_id, source, md5(text) AS digest FROM documents
+      WHERE doc_id % 3 = 0
+    )
+    SELECT i.source,
+           count(*) AS n_incoming,
+           count(*) FILTER (WHERE h.digest IS NULL) AS n_novel,
+           round(CAST(count(*) FILTER (WHERE h.digest IS NOT NULL) AS DOUBLE)
+                 / count(*), 4) AS hist_dup_rate
+    FROM inc i LEFT JOIN hist h ON h.digest = i.digest
+    GROUP BY i.source
+    ORDER BY i.source
+    """,
+)
+def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (here doc_id % 3 == 0) checked
+    against the historical corpus's digest set, reported per source.
+
+    This is how dedup actually runs in production — nobody re-deduplicates
+    100 TB per day. History is kept as a digest-only table (16 bytes/doc);
+    at scale it is bucketed by digest so the daily increment co-partitions
+    and the lookup join shuffles only the new batch. The full corpus is
+    never re-read.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hist = (
+        d.where(F.col("doc_id") % 3 != 0)
+        .select(content_digest().alias("digest"))
+        .distinct()
+    )
+    inc = d.where(F.col("doc_id") % 3 == 0).select(
+        "source", content_digest().alias("digest")
+    )
+    h = hist.withColumn("hit", F.lit(1))
+    return (
+        inc.join(h, "digest", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.count(F.when(F.col("hit").isNull(), 1)).alias("n_novel"),
+            F.round(
+                F.count(F.when(F.col("hit").isNotNull(), 1)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("hist_dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -419,3 +419,68 @@ def p06_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "copy_idx")
         .limit(300)
     )
+
+
+# --- p07: token-balanced output sharding -----------------------------------
+# Writing a training corpus as N shards balanced by token count (so every
+# data-loader worker reads the same amount of text, not the same number of
+# documents). Sorted round-robin: rank docs by token count descending and
+# stripe rank mod N — the classic LPT-style approximation, fully
+# deterministic and SQL-expressible.
+
+N_OUT_SHARDS = 8
+
+
+@query(
+    "p07_balanced_shards",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+      FROM sized
+    )
+    SELECT CAST((rn - 1) % {N_OUT_SHARDS} AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(n_tok) AS min_tok,
+           max(n_tok) AS max_tok
+    FROM ranked
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def p07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to N output shards balanced by token count; report
+    the per-shard load so the imbalance is auditable.
+
+    The test-SF form uses one global row_number window (a single-partition
+    sort). At 100 TB the identical striping is computed distributedly: sort
+    keys range-partition (repartitionByRange on (n_tok DESC, doc_id)), each
+    partition counts locally, a prefix sum of the per-partition counts (a
+    driver-side array of O(partitions) ints) gives each partition its rank
+    offset — semantics identical, no single-node sort. The final per-shard
+    aggregate is O(N) rows either way.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias(
+            "n_tok"
+        ),
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("n_tok"), F.asc("doc_id")))
+    return (
+        sized.withColumn("shard", ((rn - 1) % N_OUT_SHARDS).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .orderBy("shard")
+    )

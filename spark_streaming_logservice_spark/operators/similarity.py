@@ -312,3 +312,86 @@ def s04_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- s09: per-label centroid residuals -------------------------------------
+# Embedding-space cluster diagnostics: the per-label centroid and how far
+# members sit from it. This is the workhorse shape behind drift monitoring,
+# outlier mining, and hard-example selection over an embedding column.
+
+@query(
+    "s09_centroid_residuals",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    ), cent AS (
+      SELECT label, i, avg(x) AS c FROM v GROUP BY label, i
+    ), carr AS (
+      SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label
+    ), dist AS (
+      SELECT e.vec_id, e.label,
+             sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  j -> (CAST(e.embedding[j] AS DOUBLE) - ca.cvec[j])
+                       * (CAST(e.embedding[j] AS DOUBLE) - ca.cvec[j]))))
+               AS r
+      FROM embeddings e JOIN carr ca ON ca.label = e.label
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(r), 4) AS mean_residual,
+           round(max(r), 4) AS max_residual
+    FROM dist
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def s09_centroid_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via dimension-wise aggregation, then each member's
+    Euclidean residual to its centroid.
+
+    100 TB shape: the centroid never round-trips through the driver and is
+    never computed per-pair — posexplode shuffles (label, dim) partial sums
+    (map-side combined, output is labels x dims rows), the assembled
+    centroid table is O(labels) rows and broadcasts, and the residual is a
+    sequential JVM fold per row (bit-reproducible, no Python). Corpus
+    streams twice (centroid pass + residual pass), shuffles only aggregates.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dims = e.select("label", F.posexplode("emb").alias("i", "x"))
+    cent = dims.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    dist = (
+        e.join(F.broadcast(carr), "label")
+        .select(
+            "label",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("emb"),
+                        F.col("cvec"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("r"),
+        )
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("r"), 4).alias("mean_residual"),
+            F.round(F.max("r"), 4).alias("max_residual"),
+        )
+        .orderBy("label")
+    )

@@ -464,3 +464,80 @@ def t05_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+# --- t08: Gopher-style filter-rule verdicts --------------------------------
+# t02 scores quality on a continuous scale; t08 is the other shape real
+# pipelines use — hard per-rule pass/fail verdicts (Gopher/MassiveText
+# repetition & length rules) plus the combined keep decision, so downstream
+# stages can filter on a boolean and audits can attribute every drop to a
+# specific rule.
+
+RULE_MIN_TOKENS = 20
+RULE_MAX_TOKENS = 100_000
+RULE_MIN_MEAN_LEN = 2.0
+RULE_MAX_MEAN_LEN = 10.0
+RULE_MIN_DISTINCT_STOP = 2
+
+
+@query(
+    "t08_filter_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''
+    ), stats AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             avg(length(token)) AS mean_len,
+             count(DISTINCT CASE WHEN token IN {STOPWORDS!r} THEN token END)
+               AS n_stop_kinds
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(mean_len, 4) AS mean_token_len,
+           CAST(n_stop_kinds AS BIGINT) AS n_stop_kinds,
+           n_tokens BETWEEN {RULE_MIN_TOKENS} AND {RULE_MAX_TOKENS} AS ok_count,
+           mean_len BETWEEN {RULE_MIN_MEAN_LEN} AND {RULE_MAX_MEAN_LEN} AS ok_mean_len,
+           n_stop_kinds >= {RULE_MIN_DISTINCT_STOP} AS ok_stopwords,
+           (n_tokens BETWEEN {RULE_MIN_TOKENS} AND {RULE_MAX_TOKENS})
+             AND (mean_len BETWEEN {RULE_MIN_MEAN_LEN} AND {RULE_MAX_MEAN_LEN})
+             AND n_stop_kinds >= {RULE_MIN_DISTINCT_STOP} AS keep
+    FROM stats
+    ORDER BY doc_id
+    LIMIT 300
+    """,
+)
+def t08_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule verdicts + combined keep flag. One explode + one grouped
+    aggregation (map-side combined); the flags are plain comparisons on the
+    aggregates, so the whole operator is a single shuffle on doc_id and
+    stays inside whole-stage codegen at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("token"))
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.length("token")).alias("mean_len"),
+        F.countDistinct(
+            F.when(F.col("token").isin(*STOPWORDS), F.col("token"))
+        ).alias("n_stop_kinds"),
+    )
+    ok_count = F.col("n_tokens").between(RULE_MIN_TOKENS, RULE_MAX_TOKENS)
+    ok_mean = F.col("mean_len").between(RULE_MIN_MEAN_LEN, RULE_MAX_MEAN_LEN)
+    ok_stop = F.col("n_stop_kinds") >= RULE_MIN_DISTINCT_STOP
+    return (
+        stats.select(
+            "doc_id",
+            "n_tokens",
+            F.round("mean_len", 4).alias("mean_token_len"),
+            "n_stop_kinds",
+            ok_count.alias("ok_count"),
+            ok_mean.alias("ok_mean_len"),
+            ok_stop.alias("ok_stopwords"),
+            (ok_count & ok_mean & ok_stop).alias("keep"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )

@@ -153,3 +153,25 @@ def test_q24_window_runs_on_aggregate_not_fact(spark, sf_dir):
     plan = pi.formatted_plan(df)
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("HashAggregate") > plan.index("Window")  # formatted plan lists top-down
+
+
+def test_d10_prunes_and_partial_aggregates(spark, sf_dir):
+    df = registry.QUERIES["d10_window_dedup"](spark, sf_dir)
+    scans = pi.read_schema_columns(df)
+    assert scans and all(cols <= {"doc_id", "text"} for cols in scans), scans
+    assert pi.has_partial_aggregation(df), "window counts must combine map-side"
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s09_centroid_broadcasts_and_partial_aggregates(spark, sf_dir):
+    df = registry.QUERIES["s09_centroid_residuals"](spark, sf_dir)
+    assert pi.uses_broadcast_join(df), "O(labels) centroid table must broadcast"
+    assert pi.has_partial_aggregation(df), "dim-wise sums must combine map-side"
+
+
+def test_d11_incremental_join_no_forced_broadcast(spark, sf_dir):
+    # history is O(corpus) digests at scale: the operator must not pin a
+    # broadcast hint on it (AQE may still pick one at test SF).
+    df = registry.QUERIES["d11_incremental_dedup"](spark, sf_dir)
+    assert pi.broadcast_hint_count(df) == 0
