@@ -247,6 +247,11 @@ def main() -> None:
         "t06_repetition_metrics",
         "t07_pii_redaction",
         "p06_mixture_upsample",
+        "d10_window_dedup",
+        "d11_incremental_dedup",
+        "t08_filter_rules",
+        "p07_balanced_shards",
+        "s09_centroid_residuals",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -708,7 +708,14 @@ def d10_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest (bounded by the duplicated subset, not the corpus).
     """
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.explode(_window_hashes()).alias("wh"))
+    # Window hashing is the expensive row-local stage (W element_at's + md5
+    # per window, interpreted transform lambda); a single parquet file scans
+    # as ONE partition on local mode, so spread the corpus across cores
+    # first. Row-local ⇒ any partitioning is oracle-equivalent.
+    par = spark.sparkContext.defaultParallelism
+    w = d.repartition(par, "doc_id").select(
+        "doc_id", F.explode(_window_hashes()).alias("wh")
+    )
     per = w.groupBy("doc_id", "wh").agg(F.count(F.lit(1)).alias("n_pos"))
     dup = (
         per.groupBy("wh")

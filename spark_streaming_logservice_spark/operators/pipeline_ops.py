@@ -484,3 +484,38 @@ def p07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def distributed_row_number(
+    df: DataFrame, sort_cols: list, out: str = "rn", partitions: int = 0
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY sort_cols)`` without a
+    single-partition sort — the 100 TB form of p07's ranking.
+
+    Two passes: (1) range-partition on the sort key so partition i holds
+    keys strictly before partition i+1, count rows per partition (an
+    O(partitions) driver array — same bounded round-trip the IVF centroid
+    table uses); (2) local row_number inside each range partition plus the
+    prefix-sum offset. Requires the sort key to be unique (ties that
+    straddle a range boundary would otherwise order arbitrarily — callers
+    append a unique id, as p07 does with doc_id).
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(n), *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = {r["__pid"]: r["cnt"] for r in
+              ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offset, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = offset
+        offset += counts[pid]
+    omap = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    local = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*sort_cols)
+    )
+    return ranged.withColumn(
+        out, (local + omap[F.col("__pid")]).cast("long")
+    ).drop("__pid")
