@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = [
     "t08_filter_rules",
     "p07_balanced_shards",
     "s09_centroid_residuals",
+    "j03_interval_overlap_join",
 ]
 
 

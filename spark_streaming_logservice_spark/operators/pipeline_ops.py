@@ -519,3 +519,97 @@ def distributed_row_number(
     return ranged.withColumn(
         out, (local + omap[F.col("__pid")]).cast("long")
     ).drop("__pid")
+
+
+# --- j03: interval-overlap join (interval x interval) ----------------------
+# j02 joins points into intervals; j03 is the harder shape — two interval
+# sets joined on OVERLAP (a_start <= b_end AND b_start <= a_end). Naive
+# Catalyst planning for that predicate is a nested-loop join; the bucketed
+# rewrite explodes each interval onto coarse time buckets and equi-joins
+# bucket-to-bucket, so candidates are local to a bucket.
+
+OVERLAP_BUCKET_US = 3_600 * 1_000_000  # 1h buckets
+INCIDENT_HALF_US = 1_800 * 1_000_000   # ±30min incident half-width
+INCIDENT_MIN_VALUE = 100.0
+DAY_US = 86_400 * 1_000_000
+
+
+@query(
+    "j03_interval_overlap_join",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events
+    ), spans AS (
+      SELECT user_id, CAST(floor(ts_us / {DAY_US}) AS BIGINT) AS day,
+             min(ts_us) AS a_start, max(ts_us) AS a_end
+      FROM ev GROUP BY 1, 2
+    ), inc AS (
+      SELECT event_id AS inc_id,
+             ts_us - {INCIDENT_HALF_US} AS i_start,
+             ts_us + {INCIDENT_HALF_US} AS i_end
+      FROM ev WHERE event_type = 'error' AND value > {INCIDENT_MIN_VALUE}
+    )
+    SELECT s.user_id, s.day, count(*) AS n_incidents
+    FROM spans s JOIN inc i ON s.a_start <= i.i_end AND i.i_start <= s.a_end
+    GROUP BY 1, 2
+    ORDER BY s.user_id, s.day
+    LIMIT 300
+    """,
+)
+def j03_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity spans overlapped with high-severity incident
+    windows: how many incidents touched each user's active period.
+
+    At 100 TB both interval sets are large (neither broadcasts), so the
+    bucket id is the shuffle key: each interval lands on the hour buckets it
+    covers, the bucket equi-join localizes candidates, the exact overlap
+    predicate filters inside the bucket, and a distinct collapses intervals
+    that share several buckets. The oracle states the same join naively —
+    correct at test SF, nested-loop at scale — which is exactly the rewrite
+    this operator exists to avoid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    spans = ev.groupBy(
+        "user_id", F.floor(F.col("ts_us") / DAY_US).cast("bigint").alias("day")
+    ).agg(F.min("ts_us").alias("a_start"), F.max("ts_us").alias("a_end"))
+    inc = ev.where(
+        (F.col("event_type") == "error") & (F.col("value") > INCIDENT_MIN_VALUE)
+    ).select(
+        F.col("event_id").alias("inc_id"),
+        (F.col("ts_us") - INCIDENT_HALF_US).alias("i_start"),
+        (F.col("ts_us") + INCIDENT_HALF_US).alias("i_end"),
+    )
+
+    def buckets(lo: str, hi: str) -> Column:
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / OVERLAP_BUCKET_US),
+                F.floor(F.col(hi) / OVERLAP_BUCKET_US),
+            )
+        )
+
+    spans_b = spans.withColumn("bucket", buckets("a_start", "a_end"))
+    inc_b = inc.withColumn("bucket", buckets("i_start", "i_end"))
+    pairs = (
+        spans_b.join(inc_b, "bucket")
+        .where(
+            (F.col("a_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("a_end"))
+        )
+        .select("user_id", "day", "inc_id")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_incidents"))
+        .orderBy("user_id", "day")
+        .limit(300)
+    )

@@ -175,3 +175,10 @@ def test_d11_incremental_join_no_forced_broadcast(spark, sf_dir):
     # broadcast hint on it (AQE may still pick one at test SF).
     df = registry.QUERIES["d11_incremental_dedup"](spark, sf_dir)
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_j03_overlap_join_is_hash_not_nested_loop(spark, sf_dir):
+    df = registry.QUERIES["j03_interval_overlap_join"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
