@@ -1,0 +1,109 @@
+"""Dedup-on-ingest semantics: cross-batch suppression against the
+persistent digest store, within-batch collapse, replay idempotency, and
+the crash-between-digests-and-marker window."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spark_streaming_logservice_spark.streaming.dedup_store import (
+    dedup_on_ingest,
+)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return str(tmp_path / "digests")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _collector():
+    forwarded: list[tuple[int, list[tuple[int, str]]]] = []
+
+    def forward(df, batch_id):
+        forwarded.append(
+            (batch_id, sorted((r.doc_id, r.text) for r in df.collect()))
+        )
+
+    return forwarded, forward
+
+
+def test_within_batch_collapse_keeps_lowest_id(spark, store):
+    forwarded, forward = _collector()
+    apply = dedup_on_ingest(forward, store)
+    apply(_batch(spark, [(5, "aa"), (3, "aa"), (7, "bb")]), 0)
+    assert forwarded == [(0, [(3, "aa"), (7, "bb")])]
+
+
+def test_cross_batch_suppression_survives_new_apply(spark, store):
+    forwarded, forward = _collector()
+    apply = dedup_on_ingest(forward, store)
+    apply(_batch(spark, [(1, "aa")]), 0)
+    # a FRESH factory instance (new run) must still see batch 0's digests
+    forwarded2, forward2 = _collector()
+    apply2 = dedup_on_ingest(forward2, store)
+    apply2(_batch(spark, [(2, "aa"), (3, "cc")]), 1)
+    assert forwarded2 == [(1, [(3, "cc")])]
+
+
+def test_replay_of_committed_batch_is_noop(spark, store):
+    forwarded, forward = _collector()
+    apply = dedup_on_ingest(forward, store)
+    b = _batch(spark, [(1, "aa")])
+    apply(b, 0)
+    apply(b, 0)
+    assert len(forwarded) == 1
+
+
+def test_crash_between_digests_and_marker_replays_clean(spark, store):
+    forwarded, forward = _collector()
+    apply = dedup_on_ingest(forward, store)
+    apply(_batch(spark, [(1, "aa")]), 0)
+    # simulate the crash window: digests landed, marker lost
+    os.remove(os.path.join(store, "q-batch-0.done"))
+    apply(_batch(spark, [(1, "aa")]), 0)
+    # replay forwards nothing new (its own digests are in the store) and
+    # completes the marker; later batches still dedup correctly
+    assert forwarded == [(0, [(1, "aa")]), (0, [])]
+    assert os.path.exists(os.path.join(store, "q-batch-0.done"))
+    apply(_batch(spark, [(2, "aa"), (9, "zz")]), 1)
+    assert forwarded[-1] == (1, [(9, "zz")])
+
+
+def test_two_namespaced_queries_share_one_store(spark, store):
+    fa, forward_a = _collector()
+    fb, forward_b = _collector()
+    qa = dedup_on_ingest(forward_a, store, namespace="qa")
+    qb = dedup_on_ingest(forward_b, store, namespace="qb")
+    qa(_batch(spark, [(1, "aa")]), 0)
+    # qb's batch 0 must NOT be mistaken for qa's replay, and must see qa's
+    # digests (shared corpus memory)
+    qb(_batch(spark, [(2, "aa"), (3, "bb")]), 0)
+    assert fa == [(0, [(1, "aa")])]
+    assert fb == [(0, [(3, "bb")])]
+
+
+def test_end_to_end_streaming_dedup(spark, store, tmp_path):
+    """Drive dedup_on_ingest through a real Structured Streaming query."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _batch(spark, [(1, "aa"), (2, "aa"), (3, "bb")]).write.mode(
+        "overwrite"
+    ).json(src)
+    forwarded, forward = _collector()
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+        .writeStream.foreachBatch(dedup_on_ingest(forward, store))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = {t for _, rows in forwarded for t in rows}
+    assert seen == {(1, "aa"), (3, "bb")}
