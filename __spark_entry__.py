@@ -91,6 +91,8 @@ _DRIVER_PRIORITY = [
     "p07_balanced_shards",
     "s09_centroid_residuals",
     "j03_interval_overlap_join",
+    "s10_pq_rerank",
+    "e06_daily_anomalies",
 ]
 
 

@@ -319,7 +319,7 @@ _PQ_BASE = (
     )"""
 )
 
-_S07_ORACLE = (
+_PQ_PARTS = (
     _PQ_BASE
     + """,
     qsubs AS (
@@ -340,7 +340,12 @@ _S07_ORACLE = (
                max(CASE WHEN t.sub = 3 THEN partial END) AS t3
         FROM codes k JOIN tbl t ON t.sub = k.sub AND t.code = k.code
         GROUP BY t.q_id, k.vec_id
-    )
+    )"""
+)
+
+_S07_ORACLE = (
+    _PQ_PARTS
+    + """
     SELECT q_id, n_id, adc_score, rk FROM (
         SELECT q_id, n_id, round(t0 + t1 + t2 + t3, 6) AS adc_score,
                row_number() OVER (
@@ -401,4 +406,86 @@ def s08_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.groupBy("sub", "code")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("sub", "code")
+    )
+
+
+# --- s10: PQ candidates + exact rerank --------------------------------------
+# The standard two-stage retrieval: ADC over compressed codes produces a
+# cheap candidate set, exact cosine reranks only those candidates. At 100 TB
+# the corpus is touched once with 4-byte codes (stage 1) and only O(q x C)
+# full vectors rehydrate for stage 2 — fetched by key from a corpus bucketed
+# on vec_id, so the rerank join is shuffle-free on the big side.
+
+RERANK_CANDIDATES = 20
+
+_S10_ORACLE = (
+    _PQ_PARTS
+    + """,
+    cand AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY round(t0 + t1 + t2 + t3, 6) DESC, n_id ASC
+                   ) AS rk
+            FROM parts WHERE q_id <> n_id
+        ) WHERE rk <= """
+    + str(RERANK_CANDIDATES)
+    + """
+    ),
+    rer AS (
+        SELECT c.q_id, c.n_id,
+               round(list_dot_product(qb.emb, nb.emb), 6) AS exact_score
+        FROM cand c
+          JOIN base qb ON qb.vec_id = c.q_id
+          JOIN base nb ON nb.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, exact_score, rk FROM (
+        SELECT q_id, n_id, exact_score,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY exact_score DESC, n_id ASC
+               ) AS rk
+        FROM rer
+    ) WHERE rk <= """
+    + str(TOP_K)
+    + """
+    ORDER BY q_id, rk
+    """
+)
+
+
+@query("s10_pq_rerank", oracle=_S10_ORACLE)
+def s10_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: PQ-ADC top-RERANK_CANDIDATES per query, exact
+    normalized-dot rerank to TOP_K. The candidate set is O(q x C) rows and
+    broadcasts to the corpus-side key lookup; the exact product is the same
+    flat left fold the brute-force path uses (bit-aligned with
+    list_dot_product)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.where(F.col("vec_id") < N_QUERY)
+    cand = pq_search(e, queries, top_k=RERANK_CANDIDATES).select("q_id", "n_id")
+    dim = _dim(e)
+    base = _normalized_base(e, dim)
+    nb = base.select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"))
+    qb = base.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    rer = (
+        nb.join(F.broadcast(cand), "n_id")
+        .join(F.broadcast(qb), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot_cols_flat(F.col("q_emb"), F.col("n_emb"), dim), 6
+            ).alias("exact_score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("exact_score"), F.asc("n_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("q_id", "rk")
     )

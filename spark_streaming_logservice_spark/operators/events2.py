@@ -186,3 +186,71 @@ def e05_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+# --- e06: trailing-window anomaly flags ------------------------------------
+
+@query(
+    "e06_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, day, n,
+             avg(n) OVER w AS t_avg,
+             stddev_samp(n) OVER w AS t_sd,
+             count(*) OVER w AS t_cnt
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n,
+           round(t_avg, 4) AS trailing_avg,
+           round((n - t_avg) / t_sd, 4) AS zscore,
+           abs((n - t_avg) / t_sd) > 2 AS is_anomaly
+    FROM stats
+    WHERE t_cnt = 7 AND t_sd > 0
+    ORDER BY event_type, day
+    """,
+)
+def e06_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event volumes flagged against a trailing 7-day
+    baseline (z-score > 2) — the standard ops-dashboard anomaly query.
+
+    Scale: the windowed stats run on the DAILY AGGREGATE (types × days
+    rows), not the raw events — one shuffle to build the daily rollup with
+    map-side combine, then a per-type window over a tiny relation."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("t_avg"),
+        F.stddev_samp("n").over(w).alias("t_sd"),
+        F.count(F.lit(1)).over(w).alias("t_cnt"),
+    )
+    z = (F.col("n") - F.col("t_avg")) / F.col("t_sd")
+    return (
+        stats.where((F.col("t_cnt") == 7) & (F.col("t_sd") > 0))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("t_avg", 4).alias("trailing_avg"),
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

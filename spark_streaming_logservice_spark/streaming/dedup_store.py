@@ -33,6 +33,7 @@ write to the logstore sink). Ordering is forward → digests → marker:
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame
@@ -86,6 +87,11 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(digest_dir, exist_ok=True)
+        # sweep staging orphans from crashed attempts (same recovery rule as
+        # the logstore sink: anything not renamed to final never happened)
+        for f in os.listdir(digest_dir):
+            if f.startswith("_staging"):
+                shutil.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
         marker = os.path.join(digest_dir, f"{namespace}-batch-{batch_id}.done")
         if os.path.exists(marker):
             return

@@ -107,3 +107,14 @@ def test_end_to_end_streaming_dedup(spark, store, tmp_path):
     q.awaitTermination(120)
     seen = {t for _, rows in forwarded for t in rows}
     assert seen == {(1, "aa"), (3, "bb")}
+
+
+def test_orphaned_staging_swept_on_next_apply(spark, store):
+    forwarded, forward = _collector()
+    apply = dedup_on_ingest(forward, store)
+    apply(_batch(spark, [(1, "aa")]), 0)
+    orphan = os.path.join(store, "_staging-99-dead")
+    os.makedirs(orphan)
+    apply(_batch(spark, [(2, "bb")]), 1)
+    assert not os.path.exists(orphan)
+    assert forwarded[-1] == (1, [(2, "bb")])
