@@ -51,8 +51,10 @@ def load_all() -> None:
         pipeline_ops,
         relational,
         relational2,
+        semdedup,
         similarity,
         source_queries,
         sql_api,
         text,
+        vocab,
     )

@@ -182,3 +182,14 @@ def test_j03_overlap_join_is_hash_not_nested_loop(spark, sf_dir):
     plan = pi.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_s11_semdedup_pairs_join_on_cell_not_cartesian(spark, sf_dir):
+    """The within-cell triangle must be a hash join keyed by cell; the only
+    permitted cross join is the broadcast k-row centroid relation."""
+    df = registry.QUERIES["s11_semdedup"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+        "cell-keyed self-join must be a shuffle hash/merge join, got:\n" + plan
+    )
