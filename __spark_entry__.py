@@ -93,6 +93,14 @@ _DRIVER_PRIORITY = [
     "j03_interval_overlap_join",
     "s10_pq_rerank",
     "e06_daily_anomalies",
+    # new in round 4 (round 3's driver check never ran, so rounds 3+4
+    # additions all still need their first CORRECTNESS row)
+    "s11_semdedup",
+    "s12_semdedup_report",
+    "v01_vocab_topk",
+    "v02_bpe_pair_counts",
+    "p08_pergroup_sample",
+    "t09_length_percentiles",
 ]
 
 

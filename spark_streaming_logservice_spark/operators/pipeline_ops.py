@@ -613,3 +613,44 @@ def j03_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "day")
         .limit(300)
     )
+
+
+# --- p08: deterministic per-group exact-k sample ---------------------------
+
+PER_GROUP_K = 10
+
+
+@query(
+    "p08_pergroup_sample",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('p08:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) AS INTEGER) AS rk
+        FROM documents
+    ) WHERE rk <= {PER_GROUP_K}
+    ORDER BY lang, rk
+    """,
+)
+def p08_pergroup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per language, chosen by md5 rank — the deterministic
+    equivalent of per-stratum reservoir sampling (same uniform-without-
+    replacement distribution, but reproducible across engines and runs).
+
+    Scale: one shuffle keyed by lang; the rank-filter window compiles to
+    Spark 4's WindowGroupLimit, which keeps a k-row heap per group on the
+    MAP side before the shuffle — so shuffle volume is O(groups × k), not
+    O(corpus), even when one language dominates (plan-pinned in
+    tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("p08:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PER_GROUP_K)
+        .orderBy("lang", "rk")
+    )

@@ -541,3 +541,39 @@ def t08_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(300)
     )
+
+
+@query(
+    "t09_length_percentiles",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 6) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 6) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 6) AS p99
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t09_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: exact interpolated
+    percentiles (the corpus-curation statistic behind length filters).
+
+    Both engines define percentile_cont/percentile identically (linear
+    interpolation over the sorted group), so the oracle is exact. Scale:
+    exact percentiles require the group's values together — one shuffle by
+    lang; for 100 TB monitoring the approx_percentile sketch (l12's HLL
+    cousin) is the mergeable map-side alternative, traded here for
+    oracle-exactness."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("lang")
+    )

@@ -193,3 +193,20 @@ def test_s11_semdedup_pairs_join_on_cell_not_cartesian(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
         "cell-keyed self-join must be a shuffle hash/merge join, got:\n" + plan
     )
+
+
+def test_p08_rank_filter_uses_window_group_limit(spark, sf_dir):
+    """The per-group k-sample must compile to WindowGroupLimit (map-side
+    k-row heap per group before the shuffle) — O(groups x k) shuffle volume."""
+    df = registry.QUERIES["p08_pergroup_sample"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_v01_vocab_partial_agg_and_topk(spark, sf_dir):
+    """Wordcount bound: partial aggregation before the token shuffle, and
+    the head is TakeOrdered, never a global sort."""
+    df = registry.QUERIES["v01_vocab_topk"](spark, sf_dir)
+    assert pi.has_partial_aggregation(df)
+    plan = pi.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
