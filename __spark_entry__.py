@@ -101,6 +101,8 @@ _DRIVER_PRIORITY = [
     "v02_bpe_pair_counts",
     "p08_pergroup_sample",
     "t09_length_percentiles",
+    "v03_tfidf_top_terms",
+    "s13_int8_quantize",
 ]
 
 

@@ -395,3 +395,60 @@ def s09_centroid_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- s13: symmetric int8 embedding quantization ----------------------------
+
+
+@query(
+    "s13_int8_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM base
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qvec
+        FROM scaled
+    )
+    SELECT vec_id, round(scale, 9) AS scale, qvec,
+           CAST(list_max(list_transform(qvec, v -> abs(v))) AS INTEGER) AS q_absmax
+    FROM q ORDER BY vec_id
+    """,
+)
+def s13_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) — 8× memory compression for ANN serving
+    (the storage format faiss/ScaNN use for flat int8 indexes).
+
+    floor(x/scale + 0.5) is written explicitly in BOTH engines instead of
+    round(): Spark rounds HALF_UP via BigDecimal while DuckDB rounds
+    half-away-from-zero in C — the floor form is the same bit pattern
+    everywhere. Row-local, zero shuffles: runs inside whole-stage codegen
+    on the scan at any corpus size. q_absmax is a self-check column (always
+    127 unless the vector is all-zero)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scale = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))) / F.lit(127.0)
+    scaled = e.select("vec_id", "e", scale.alias("scale"))
+    qvec = F.transform(
+        F.col("e"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    return (
+        scaled.select("vec_id", "scale", qvec.alias("qvec"))
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            "qvec",
+            F.array_max(F.transform(F.col("qvec"), lambda v: F.abs(v))).alias(
+                "q_absmax"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -110,3 +110,74 @@ def v01_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v02_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(load_table(spark, sf_dir, "documents").select("text"))
+
+
+# --- v03: TF-IDF top terms per document ------------------------------------
+
+TFIDF_TOP = 3
+
+
+@query(
+    "v03_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, round(tfidf, 6) AS tfidf, rk FROM (
+        SELECT doc_id, token, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+               ) AS INTEGER) AS rk
+        FROM scored
+    ) WHERE rk <= {TFIDF_TOP}
+    ORDER BY doc_id, rk
+    """,
+)
+def v03_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document (smoothed idf, sklearn's
+    ln((N+1)/(df+1))+1): the classic relevance/keyword-extraction statistic.
+
+    Scale shape: tf is one (doc_id, token) shuffle with partial agg; df is
+    one token shuffle over the already-aggregated tf relation (never
+    re-reads the corpus); the tf-df join is token-keyed shuffle hash (both
+    sides are aggregates, co-partitioned by the join key); N arrives as a
+    1-row broadcast. The per-doc rank filter compiles to WindowGroupLimit,
+    so only k rows per doc survive to the final shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n), how="cross")
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP)
+        .select("doc_id", "token", F.round("tfidf", 6).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
