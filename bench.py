@@ -252,6 +252,14 @@ def main() -> None:
         "t08_filter_rules",
         "p07_balanced_shards",
         "s09_centroid_residuals",
+        # round 4
+        "s11_semdedup",
+        "v01_vocab_topk",
+        "v02_bpe_pair_counts",
+        "v03_tfidf_top_terms",
+        "p08_pergroup_sample",
+        "t09_length_percentiles",
+        "s13_int8_quantize",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

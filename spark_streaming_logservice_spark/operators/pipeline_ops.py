@@ -654,3 +654,58 @@ def p08_pergroup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= PER_GROUP_K)
         .orderBy("lang", "rk")
     )
+
+
+# --- p09: Z-order (Morton) layout key --------------------------------------
+
+Z_BITS = 16
+
+
+def _interleave_expr(a: str, b: str, bits: int = Z_BITS) -> str:
+    """SQL expression interleaving the low ``bits`` of two ints: bit i of
+    ``a`` lands at 2i, of ``b`` at 2i+1 — the Morton / Z-order curve key.
+    Flat shift-and-mask sum (codegen-resident; same arithmetic runs in
+    DuckDB exactly, 64-bit throughout)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a} >> {i}) & 1)) * {1 << (2 * i)})")
+        terms.append(f"(((({b} >> {i}) & 1)) * {1 << (2 * i + 1)})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "p09_zorder_key",
+    oracle=f"""
+    SELECT event_id,
+           CAST(user_id & 65535 AS BIGINT) AS a,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) & 65535 AS BIGINT) AS b,
+           {_interleave_expr('(user_id & 65535)', '(CAST(floor(epoch(ts)) AS BIGINT) & 65535)')} AS zval
+    FROM events
+    WHERE event_id < 500
+    ORDER BY zval, event_id
+    """,
+)
+def p09_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, event-time): writing
+    files sorted by zval gives every file a narrow min/max envelope on BOTH
+    dimensions, so parquet row-group stats prune scans filtered on either —
+    the multi-dimensional analog of partition pruning (Delta/Iceberg
+    OPTIMIZE ZORDER does exactly this).
+
+    Scale shape: the key is pure row-local bit arithmetic inside
+    whole-stage codegen; the layout job is one range-partitioned sort by
+    zval (repartitionByRange + sortWithinPartitions — no global sort
+    barrier). Correctness of the interleave is oracle-exact; the locality
+    property is pinned in tests/test_pipeline_ops2.py."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    a = F.col("user_id").bitwiseAND(F.lit(65535)).cast("bigint")
+    b = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
+    ).cast("bigint").bitwiseAND(F.lit(65535))
+    keyed = e.select(
+        "event_id",
+        a.alias("a"),
+        b.alias("b"),
+        F.expr(_interleave_expr("(user_id & 65535)", "(CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS BIGINT) & 65535)")).alias("zval"),
+    )
+    return keyed.orderBy("zval", "event_id")
