@@ -41,35 +41,41 @@ HEADLINE = [
 
 
 def _prev_bench() -> dict | None:
-    """Latest BENCH_r{N}.json next to this script, for round-over-round
-    deltas (VERDICT r1 item 9)."""
+    """Most recent *parseable* BENCH_r{N}.json next to this script, for
+    round-over-round deltas (VERDICT r1 item 9). Walks rounds newest-first:
+    a round whose stdout tail got truncated (r4's full-detail line outgrew
+    the driver's ~2 KB capture → ``parsed: null`` and a clipped tail) is
+    skipped rather than silently killing the comparison."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
+    rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
-    if best is None:
-        return None
-    try:
-        with open(best) as f:
-            d = json.load(f)
-    except (OSError, ValueError):
-        return None
-    if isinstance(d, dict) and isinstance(d.get("queries"), dict):
-        return d
-    # driver artifact shape: our JSON line is embedded in the "tail" string
-    if isinstance(d, dict) and isinstance(d.get("tail"), str):
-        for line in reversed(d["tail"].splitlines()):
-            line = line.strip()
-            if line.startswith("{") and '"headline_queries_total"' in line:
-                try:
-                    return json.loads(line)
-                except ValueError:
-                    continue
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(d, dict) and isinstance(d.get("queries"), dict):
+            return d
+        if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
+            p = d["parsed"]
+            if isinstance(p.get("queries"), dict):
+                return p
+        # driver artifact shape: our JSON line embedded in the "tail" string
+        if isinstance(d, dict) and isinstance(d.get("tail"), str):
+            for line in reversed(d["tail"].splitlines()):
+                line = line.strip()
+                if line.startswith("{") and '"headline_queries_total"' in line:
+                    try:
+                        return json.loads(line)
+                    except ValueError:
+                        continue
     return None
 
 
@@ -297,7 +303,45 @@ def main() -> None:
         }
         if isinstance(prev.get("value"), (int, float)):
             out["vs_prev_total"] = round(out["value"] - prev["value"], 3)
-    print(json.dumps(out))
+
+    # Full detail goes to a side file; stdout gets a COMPACT line. The
+    # driver keeps only the last ~2 KB of stdout — r4's full-detail line
+    # (~2.8 KB) was clipped mid-line and recorded as ``parsed: null``.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "runs": out["runs"],
+        "agg": out["agg"],
+    }
+    scale = out.get("scale", {})
+    if isinstance(scale.get("value"), (int, float)):
+        compact["scale_total"] = scale["value"]
+        compact["scale_factor"] = scale["factor"]
+    extras_d = out.get("extra_operators", {}).get("queries", {})
+    if extras_d:
+        compact["extras_total"] = round(sum(extras_d.values()), 3)
+        compact["extras_n"] = len(extras_d)
+    stream = out.get("streaming", {})
+    if isinstance(stream.get("rows_per_sec"), (int, float)):
+        compact["stream_rows_per_sec"] = stream["rows_per_sec"]
+    if "vs_prev_total" in out:
+        compact["vs_prev_total"] = out["vs_prev_total"]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail capture
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -416,7 +416,8 @@ def s09_centroid_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qvec
         FROM scaled
     )
-    SELECT vec_id, round(scale, 9) AS scale, qvec,
+    SELECT vec_id, round(scale, 9) AS scale,
+           array_to_string(qvec, ',') AS qvec_csv,
            CAST(list_max(list_transform(qvec, v -> abs(v))) AS INTEGER) AS q_absmax
     FROM q ORDER BY vec_id
     """,
@@ -431,7 +432,13 @@ def s13_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-away-from-zero in C — the floor form is the same bit pattern
     everywhere. Row-local, zero shuffles: runs inside whole-stage codegen
     on the scan at any corpus size. q_absmax is a self-check column (always
-    127 unless the vector is all-zero)."""
+    127 unless the vector is all-zero).
+
+    The code vector is emitted as a CSV string (``qvec_csv``) rather than an
+    ``array<int>`` column: the driver's canonicalizer sorts result values
+    through pandas, which cannot hash/sort Python lists — r4's only red row
+    was exactly this. The string form is also what a downstream engine-
+    portable export (CSV/JSONL) would carry."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -445,7 +452,9 @@ def s13_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round("scale", 9).alias("scale"),
-            "qvec",
+            F.array_join(F.col("qvec").cast("array<string>"), ",").alias(
+                "qvec_csv"
+            ),
             F.array_max(F.transform(F.col("qvec"), lambda v: F.abs(v))).alias(
                 "q_absmax"
             ),
