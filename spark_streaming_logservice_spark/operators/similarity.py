@@ -28,8 +28,17 @@ TOP_K = 5
 N_PLANES = 8  # leading dims whose sign pattern forms the LSH cell
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential double-precision dot product (JVM, no Python)."""
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential double-precision dot product (JVM, no Python). With a
+    known ``dim`` the fold is expanded to flat ``element_at`` arithmetic —
+    same left-fold order, bit-identical result, but it stays inside
+    whole-stage codegen instead of the interpreted HOF evaluator (~10×
+    measured on the PQ/IVF paths, same lesson applied here in r5)."""
+    if dim:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -37,21 +46,42 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            x = F.element_at(a, i + 1)
+            acc = acc + x * x
+        return F.sqrt(acc)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _probe_dim(e: DataFrame, col: str = "embedding") -> int | None:
+    """Embedding width from ONE row (O(1) at any corpus size — not an agg
+    over the table). Uniform dimensionality is already a precondition of
+    every vector op here."""
+    row = e.select(F.size(F.col(col)).alias("d")).limit(1).first()
+    return int(row["d"]) if row and row["d"] is not None else None
+
+
 def cosine_topk(
-    emb: DataFrame, queries: DataFrame, k: int = TOP_K
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k of ``queries`` against ``emb`` (both with
-    columns vec_id, embedding: array<double>)."""
+    columns vec_id, embedding: array<double>).
+
+    Norms are projected ONCE per vector on each side before the join —
+    the join then does one dot product per pair instead of recomputing
+    both norms pair-wise (same doubles multiplied, value-identical)."""
     q = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
+    ).withColumn("q_nrm", _norm(F.col("q_emb"), dim))
     c = emb.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
-    )
+    ).withColumn("n_nrm", _norm(F.col("n_emb"), dim))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -60,8 +90,8 @@ def cosine_topk(
             "q_id",
             "n_id",
             F.round(
-                _dot(F.col("q_emb"), F.col("n_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
+                _dot(F.col("q_emb"), F.col("n_emb"), dim)
+                / (F.col("q_nrm") * F.col("n_nrm")),
                 6,
             ).alias("score"),
         )
@@ -106,9 +136,9 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return cosine_topk(e, e.where(F.col("vec_id") < N_QUERY)).select(
-        "q_id", "n_id", "score", "rk"
-    )
+    return cosine_topk(
+        e, e.where(F.col("vec_id") < N_QUERY), dim=_probe_dim(e)
+    ).select("q_id", "n_id", "score", "rk")
 
 
 # --- s02: LSH-bucketed ANN -------------------------------------------------
@@ -134,13 +164,14 @@ def adaptive_n_planes(n: int, dim: int) -> int:
     return min(max(N_PLANES, math.ceil(math.log2(x))), dim)
 
 
-def _corpus_planes(e: DataFrame) -> int:
-    """One scalar-aggregate driver round-trip (count + dim), same class as
-    the IVF k-row centroid collect — not a data collect."""
+def _corpus_stats(e: DataFrame) -> tuple[int, int | None]:
+    """(planes, dim) from one scalar-aggregate driver round-trip (count +
+    dim), same class as the IVF k-row centroid collect — not a data
+    collect. dim feeds the flat-arithmetic dot/norm expansion."""
     row = e.select(
         F.count(F.lit(1)).alias("n"), F.min(F.size("emb")).alias("dim")
     ).first()
-    return adaptive_n_planes(row["n"] or 0, row["dim"] or N_PLANES)
+    return adaptive_n_planes(row["n"] or 0, row["dim"] or N_PLANES), row["dim"]
 
 
 def _cell_expr(planes: int) -> Column:
@@ -194,7 +225,10 @@ def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cells = e.withColumn("cell", _cell_expr(_corpus_planes(e)))
+    planes, dim = _corpus_stats(e)
+    cells = e.withColumn("cell", _cell_expr(planes)).withColumn(
+        "nrm", _norm(F.col("emb"), dim)
+    )
     a = cells.where(F.col("vec_id") < 4 * N_QUERY).alias("a")
     b = cells.alias("b")
     scored = (
@@ -207,8 +241,8 @@ def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("q_id"),
             F.col("b.vec_id").alias("n_id"),
             F.round(
-                _dot(F.col("a.emb"), F.col("b.emb"))
-                / (_norm(F.col("a.emb")) * _norm(F.col("b.emb"))),
+                _dot(F.col("a.emb"), F.col("b.emb"), dim)
+                / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("score"),
         )
@@ -251,7 +285,10 @@ def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cells = e.withColumn("cell", _cell_expr(_corpus_planes(e)))
+    planes, dim = _corpus_stats(e)
+    cells = e.withColumn("cell", _cell_expr(planes)).withColumn(
+        "nrm", _norm(F.col("emb"), dim)
+    )
     a = cells.alias("a")
     b = cells.alias("b")
     return (
@@ -264,8 +301,8 @@ def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
-                _dot(F.col("a.emb"), F.col("b.emb"))
-                / (_norm(F.col("a.emb")) * _norm(F.col("b.emb"))),
+                _dot(F.col("a.emb"), F.col("b.emb"), dim)
+                / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("cosine"),
         )
@@ -295,14 +332,18 @@ def s04_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    dim = _probe_dim(e, "emb")
+    if dim:
+        sum_c: Column = F.lit(0.0)
+        for i in range(dim):
+            sum_c = sum_c + F.element_at("emb", i + 1)
+    else:
+        sum_c = F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, x: acc + x)
     return (
         e.select(
             "label",
-            _norm(F.col("emb")).alias("nrm"),
-            (
-                F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, x: acc + x)
-                / F.size("emb")
-            ).alias("mean_c"),
+            _norm(F.col("emb"), dim).alias("nrm"),
+            (sum_c / F.size("emb")).alias("mean_c"),
         )
         .groupBy("label")
         .agg(
@@ -369,22 +410,22 @@ def s09_centroid_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
         ).alias("cvec")
     )
-    dist = (
-        e.join(F.broadcast(carr), "label")
-        .select(
-            "label",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("emb"),
-                        F.col("cvec"),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("r"),
+    dim = _probe_dim(e, "emb")
+    if dim:
+        ss: Column = F.lit(0.0)
+        for i in range(dim):
+            d = F.element_at("emb", i + 1) - F.element_at("cvec", i + 1)
+            ss = ss + d * d
+    else:
+        ss = F.aggregate(
+            F.zip_with(
+                F.col("emb"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+    dist = e.join(F.broadcast(carr), "label").select(
+        "label", F.sqrt(ss).alias("r")
     )
     return (
         dist.groupBy("label")
