@@ -1,0 +1,114 @@
+"""Change-data-capture / slowly-changing-dimension operators.
+
+A training-data or analytics store ingests changelogs: per-key streams of
+updates that must be collapsed into (a) the current snapshot ("upsert
+latest wins") and (b) SCD-type-2 validity intervals for time-travel joins.
+The reference engine leaves this to downstream consumers of its log
+(UserGuide's Hive-sink recipes); here both shapes are first-class
+DataFrame operators.
+
+Spark-first shape: one window per key ordered by (event time, tiebreak id)
+— a single hash-partition shuffle on the key, no self-join, no collect.
+``lead(ts)`` closes each interval; the current row is the one with no
+successor. At 100 TB the shuffle is keyed by user_id (high cardinality, no
+hot keys in a changelog), and the window never materializes more than one
+partition's rows per task — the same plan Spark uses for sessionization
+(operators/log_queries.py l07).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_streaming_logservice_spark.registry import query
+from spark_streaming_logservice_spark.tables import load_table
+
+# Event types treated as attribute updates in the changelog interpretation
+# of the events table (signup sets the initial value, purchase updates it).
+_UPDATE_TYPES = ("signup", "purchase")
+
+
+def scd2_intervals(changes: DataFrame, key: str, ts: str, tiebreak: str) -> DataFrame:
+    """SCD-2: each change row becomes a validity interval
+    ``[valid_from, valid_to)``; the open interval (``valid_to IS NULL``) is
+    the current row. Deterministic under same-timestamp updates via the
+    ``tiebreak`` column (a unique id)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    nxt = F.lead(F.col(ts)).over(w)
+    return changes.select(
+        key,
+        tiebreak,
+        F.col(ts).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def upsert_latest(changes: DataFrame, key: str, ts: str, tiebreak: str) -> DataFrame:
+    """Current snapshot: the last change per key wins (MERGE INTO ...
+    WHEN MATCHED UPDATE collapsed over a whole changelog). One window +
+    filter — at scale this beats ``groupBy(max_by)`` only when the full
+    row must survive; Spark plans both as a single shuffle."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(tiebreak).desc())
+    return (
+        changes.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+@query(
+    "c01_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def c01_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a changelog of a per-user attribute → SCD-2 intervals."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(*_UPDATE_TYPES)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "c02_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    )
+    WHERE rn = 1
+    """,
+)
+def c02_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot of the same changelog (MERGE INTO semantics)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(*_UPDATE_TYPES))
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+    return upsert_latest(e, key="user_id", ts="ts", tiebreak="event_id")

@@ -254,3 +254,59 @@ def e06_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- e07: hypertable-style multi-resolution rollup -------------------------
+# TimescaleDB-style continuous-aggregate hierarchy: minute → hour → day,
+# where each coarser level is computed FROM the next finer aggregate, not
+# from raw rows. At 100 TB this is the difference between one shuffle over
+# the corpus (minute grain) plus two shuffles over ~minutes-of-history
+# (tiny), versus three full-corpus shuffles for three independent groupBys.
+# Counts are decomposable (sum of partials), so the rollup is exact.
+
+@query(
+    "e07_multires_rollup",
+    oracle="""
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS bucket,
+             count(*) AS n_events,
+             count(*) FILTER (WHERE event_type = 'error') AS n_errors
+      FROM events GROUP BY 1
+    ), hour AS (
+      SELECT date_trunc('hour', bucket) AS bucket,
+             sum(n_events) AS n_events, sum(n_errors) AS n_errors
+      FROM minute GROUP BY 1
+    ), day AS (
+      SELECT date_trunc('day', bucket) AS bucket,
+             sum(n_events) AS n_events, sum(n_errors) AS n_errors
+      FROM hour GROUP BY 1
+    )
+    SELECT 'hour' AS resolution, bucket, n_events, n_errors FROM hour
+    UNION ALL
+    SELECT 'day' AS resolution, bucket, n_events, n_errors FROM day
+    ORDER BY resolution, bucket
+    """,
+)
+def e07_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-grain base aggregate, then hour and day rolled up from it.
+
+    The minute relation is the only corpus-sized shuffle; hour and day
+    re-aggregate the (already tiny) previous level. Emits hour+day levels
+    (the minute level is the internal base table, analogous to a
+    hypertable's raw chunks).
+    """
+    e = load_table(spark, sf_dir, "events")
+    minute = e.groupBy(F.date_trunc("minute", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("n_errors").alias("n_errors")
+    )
+    day = hour.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("n_errors").alias("n_errors")
+    )
+    out = hour.select(F.lit("hour").alias("resolution"), "bucket", "n_events", "n_errors").unionAll(
+        day.select(F.lit("day").alias("resolution"), "bucket", "n_events", "n_errors")
+    )
+    return out.orderBy("resolution", "bucket")

@@ -44,6 +44,7 @@ def load_all() -> None:
     from spark_streaming_logservice_spark.operators import (  # noqa: F401
         ann_ivf,
         ann_pq,
+        cdc,
         dedup,
         events2,
         log_queries,

@@ -39,21 +39,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries ts as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as long nanos and floor-convert to
-    microsecond timestamp_ntz (matching DuckDB's ns→µs truncation).
+    """events.parquet has shipped with two physical types for ts across
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects — read as long nanos and floor-convert, matching DuckDB's
+    ns→µs truncation) and plain TIMESTAMP(MICROS) (read natively). Dispatch
+    on the type Spark actually infers so both generations load.
 
-    Integer `div` (not double division) — epoch-nanos exceed double's 53-bit
-    mantissa."""
+    Integer `div` (not double division) in the nanos path — epoch-nanos
+    exceed double's 53-bit mantissa."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
