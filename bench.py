@@ -266,6 +266,13 @@ def main() -> None:
         "p08_pergroup_sample",
         "t09_length_percentiles",
         "s13_int8_quantize",
+        # round 5
+        "g01_pagerank",
+        "q25_salted_skew_join",
+        "e07_multires_rollup",
+        "c01_scd2_intervals",
+        "s14_dim_stats",
+        "t10_unigram_logprob",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

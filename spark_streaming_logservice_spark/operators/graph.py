@@ -118,3 +118,125 @@ def connected_components(
         .union(e.select(F.col("dst").alias("node"), F.col("dst").alias("component")))
         .distinct()
     )
+
+
+# --- g01: PageRank (fixed-iteration, oracle-checkable) ---------------------
+# The canonical iterative join-aggregate workload. Spark-first shape per
+# iteration: edges ⋈ ranks on src (hash shuffle), groupBy dst (partial agg),
+# left join back to the node set — three stages, all codegen'd. The edge
+# relation is cached once and reused across iterations; ranks are
+# localCheckpoint'd per round so the plan (and task binaries) stay O(1) in
+# the iteration count instead of growing a lineage chain.
+#
+# 100 TB notes: ranks is O(nodes) and edges O(edges); neither is collected
+# or broadcast. Degree skew (a celebrity node) makes one hot reduce key in
+# the contribution agg — partial aggregation absorbs it map-side because
+# the key space is nodes, the classic wordcount bound. Deterministic at the
+# oracle level: contributions are summed doubles, so parity holds at 4-dp
+# rounding (same discipline as the jaccard/cosine operators).
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
+             checkpoint: bool = True) -> DataFrame:
+    """(node, pr) after ``iterations`` synchronous updates of
+    pr(v) = (1-d) + d * Σ_{u→v} pr(u)/outdeg(u), pr₀ = 1.0.
+    Dangling-node mass is dropped (both engines implement the same formula,
+    so parity is exact)."""
+    F_ = F
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F_.col("src").alias("node"))
+        .union(edges.select(F_.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F_.count(F_.lit(1)).alias("outdeg"))
+    # edge+outdeg is the loop-invariant relation: cache it once
+    ed = edges.join(deg, "src").select("src", "dst", "outdeg")
+    ed = ed.persist()
+    nodes = nodes.persist()
+    ranks = nodes.select("node", F_.lit(1.0).alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F_.col("dst").alias("node"), (F_.col("pr") / F_.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F_.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F_.lit(1.0 - damping)
+                    + F_.lit(damping) * F_.coalesce(F_.col("inflow"), F_.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def _supplier_customer_edges(spark, sf_dir):
+    from spark_streaming_logservice_spark.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _register_g01() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    _PR_ITER = """
+      SELECT n.node,
+             CAST(0.15 AS DOUBLE)
+             + CAST(0.85 AS DOUBLE) * coalesce(sum(p.pr / d.outdeg), 0) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN deg d ON d.src = e.src
+      LEFT JOIN {prev} p ON p.node = e.src
+      GROUP BY n.node
+    """
+
+    oracle = f"""
+    WITH edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+      SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+    ), pr0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+    ), pr1 AS ({_PR_ITER.format(prev="pr0")}
+    ), pr2 AS ({_PR_ITER.format(prev="pr1")}
+    ), pr3 AS ({_PR_ITER.format(prev="pr2")})
+    SELECT node, round(pr, 4) AS pagerank
+    FROM pr3 ORDER BY pagerank DESC, node LIMIT 20
+    """
+
+    @query("g01_pagerank", oracle=oracle)
+    def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """3-iteration PageRank over the supplier→customer ship graph.
+        Checkpointing disabled here: at 3 iterations the lineage is small,
+        and the driver re-plans the query from scratch per run."""
+        edges = _supplier_customer_edges(spark, sf_dir)
+        ranks = pagerank(edges, iterations=3, checkpoint=False)
+        return (
+            ranks.select("node", F.round("pr", 4).alias("pagerank"))
+            .orderBy(F.desc("pagerank"), F.asc("node"))
+            .limit(20)
+        )
+
+
+_register_g01()

@@ -502,3 +502,46 @@ def s13_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- s14: per-dimension embedding statistics --------------------------------
+# Embedding-column profiling: per-dimension mean/std/min/max — the input to
+# whitening, quantizer calibration (s13's int8 scale), and drift monitors.
+# posexplode is row-local (no shuffle until the dim-keyed agg); the agg key
+# space is the dimensionality (tiny), so partial aggregation collapses the
+# corpus map-side and the shuffle carries O(partitions × dims) rows at any
+# corpus size.
+
+@query(
+    "s14_dim_stats",
+    oracle="""
+    WITH v AS (
+      SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    )
+    SELECT CAST(i AS INTEGER) AS dim, count(*) AS n,
+           round(avg(x), 4) AS mean_x,
+           round(stddev_pop(x), 4) AS std_x,
+           round(min(x), 4) AS min_x,
+           round(max(x), 4) AS max_x
+    FROM v GROUP BY i ORDER BY dim
+    """,
+)
+def s14_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .select((F.col("pos") + 1).cast("int").alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 4).alias("mean_x"),
+            F.round(F.stddev_pop("x"), 4).alias("std_x"),
+            F.round(F.min("x"), 4).alias("min_x"),
+            F.round(F.max("x"), 4).alias("max_x"),
+        )
+        .orderBy("dim")
+    )

@@ -52,3 +52,51 @@ def salted_join(
     d = explode_dim(dim, n)
     joined = f.join(d, [key, "__salt__"], how)
     return joined.drop("__salt__")
+
+
+def _register_q25() -> None:
+    """q25: the salted-join path proved equivalent to the plain join.
+
+    The oracle is the UNSALTED join — the whole point of salting is that the
+    result is identical while the hot key's rows spread over n reducers. At
+    100 TB this is the mitigation for a power-law fact key that AQE's
+    skew-split can't fix (e.g. when the skew is in the *build* of a
+    downstream agg, not the join itself)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.registry import query
+    from spark_streaming_logservice_spark.tables import load_table
+
+    @query(
+        "q25_salted_skew_join",
+        oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )
+    def q25_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+        )
+        dim = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        j = salted_join(l, dim, on="l_orderkey", spread_col="l_partkey", n=8)
+        return (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+
+_register_q25()

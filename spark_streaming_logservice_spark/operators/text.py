@@ -577,3 +577,60 @@ def t09_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- t10: unigram language-model scoring ------------------------------------
+# CCNet-style perplexity filtering, reduced to its distributed skeleton: fit
+# a unigram LM over the corpus (one wordcount shuffle — the model IS the
+# vocab relation), then score every document by its mean token surprisal
+# -ln p(token). Low-probability-dense docs are the quality-filter rejects.
+#
+# 100 TB: the model relation is vocabulary-sized, so the score join is
+# AQE-broadcastable when the vocab is small and a plain token-keyed shuffle
+# join otherwise; in a production pipeline the fitted model would be
+# checkpointed once and reused across scoring runs rather than recomputed
+# (here it's inline so the operator is a self-contained query).
+
+@query(
+    "t10_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), model AS (
+      SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), total AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM model
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(-ln(CAST(m.cnt AS DOUBLE) / (SELECT n FROM total))), 4)
+             AS avg_neg_logp
+    FROM tok t JOIN model m USING (token)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("double").alias("n"))
+    nlp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    return (
+        tok.join(model, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nlp.alias("nlp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nlp"), 4).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )

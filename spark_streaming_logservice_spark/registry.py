@@ -47,6 +47,7 @@ def load_all() -> None:
         cdc,
         dedup,
         events2,
+        graph,
         log_queries,
         multimodal,
         pipeline_ops,
@@ -54,6 +55,7 @@ def load_all() -> None:
         relational2,
         semdedup,
         similarity,
+        skew,
         source_queries,
         sql_api,
         text,
