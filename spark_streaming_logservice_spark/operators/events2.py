@@ -257,12 +257,13 @@ def e06_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- e07: hypertable-style multi-resolution rollup -------------------------
-# TimescaleDB-style continuous-aggregate hierarchy: minute → hour → day,
-# where each coarser level is computed FROM the next finer aggregate, not
-# from raw rows. At 100 TB this is the difference between one shuffle over
-# the corpus (minute grain) plus two shuffles over ~minutes-of-history
-# (tiny), versus three full-corpus shuffles for three independent groupBys.
-# Counts are decomposable (sum of partials), so the rollup is exact.
+# TimescaleDB-style continuous-aggregate hierarchy: minute → {hour, day},
+# where the coarser levels are computed FROM the minute-grain base
+# aggregate, not from raw rows. At 100 TB this is the difference between
+# ONE corpus scan + one corpus shuffle (minute grain) plus one shuffle over
+# ~minutes-of-history (tiny), versus a corpus scan+shuffle per level for
+# independent groupBys. Counts are decomposable (sum of partials), so the
+# rollup is exact.
 
 @query(
     "e07_multires_rollup",
@@ -288,25 +289,41 @@ def e06_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e07_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minute-grain base aggregate, then hour and day rolled up from it.
-
-    The minute relation is the only corpus-sized shuffle; hour and day
-    re-aggregate the (already tiny) previous level. Emits hour+day levels
-    (the minute level is the internal base table, analogous to a
-    hypertable's raw chunks).
-    """
+    """Minute-grain base aggregate, then hour and day rolled up from it in
+    one pass (explode to level keys + re-aggregate). The minute relation is
+    the only corpus-sized scan/shuffle. Emits hour+day levels (the minute
+    level is the internal base table, analogous to a hypertable's raw
+    chunks)."""
     e = load_table(spark, sf_dir, "events")
     minute = e.groupBy(F.date_trunc("minute", "ts").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
     )
-    hour = minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
-        F.sum("n_events").alias("n_events"), F.sum("n_errors").alias("n_errors")
+    # A naive union of per-level groupBys re-scans the corpus once per level;
+    # instead every minute row fans out to its (resolution, bucket) pairs —
+    # a row-local 2-way explode over the already-tiny base aggregate — and
+    # one second (tiny) shuffle produces all coarser levels together.
+    levels = minute.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hour").alias("resolution"),
+                    F.date_trunc("hour", "bucket").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("day").alias("resolution"),
+                    F.date_trunc("day", "bucket").alias("bucket"),
+                ),
+            )
+        ).alias("rb"),
+        "n_events",
+        "n_errors",
     )
-    day = hour.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
-        F.sum("n_events").alias("n_events"), F.sum("n_errors").alias("n_errors")
+    return (
+        levels.groupBy(
+            F.col("rb.resolution").alias("resolution"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("n_errors").alias("n_errors"))
+        .orderBy("resolution", "bucket")
     )
-    out = hour.select(F.lit("hour").alias("resolution"), "bucket", "n_events", "n_errors").unionAll(
-        day.select(F.lit("day").alias("resolution"), "bucket", "n_events", "n_errors")
-    )
-    return out.orderBy("resolution", "bucket")

@@ -210,3 +210,44 @@ def test_v01_vocab_partial_agg_and_topk(spark, sf_dir):
     assert pi.has_partial_aggregation(df)
     plan = pi.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_e07_rollup_single_corpus_scan(spark, sf_dir):
+    # hypertable rollup must read events ONCE: both levels derive from the
+    # minute base aggregate (a 2-level union re-scans the corpus per level)
+    df = registry.QUERIES["e07_multires_rollup"](spark, sf_dir)
+    scans = pi.read_schema_columns(df)
+    assert len(scans) == 1, f"expected one events scan, got {len(scans)}"
+    assert scans[0] <= {"ts", "event_type"}, scans
+
+
+def test_q25_salted_join_no_forced_broadcast(spark, sf_dir):
+    df = registry.QUERIES["q25_salted_skew_join"](spark, sf_dir)
+    assert pi.broadcast_hint_count(df) == 0
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(df)
+
+
+def test_g01_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
+    # the loop-invariant edge+outdeg relation must come from cache, not a
+    # fresh parquet scan per iteration
+    df = registry.QUERIES["g01_pagerank"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+
+
+def test_s14_dim_stats_partial_agg(spark, sf_dir):
+    df = registry.QUERIES["s14_dim_stats"](spark, sf_dir)
+    assert pi.has_partial_aggregation(df), "dim agg must combine map-side"
+    scans = pi.read_schema_columns(df)
+    assert scans and all(cols <= {"embedding"} for cols in scans), scans
+
+
+def test_t10_unigram_prunes_and_no_cartesian(spark, sf_dir):
+    df = registry.QUERIES["t10_unigram_logprob"](spark, sf_dir)
+    scans = pi.read_schema_columns(df)
+    assert scans and all(cols <= {"doc_id", "text"} for cols in scans), scans
+    # the only nested-loop is the 1-row total broadcast; a corpus-sized
+    # cartesian would be a CartesianProduct node
+    assert "CartesianProduct" not in pi.formatted_plan(df)
