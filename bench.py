@@ -273,6 +273,8 @@ def main() -> None:
         "c01_scd2_intervals",
         "s14_dim_stats",
         "t10_unigram_logprob",
+        "p10_weighted_sample",
+        "e08_conversion_funnel_7d",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

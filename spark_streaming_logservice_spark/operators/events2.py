@@ -327,3 +327,64 @@ def e07_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_events").alias("n_events"), F.sum("n_errors").alias("n_errors"))
         .orderBy("resolution", "bucket")
     )
+
+
+# --- e08: time-bounded multi-step conversion funnel -------------------------
+# signup → click (≤7d) → purchase (≤7d after the click): each stage joins
+# the event stream against the previous stage's per-user anchor timestamp.
+# All three stages key on user_id, so Spark plans ONE hash partitioning
+# reused across the chained joins/aggregates (no re-shuffle between
+# stages); the stage relations shrink monotonically, and at 100 TB the
+# later joins are anchor-sized, not corpus-sized.
+
+@query(
+    "e08_conversion_funnel_7d",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s0.t0 AND e.ts <= s0.t0 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s0) AS n_signup,
+           (SELECT count(*) FROM s1) AS n_click_7d,
+           (SELECT count(*) FROM s2) AS n_purchase_7d
+    """,
+)
+def e08_conversion_funnel_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAY")
+    s0 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    s1 = (
+        e.where(F.col("event_type") == "click")
+        .join(s0, "user_id")
+        .where((F.col("ts") > F.col("t0")) & (F.col("ts") <= F.col("t0") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((s0, "n_signup"), (s1, "n_click_7d"), (s2, "n_purchase_7d"))
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])

@@ -709,3 +709,43 @@ def p09_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_interleave_expr("(user_id & 65535)", "(CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS BIGINT) & 65535)")).alias("zval"),
     )
     return keyed.orderBy("zval", "event_id")
+
+
+# --- p10: weighted sampling without replacement -----------------------------
+# Efraimidis–Spirakis (IPL 2006) exponential-key reservoir: each row draws a
+# key ln(u)/w (u uniform, w its weight) and the k LARGEST keys form an exact
+# weighted sample without replacement. Distributed shape: the key is a
+# row-local expression and the top-k is TakeOrdered (per-partition heap +
+# driver merge of k) — no global sort, no shuffle of the corpus, and the
+# sample is a pure function of doc_id so any engine reproduces it
+# byte-for-byte. Weight here = n_chars (longer docs proportionally more
+# likely — the shape of quality- or token-weighted subset selection).
+
+@query(
+    "p10_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ln((('0x' || substr(md5('p10:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+              / 4294967296.0) / n_chars AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def p10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("p10:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 1) / F.lit(4294967296.0)  # (0, 1]: +1 avoids ln(0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(100)
+    )
