@@ -156,6 +156,49 @@ def _streaming_bench(spark, tmp_root: str, max_per_trigger: int = 65_536) -> dic
     }
 
 
+def _sink_bench(spark, tmp_root: str, n_rows: int = 262_144, n_shards: int = 4) -> dict:
+    """Write-path throughput: n_rows through the Arrow batch writer (KV
+    flattening + md5 shard routing + staged publish) into a FRESH store.
+    The input DataFrame is materialized to parquet first so the timed span
+    is the sink, not the row generator."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.sources.logstore import LogstoreDataSource
+
+    spark.dataSource.register(LogstoreDataSource)
+    src = os.path.join(tmp_root, "sink-src.parquet")
+    if not os.path.exists(src):
+        (
+            spark.range(n_rows)
+            .select(
+                F.concat(F.lit("m"), F.col("id")).alias("msg"),
+                F.col("id").cast("string").alias("k"),
+                (F.lit(1_700_000_000) + (F.col("id") % 100)).alias("t"),
+            )
+            .repartition(n_shards)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    df = spark.read.parquet(src)
+    df.count()  # warm the scan
+    store = os.path.join(tmp_root, "sink-store")
+    shutil.rmtree(store, ignore_errors=True)
+    t0 = _t.perf_counter()
+    (
+        df.write.format("logstore")
+        .option("path", store)
+        .option("shards", str(n_shards))
+        .option("timecolumn", "t")
+        .mode("append")
+        .save()
+    )
+    dt = _t.perf_counter() - t0
+    return {"rows": n_rows, "sec": round(dt, 3), "rows_per_sec": round(n_rows / dt, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -303,6 +346,18 @@ def main() -> None:
     except Exception as ex:
         out["streaming"] = {"error": f"{type(ex).__name__}: {ex}"}
 
+    # Sink write-path throughput (the reference's envelope bounds ingest,
+    # not just scan — BASELINE.md producer rows/sec has no published number,
+    # so this records ours).
+    try:
+        import tempfile
+
+        out["sink"] = _sink_bench(
+            spark, os.path.join(tempfile.gettempdir(), "spark_graft_sinkbench")
+        )
+    except Exception as ex:
+        out["sink"] = {"error": f"{type(ex).__name__}: {ex}"}
+
     prev = _prev_bench()
     if prev and isinstance(prev.get("queries"), dict):
         out["vs_prev"] = {
@@ -344,6 +399,9 @@ def main() -> None:
     stream = out.get("streaming", {})
     if isinstance(stream.get("rows_per_sec"), (int, float)):
         compact["stream_rows_per_sec"] = stream["rows_per_sec"]
+    sink = out.get("sink", {})
+    if isinstance(sink.get("rows_per_sec"), (int, float)):
+        compact["sink_rows_per_sec"] = sink["rows_per_sec"]
     if "vs_prev_total" in out:
         compact["vs_prev_total"] = out["vs_prev_total"]
     line = json.dumps(compact)
