@@ -57,52 +57,40 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
 # changed this round, so that after round 3 every query has at least one
 # driver-green row. The registry itself stays in module order.
 _DRIVER_PRIORITY = [
-    # never driver-checked after rounds 1-2
-    "q08_market_share",
-    "q09_product_profit",
-    "q17_small_quantity_revenue",
-    "q24_cheapest_supplier_per_part",
-    "sr03_logstore_value_roundtrip",
-    "sql01_grouped_filter",
-    "sql02_cte_window_join",
-    "sql03_case_classification",
-    "sql04_recursive_month_gaps",
-    "sql05_grouping_sets",
-    "t01_text_stats",
-    "t02_quality_score",
-    "t03_token_count",
-    "t04_fingerprint",
-    "t05_langid_confusion",
-    # oracle restructured in round 3 — needs a fresh driver row
-    "s05_ann_ivf",
-    "s06_ann_ivf_recall",
-    # new in round 3
-    "m04_video_frame_sample",
-    "d08_dedup_clusters",
-    "d09_dedup_survivors",
-    "t06_repetition_metrics",
-    "t07_pii_redaction",
-    "s07_ann_pq",
-    "s08_pq_code_balance",
-    "p06_mixture_upsample",
-    "d10_window_dedup",
-    "d11_incremental_dedup",
-    "t08_filter_rules",
-    "p07_balanced_shards",
-    "s09_centroid_residuals",
-    "j03_interval_overlap_join",
-    "s10_pq_rerank",
-    "e06_daily_anomalies",
-    # new in round 4 (round 3's driver check never ran, so rounds 3+4
-    # additions all still need their first CORRECTNESS row)
-    "s11_semdedup",
-    "s12_semdedup_report",
-    "v01_vocab_topk",
-    "v02_bpe_pair_counts",
-    "p08_pergroup_sample",
-    "t09_length_percentiles",
-    "v03_tfidf_top_terms",
+    # never driver-checked after rounds 1/2/4 (r3's check never ran):
+    # the round-5 additions, p09 (registered late in r4), and s13 (errored
+    # in r4's harness canonicalization, since fixed to a CSV projection)
     "s13_int8_quantize",
+    "p09_zorder_key",
+    "c01_scd2_intervals",
+    "c02_upsert_latest",
+    "e07_multires_rollup",
+    "e08_conversion_funnel_7d",
+    "g01_pagerank",
+    "p10_weighted_sample",
+    "q25_salted_skew_join",
+    "s14_dim_stats",
+    "t10_unigram_logprob",
+    # then one representative per family so a 50-query sample still spans
+    # the whole surface (all already driver-green in r01/r02/r04)
+    "q01_pricing_summary",
+    "q08_market_share",
+    "l02_tumbling_window_hourly",
+    "l07_sessionize",
+    "e02_daily_error_rate",
+    "d01_exact_dedup",
+    "d04_minhash_lsh_pairs",
+    "s01_cosine_topk",
+    "s05_ann_ivf",
+    "s07_ann_pq",
+    "s11_semdedup",
+    "t01_text_stats",
+    "v01_vocab_topk",
+    "p01_stratified_sample",
+    "j01_asof_join",
+    "m01_multimodal_decode",
+    "sr01_logstore_typed_agg",
+    "sql04_recursive_month_gaps",
 ]
 
 
