@@ -349,6 +349,7 @@ def main() -> None:
         "t10_unigram_logprob",
         "p10_weighted_sample",
         "e08_conversion_funnel_7d",
+        "d12_minhash_calibration",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

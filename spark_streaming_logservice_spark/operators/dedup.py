@@ -799,3 +799,76 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- d12: MinHash estimate vs exact Jaccard (LSH calibration) ---------------
+# Dedup-parameter engineering: for every LSH candidate pair, compare the
+# signature-agreement estimate (fraction of k MinHash positions that agree —
+# an unbiased estimator of Jaccard) against the exact token Jaccard. The
+# abs-error column is what you tune k and the banding scheme against before
+# committing to a 100 TB run. Reuses the d04 candidate/verification chain;
+# the signature relation joins in twice (O(candidates) rows each side).
+
+@query(
+    "d12_minhash_calibration",
+    oracle=_duckdb_minhash_cte()
+    + _DUCKDB_LSH_PAIR_CTES
+    + """
+    , scored AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST((CASE WHEN sa2.mh0 = sb2.mh0 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh1 = sb2.mh1 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh2 = sb2.mh2 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh3 = sb2.mh3 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh4 = sb2.mh4 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh5 = sb2.mh5 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh6 = sb2.mh6 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh7 = sb2.mh7 THEN 1 ELSE 0 END) AS DOUBLE)
+               / 8.0 AS est_jaccard,
+             CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter)
+               AS exact_jaccard
+      FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        JOIN sig sa2 ON sa2.doc_id = i.doc_a
+        JOIN sig sb2 ON sb2.doc_id = i.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(est_jaccard, 4) AS est_jaccard,
+           round(exact_jaccard, 4) AS exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+    FROM scored
+    ORDER BY abs_err DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
+def d12_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d)
+    sig = minhash_signature(d)
+    agree = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = agree.cast("double") / float(N_MINHASH)
+    scored = (
+        pairs.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_raw"),
+            F.col("jaccard").alias("exact_raw"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            F.round("est_raw", 4).alias("est_jaccard"),
+            F.round("exact_raw", 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_raw") - F.col("exact_raw")), 4).alias("abs_err"),
+        )
+        .orderBy(F.desc("abs_err"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )
