@@ -89,3 +89,28 @@ def test_multires_rollup_levels_are_consistent(spark, sf_dir):
         by_res[r["resolution"]] = by_res.get(r["resolution"], 0) + r["n_events"]
     # every level re-aggregates the same corpus: totals must agree exactly
     assert by_res["hour"] == by_res["day"]
+
+
+def test_driver_sample_prefix_covers_unchecked_queries():
+    """The driver verifies a 50-query prefix of queries(); every query
+    without a CORRECTNESS row across r01/r02/r04 must sit inside it."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = set()
+    for r in ("01", "02", "04"):
+        p = os.path.join(here, f"CORRECTNESS_r{r}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                for k, v in json.load(f).items():
+                    if v.get("hash_match") or v.get("rows_match"):
+                        checked.add(k)
+    prefix = list(entry.queries())[:50]
+    never = [q for q in entry.queries() if q not in checked]
+    missing = [q for q in never if q not in prefix]
+    assert not missing, f"never-driver-checked queries outside the 50-prefix: {missing}"
