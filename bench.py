@@ -350,6 +350,8 @@ def main() -> None:
         "p10_weighted_sample",
         "e08_conversion_funnel_7d",
         "d12_minhash_calibration",
+        "l16_windowed_heavy_hitters",
+        "v04_vocab_coverage",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

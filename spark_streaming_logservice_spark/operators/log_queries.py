@@ -549,3 +549,40 @@ def l14_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+# --- l16: windowed heavy hitters -------------------------------------------
+# Top-3 event types per hour — the standard "what's hot right now" log
+# dashboard query. The rank filter compiles to WindowGroupLimit: each map
+# task keeps a 3-row heap per (hour) group before the shuffle, so the
+# window shuffle carries O(hours × k), not the per-type counts. The count
+# agg underneath is the only corpus-sized shuffle.
+
+@query(
+    "l16_windowed_heavy_hitters",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT hour, event_type, n,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY n DESC, event_type) AS rk
+      FROM hourly
+    )
+    SELECT hour, event_type, n, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY hour, rk
+    """,
+)
+def l16_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .orderBy("hour", "rk")
+    )

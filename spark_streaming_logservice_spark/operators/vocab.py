@@ -181,3 +181,63 @@ def v03_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", F.round("tfidf", 6).alias("tfidf"), "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# --- v04: vocabulary coverage curve -----------------------------------------
+# Tokenizer sizing: what fraction of all corpus token OCCURRENCES does a
+# top-N vocabulary cover (equivalently 1 - OOV rate at vocab size N)?
+# One wordcount shuffle builds the frequency relation; the cumulative sum
+# runs over the vocab-sized aggregate (a single-partition window over
+# thousands of rows, not the corpus), and the curve is probed at standard
+# cut points. The 1-row total joins in as a broadcast.
+
+_CUTS = (5, 10, 25, 50, 100, 1000)
+
+
+@query(
+    "v04_vocab_coverage",
+    oracle=f"""
+    WITH freq AS (
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY token
+    ), ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+             sum(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    ), total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq)
+    SELECT CAST(rk AS INTEGER) AS vocab_size,
+           round(cum / (SELECT n FROM total), 6) AS coverage
+    FROM ranked
+    WHERE rk IN {_CUTS}
+    ORDER BY vocab_size
+    """,
+)
+def v04_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    total = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        ranked.where(F.col("rk").isin(*_CUTS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rk").cast("int").alias("vocab_size"),
+            F.round(F.col("cum") / F.col("n"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
