@@ -71,6 +71,9 @@ _DRIVER_PRIORITY = [
     "q25_salted_skew_join",
     "s14_dim_stats",
     "t10_unigram_logprob",
+    "d12_minhash_calibration",
+    "l16_windowed_heavy_hitters",
+    "v04_vocab_coverage",
     # then one representative per family so a 50-query sample still spans
     # the whole surface (all already driver-green in r01/r02/r04)
     "q01_pricing_summary",
