@@ -313,10 +313,7 @@ def s06_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken quantizer, probe, or scoring path flips in_true_top10 /
     k_returned and fails the driver's hash check against the
     constant-structure oracle."""
-    from spark_streaming_logservice_spark.operators.similarity import (
-        _probe_dim,
-        cosine_topk,
-    )
+    from spark_streaming_logservice_spark.operators.similarity import cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -327,7 +324,6 @@ def s06_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", F.col("emb").alias("embedding")),
         q.select("vec_id", F.col("emb").alias("embedding")),
         k=10,
-        dim=_probe_dim(e, "emb"),
     ).select("q_id", "n_id", F.lit(True).alias("hit"))
     return (
         ivf.join(truth, ["q_id", "n_id"], "left")

@@ -275,11 +275,13 @@ def e06_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     ), hour AS (
       SELECT date_trunc('hour', bucket) AS bucket,
-             sum(n_events) AS n_events, sum(n_errors) AS n_errors
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(sum(n_errors) AS BIGINT) AS n_errors
       FROM minute GROUP BY 1
     ), day AS (
       SELECT date_trunc('day', bucket) AS bucket,
-             sum(n_events) AS n_events, sum(n_errors) AS n_errors
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(sum(n_errors) AS BIGINT) AS n_errors
       FROM hour GROUP BY 1
     )
     SELECT 'hour' AS resolution, bucket, n_events, n_errors FROM hour

@@ -457,13 +457,12 @@ def p07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign documents to N output shards balanced by token count; report
     the per-shard load so the imbalance is auditable.
 
-    The test-SF form uses one global row_number window (a single-partition
-    sort). At 100 TB the identical striping is computed distributedly: sort
-    keys range-partition (repartitionByRange on (n_tok DESC, doc_id)), each
-    partition counts locally, a prefix sum of the per-partition counts (a
-    driver-side array of O(partitions) ints) gives each partition its rank
-    offset — semantics identical, no single-node sort. The final per-shard
-    aggregate is O(N) rows either way.
+    Ranking runs through ``distributed_row_number`` — range-partition on
+    (n_tok DESC, doc_id), local row_number per range, broadcast prefix-sum
+    offsets — so there is NO single-partition global sort anywhere in the
+    plan (pinned by test_plans.test_p07_no_global_window); the striping is
+    identical to ``row_number() OVER (ORDER BY n_tok DESC, doc_id)``. The
+    final per-shard aggregate is O(N) rows.
     """
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
@@ -472,9 +471,11 @@ def p07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tok"
         ),
     )
-    rn = F.row_number().over(Window.orderBy(F.desc("n_tok"), F.asc("doc_id")))
+    ranked = distributed_row_number(
+        sized, [F.desc("n_tok"), F.asc("doc_id")], out="rn"
+    )
     return (
-        sized.withColumn("shard", ((rn - 1) % N_OUT_SHARDS).cast("int"))
+        ranked.withColumn("shard", ((F.col("rn") - 1) % N_OUT_SHARDS).cast("int"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -487,38 +488,62 @@ def p07_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def distributed_row_number(
-    df: DataFrame, sort_cols: list, out: str = "rn", partitions: int = 0
+    df: DataFrame,
+    sort_cols: list,
+    out: str = "rn",
+    partitions: int = 0,
+    cumsum_col: str | None = None,
+    cumsum_out: str = "cum",
 ) -> DataFrame:
-    """Exact global ``row_number() OVER (ORDER BY sort_cols)`` without a
-    single-partition sort — the 100 TB form of p07's ranking.
+    """Exact global ``row_number() OVER (ORDER BY sort_cols)`` — and
+    optionally the running ``sum(cumsum_col)`` over the same order — without
+    a single-partition sort; the 100 TB form of p07's ranking and v04's
+    coverage cumsum.
 
     Two passes: (1) range-partition on the sort key so partition i holds
-    keys strictly before partition i+1, count rows per partition (an
-    O(partitions) driver array — same bounded round-trip the IVF centroid
-    table uses); (2) local row_number inside each range partition plus the
-    prefix-sum offset. Requires the sort key to be unique (ties that
-    straddle a range boundary would otherwise order arbitrarily — callers
-    append a unique id, as p07 does with doc_id).
+    keys strictly before partition i+1, count rows (and sum ``cumsum_col``)
+    per partition — an O(partitions) driver array, same bounded round-trip
+    the IVF centroid table uses; (2) local row_number / running sum inside
+    each range partition plus the broadcast prefix offsets. Requires the
+    sort key to be unique (ties that straddle a range boundary would
+    otherwise order arbitrarily — callers append a unique id, as p07 does
+    with doc_id and v04 with token).
     """
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(n), *sort_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    counts = {r["__pid"]: r["cnt"] for r in
-              ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offset, offsets = 0, {}
-    for pid in sorted(counts):
-        offsets[pid] = offset
-        offset += counts[pid]
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if cumsum_col is not None:
+        aggs.append(F.sum(cumsum_col).alias("s"))
+    stats = {
+        r["__pid"]: r for r in ranged.groupBy("__pid").agg(*aggs).collect()
+    }
+    row_off, sum_off = {}, {}
+    acc_rows, acc_sum = 0, 0
+    for pid in sorted(stats):
+        row_off[pid] = acc_rows
+        acc_rows += stats[pid]["cnt"]
+        if cumsum_col is not None:
+            sum_off[pid] = acc_sum
+            acc_sum += stats[pid]["s"] or 0
     omap = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        *[F.lit(x) for pid in sorted(row_off) for x in (pid, row_off[pid])]
     )
-    local = F.row_number().over(
-        Window.partitionBy("__pid").orderBy(*sort_cols)
-    )
-    return ranged.withColumn(
-        out, (local + omap[F.col("__pid")]).cast("long")
-    ).drop("__pid")
+    pw = Window.partitionBy("__pid").orderBy(*sort_cols)
+    local = F.row_number().over(pw)
+    ranked = ranged.withColumn(out, (local + omap[F.col("__pid")]).cast("long"))
+    if cumsum_col is not None:
+        smap = F.create_map(
+            *[F.lit(x) for pid in sorted(sum_off) for x in (pid, sum_off[pid])]
+        )
+        local_cum = F.sum(cumsum_col).over(
+            pw.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        ranked = ranked.withColumn(
+            cumsum_out, local_cum + smap[F.col("__pid")]
+        )
+    return ranked.drop("__pid")
 
 
 # --- j03: interval-overlap join (interval x interval) ----------------------

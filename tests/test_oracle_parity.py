@@ -77,6 +77,35 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_oracle_types_are_pandas_safe(sf_dir):
+    """Guard against the e07/s13 failure class: DuckDB's sum() over integer
+    columns returns HUGEINT (and exact arithmetic can yield DECIMAL), which
+    the driver's pandas canonicalization renders as float ("364.0") while
+    Spark prints "364" — a hash mismatch on byte-identical values that the
+    stringify-based parity normalizer above cannot see. Binding an oracle
+    (rel.types) is plan-only, so this is a cheap whole-surface sweep; any
+    HUGEINT/DECIMAL output column must be CAST in the oracle SQL."""
+    # l06 deliberately exercises the reference's DecimalType converter with a
+    # symmetric DECIMAL(12,2) cast on BOTH sides (log_queries.py:209,246) —
+    # that case canonicalizes identically (driver-green since r1).
+    allowed = {("l06_converter_battery", "c_decimal")}
+    con = _duck_con(sf_dir)
+    offenders = []
+    for name in QUERY_NAMES:
+        if name not in registry.ORACLES:
+            continue
+        rel = con.sql(registry.ORACLES[name])
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if ("HUGEINT" in t or "DECIMAL" in t) and (name, col) not in allowed:
+                offenders.append((name, col, t))
+    con.close()
+    assert not offenders, (
+        "oracle columns with pandas-unsafe DuckDB types (CAST them): "
+        f"{offenders}"
+    )
+
+
 def test_short_documents_yield_no_shingles(spark):
     """<3-token docs must produce ZERO shingles (Spark side previously
     emitted a degenerate 1-2-token shingle the SQL oracle never builds)."""

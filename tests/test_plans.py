@@ -244,6 +244,15 @@ def test_s14_dim_stats_partial_agg(spark, sf_dir):
     assert scans and all(cols <= {"embedding"} for cols in scans), scans
 
 
+@pytest.mark.parametrize("name", ["v04_vocab_coverage", "p07_balanced_shards"])
+def test_no_global_single_partition_window(spark, sf_dir, name):
+    """Rank/cumsum must be the distributed two-pass form: a partition-less
+    WindowExec funnels the entire relation (1e8-1e9 distinct tokens at
+    100 TB for v04; every document for p07) through ONE task."""
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert pi.global_window_count(df) == 0, pi.formatted_plan(df)[:3000]
+
+
 def test_t10_unigram_prunes_and_no_cartesian(spark, sf_dir):
     df = registry.QUERIES["t10_unigram_logprob"](spark, sf_dir)
     scans = pi.read_schema_columns(df)
