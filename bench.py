@@ -169,7 +169,9 @@ def _sink_bench(spark, tmp_root: str, n_rows: int = 262_144, n_shards: int = 4) 
     from spark_streaming_logservice_spark.sources.logstore import LogstoreDataSource
 
     spark.dataSource.register(LogstoreDataSource)
-    src = os.path.join(tmp_root, "sink-src.parquet")
+    # params in the path: a stale fixture from a run with different
+    # n_rows/n_shards must never be timed against the current row count
+    src = os.path.join(tmp_root, f"sink-src-{n_rows}x{n_shards}.parquet")
     if not os.path.exists(src):
         (
             spark.range(n_rows)
@@ -212,6 +214,67 @@ def _sink_bench(spark, tmp_root: str, n_rows: int = 262_144, n_shards: int = 4) 
     )
     dt = _t.perf_counter() - t0
     return {"rows": n_rows, "sec": round(dt, 3), "rows_per_sec": round(n_rows / dt, 1)}
+
+
+def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) -> dict:
+    """Throughput of the two stateful-maintenance streaming paths over the
+    bench-SF tables, driven as foreachBatch calls (the same code path the
+    stream executes, without trigger-scheduling noise):
+    - incremental rollup (streaming/rollup.py): events split into
+      ``n_batches`` micro-batches, each merged into the persistent
+      minute-grain table (aggregate + base∪delta re-aggregate + atomic swap).
+    - dedup-on-ingest (streaming/dedup_store.py): documents split likewise,
+      each batch anti-joined against the accumulated digest store, novel
+      rows forwarded (materialized) and their digests appended."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.streaming.dedup_store import dedup_on_ingest
+    from spark_streaming_logservice_spark.streaming.rollup import (
+        incremental_rollup_writer,
+    )
+    from spark_streaming_logservice_spark.tables import load_table
+
+    out: dict = {}
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
+    n_events = events.count()  # warm the scan; rows/s denominator
+    table = os.path.join(tmp_root, "rollup-table")
+    shutil.rmtree(table, ignore_errors=True)
+    writer = incremental_rollup_writer(table)
+    t0 = _t.perf_counter()
+    for b in range(n_batches):
+        writer(events.where(F.col("event_id") % n_batches == b), b)
+    dt = _t.perf_counter() - t0
+    out["rollup"] = {
+        "rows": n_events,
+        "batches": n_batches,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n_events / dt, 1),
+    }
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    digest_dir = os.path.join(tmp_root, "digest-store")
+    shutil.rmtree(digest_dir, ignore_errors=True)
+    forwarded = []
+    ingest = dedup_on_ingest(
+        lambda df, bid: forwarded.append(df.count()), digest_dir
+    )
+    t0 = _t.perf_counter()
+    for b in range(n_batches):
+        ingest(docs.where(F.col("doc_id") % n_batches == b), b)
+    dt = _t.perf_counter() - t0
+    out["dedup_store"] = {
+        "rows": n_docs,
+        "forwarded": sum(forwarded),
+        "batches": n_batches,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n_docs / dt, 1),
+    }
+    return out
 
 
 def main() -> None:
@@ -273,49 +336,6 @@ def main() -> None:
     if data_probe:
         out["data_probe"] = data_probe
 
-    # Scale section (VERDICT r2 item 4): the same headliners at a 10×
-    # key-consistent replica, one timed run each, reported with per-query
-    # scaling factors (≈10 ⇒ linear plan; ≫10 ⇒ superlinear risk at 100 TB).
-    # sr01 is excluded — it runs on its own fixture store, not the SF tables.
-    scale_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
-    if scale_factor > 1:
-        try:
-            import tempfile
-
-            from spark_streaming_logservice_spark.scaledata import make_scaled
-
-            scale_dir = os.path.join(
-                tempfile.gettempdir(), f"spark_graft_scale_{scale_factor}x"
-            )
-            make_scaled(sf_dir, scale_dir, scale_factor)
-            # Two runs keep-min here too: the scaling_vs_base factors are the
-            # headline claim of this section, and a single noisy run at 10×
-            # can misreport a linear plan as superlinear by 2×.
-            scaled: dict[str, float] = {}
-            for name in HEADLINE:
-                if name == "sr01_logstore_typed_agg":
-                    continue
-                best = None
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    registry.QUERIES[name](spark, scale_dir).count()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                scaled[name] = round(best, 3)
-            out["scale"] = {
-                "factor": scale_factor,
-                "value": round(sum(scaled.values()), 3),
-                "queries": scaled,
-                "runs": 2,
-                "scaling_vs_base": {
-                    n: round(scaled[n] / timings[n], 2)
-                    for n in scaled
-                    if timings.get(n)
-                },
-            }
-        except Exception as ex:  # scale section is best-effort, never fatal
-            out["scale"] = {"error": f"{type(ex).__name__}: {ex}"}
-
     # Round-3 operator families, reported separately so the headline set —
     # and its round-over-round total — stays comparable. One steady-state
     # number each (2 runs keep-min): connected-components dedup clustering
@@ -352,6 +372,10 @@ def main() -> None:
         "d12_minhash_calibration",
         "l16_windowed_heavy_hitters",
         "v04_vocab_coverage",
+        # round 6
+        "l17_log_templates",
+        "t11_bigram_logprob",
+        "s15_hamming_ann",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:
@@ -369,6 +393,55 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         extras[name] = round(best, 3)
     out["extra_operators"] = {"queries": extras, "runs": runs, "agg": "min"}
+
+    # Scale section (VERDICT r2 item 4, extended to the extras set in r6):
+    # the same queries at a 10× key-consistent replica, reported with
+    # per-query scaling factors (≈10 ⇒ linear plan; ≫10 ⇒ superlinear risk
+    # at 100 TB). sr01 is excluded — it runs on its own fixture store, not
+    # the SF tables. Headliners get 2 runs keep-min (their factors are the
+    # headline claim of this section; a single noisy 10× run can misreport a
+    # linear plan as superlinear by 2×); the extras get 1 run each — the
+    # trainers among them (s07, s11, d08) are multi-second already, and a
+    # curvature estimate tolerates one-run noise better than the bench's
+    # wall clock tolerates doubling.
+    scale_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    if scale_factor > 1:
+        try:
+            import tempfile
+
+            from spark_streaming_logservice_spark.scaledata import make_scaled
+
+            scale_dir = os.path.join(
+                tempfile.gettempdir(), f"spark_graft_scale_{scale_factor}x"
+            )
+            make_scaled(sf_dir, scale_dir, scale_factor)
+            base_times = {**extras, **timings}
+            scaled: dict[str, float] = {}
+            for name, n_runs in [(n, 2) for n in HEADLINE] + [
+                (n, 1) for n in extra_names if n in extras
+            ]:
+                if name == "sr01_logstore_typed_agg":
+                    continue
+                best = None
+                for _ in range(n_runs):
+                    t0 = time.perf_counter()
+                    registry.QUERIES[name](spark, scale_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                scaled[name] = round(best, 3)
+            out["scale"] = {
+                "factor": scale_factor,
+                "value": round(sum(scaled[n] for n in HEADLINE if n in scaled), 3),
+                "queries": scaled,
+                "runs": {"headline": 2, "extras": 1},
+                "scaling_vs_base": {
+                    n: round(scaled[n] / base_times[n], 2)
+                    for n in scaled
+                    if base_times.get(n)
+                },
+            }
+        except Exception as ex:  # scale section is best-effort, never fatal
+            out["scale"] = {"error": f"{type(ex).__name__}: {ex}"}
 
     # Streaming throughput section (VERDICT r2 item 5).
     try:
@@ -391,6 +464,18 @@ def main() -> None:
         )
     except Exception as ex:
         out["sink"] = {"error": f"{type(ex).__name__}: {ex}"}
+
+    # Stateful-maintenance throughput (rollup merge + dedup-on-ingest).
+    try:
+        import tempfile
+
+        out["maintenance"] = _maintenance_bench(
+            spark,
+            os.path.join(tempfile.gettempdir(), "spark_graft_maintbench"),
+            sf_dir,
+        )
+    except Exception as ex:
+        out["maintenance"] = {"error": f"{type(ex).__name__}: {ex}"}
 
     prev = _prev_bench()
     if prev and isinstance(prev.get("queries"), dict):
@@ -436,6 +521,14 @@ def main() -> None:
     sink = out.get("sink", {})
     if isinstance(sink.get("rows_per_sec"), (int, float)):
         compact["sink_rows_per_sec"] = sink["rows_per_sec"]
+    maint = out.get("maintenance", {})
+    for key, label in (
+        ("rollup", "rollup_rows_per_sec"),
+        ("dedup_store", "dedup_store_rows_per_sec"),
+    ):
+        rps = maint.get(key, {}).get("rows_per_sec") if isinstance(maint.get(key), dict) else None
+        if isinstance(rps, (int, float)):
+            compact[label] = rps
     if "vs_prev_total" in out:
         compact["vs_prev_total"] = out["vs_prev_total"]
     line = json.dumps(compact)

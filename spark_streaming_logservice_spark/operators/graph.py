@@ -136,11 +136,18 @@ def connected_components(
 # rounding (same discipline as the jaccard/cosine operators).
 
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
-             checkpoint: bool = True) -> DataFrame:
+             checkpoint: bool = True, cleanup: bool = True) -> DataFrame:
     """(node, pr) after ``iterations`` synchronous updates of
     pr(v) = (1-d) + d * Σ_{u→v} pr(u)/outdeg(u), pr₀ = 1.0.
     Dangling-node mass is dropped (both engines implement the same formula,
-    so parity is exact)."""
+    so parity is exact).
+
+    ``cleanup=True`` (default) eagerly materializes the final ranks and
+    unpersists the loop-invariant edge/node caches before returning —
+    otherwise every invocation leaks two cached relations into the session
+    until LRU eviction (and repeated calls accumulate distinct entries).
+    Pass ``cleanup=False`` to keep the caches when the caller will iterate
+    further (and own the unpersist)."""
     F_ = F
     edges = edges.select("src", "dst").distinct()
     nodes = (
@@ -173,6 +180,12 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
+    if cleanup:
+        # eager checkpoint pins the result (O(nodes) rows) so the caches it
+        # was computed from can be released immediately
+        ranks = ranks.localCheckpoint(eager=True)
+        ed.unpersist()
+        nodes.unpersist()
     return ranks
 
 

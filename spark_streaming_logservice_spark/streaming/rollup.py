@@ -9,9 +9,15 @@ pattern on Structured Streaming.
 Scale/correctness posture:
 - The per-batch aggregate is the only corpus-sized work; the merge
   re-aggregates base ∪ delta, both rollup-sized (O(minutes-of-history)).
-- The table swap is two-phase (write ``.tmp`` dir, atomic rename) and the
-  whole batch step runs under ``idempotent_foreach_batch``, so a replayed
-  batchId is a no-op and a crash mid-swap leaves the previous table intact.
+- The table swap is two-phase (write ``.tmp`` dir, atomic rename), with
+  TWO explicit crash-window recoveries: (a) a crash between
+  ``rename(data, old)`` and ``rename(tmp, data)`` leaves no data dir — the
+  next merge restores the base from ``.old`` before reading it (without
+  this, the retry would compute merged=delta and then delete the only
+  surviving copy of the history); (b) a crash after the swap but before the
+  batchId marker replays the batch — the committed version records the
+  producing batch_id in ``_batch_meta.json``, so the replayed merge is a
+  no-op instead of a double count.
 - State lives in the table, not the state store — the query itself is
   stateless (append mode), so there is no watermark requirement; late rows
   simply merge into their (old) buckets, exactly like the batch rollup.
@@ -19,6 +25,7 @@ Scale/correctness posture:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -34,17 +41,47 @@ _SCHEMA = "bucket TIMESTAMP_NTZ, n_events BIGINT, n_errors BIGINT"
 
 def minute_partials(df: DataFrame, time_col: str = "ts",
                     type_col: str = "event_type") -> DataFrame:
-    """Minute-grain decomposable partials of a (possibly streaming) batch."""
-    return df.groupBy(F.date_trunc("minute", time_col).alias("bucket")).agg(
+    """Minute-grain decomposable partials of a (possibly streaming) batch.
+    The trunc bucket is cast back to NTZ (date_trunc yields LTZ even on NTZ
+    input) so the table's declared TIMESTAMP_NTZ schema and host-TZ-
+    independent rendering hold."""
+    return df.groupBy(
+        F.date_trunc("minute", time_col).cast("timestamp_ntz").alias("bucket")
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col(type_col) == "error", 1)).alias("n_errors"),
     )
 
 
-def merge_partials(table_dir: str, delta: DataFrame) -> None:
+def merge_partials(
+    table_dir: str, delta: DataFrame, batch_id: int | None = None
+) -> None:
     """base ∪ delta → re-aggregate → atomic swap. Both inputs are
-    rollup-sized; the rename is the commit point."""
+    rollup-sized; the ``rename(tmp, data)`` is the commit point.
+
+    Crash recovery (see module docstring): an interrupted swap is healed by
+    restoring ``.old`` when the data dir is missing, and with ``batch_id``
+    set a replay of an already-committed batch returns without merging
+    (``_batch_meta.json`` inside the committed version names its producer;
+    the leading underscore keeps the parquet reader from touching it)."""
     data = os.path.join(table_dir, "data")
+    old, tmp = data + ".old", data + ".tmp"
+    if not os.path.exists(data) and os.path.exists(old):
+        # crash landed between rename(data, old) and rename(tmp, data):
+        # .old IS the base table — restore it before reading/deleting
+        os.rename(old, data)
+    meta = os.path.join(data, "_batch_meta.json")
+    if batch_id is not None and os.path.exists(meta):
+        try:
+            with open(meta) as f:
+                if json.load(f).get("batch_id") == batch_id:
+                    # crash landed between swap and marker: this batch is
+                    # already in the committed version — merging again
+                    # would double-count it
+                    shutil.rmtree(old, ignore_errors=True)
+                    return
+        except (OSError, ValueError):
+            pass
     if os.path.exists(data):
         base = delta.sparkSession.read.schema(_SCHEMA).parquet(data)
         merged = (
@@ -57,10 +94,11 @@ def merge_partials(table_dir: str, delta: DataFrame) -> None:
         )
     else:
         merged = delta
-    tmp = data + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = data + ".old"
+    if batch_id is not None:
+        with open(os.path.join(tmp, "_batch_meta.json"), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(data):
         os.rename(data, old)
@@ -73,7 +111,7 @@ def incremental_rollup_writer(table_dir: str):
     ``table_dir`` with batchId-idempotent replay."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        merge_partials(table_dir, minute_partials(batch_df))
+        merge_partials(table_dir, minute_partials(batch_df), batch_id=batch_id)
 
     return idempotent_foreach_batch(write, os.path.join(table_dir, "_markers"))
 
@@ -86,7 +124,7 @@ def read_rollup(spark: SparkSession, table_dir: str,
     structs = [
         F.struct(
             F.lit(lv).alias("resolution"),
-            F.date_trunc(lv, "bucket").alias("bucket"),
+            F.date_trunc(lv, "bucket").cast("timestamp_ntz").alias("bucket"),
         )
         for lv in levels
     ]

@@ -231,10 +231,35 @@ def test_q25_salted_join_no_forced_broadcast(spark, sf_dir):
 
 def test_g01_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
     # the loop-invariant edge+outdeg relation must come from cache, not a
-    # fresh parquet scan per iteration
-    df = registry.QUERIES["g01_pagerank"](spark, sf_dir)
-    plan = pi.formatted_plan(df)
+    # fresh parquet scan per iteration (cleanup=False keeps the caches
+    # visible in the plan; the registered query runs with cleanup=True,
+    # which checkpoints the result and releases them — next test)
+    from spark_streaming_logservice_spark.operators.graph import (
+        _supplier_customer_edges,
+        pagerank,
+    )
+
+    ranks = pagerank(
+        _supplier_customer_edges(spark, sf_dir), iterations=3,
+        checkpoint=False, cleanup=False,
+    )
+    plan = pi.formatted_plan(ranks)
     assert "InMemoryTableScan" in plan
+
+
+def test_g01_pagerank_releases_caches(spark, sf_dir):
+    # repeated invocations must not accumulate cached relations. The
+    # CacheManager census is the right probe: DataFrame persist() entries
+    # live there under a strong reference until explicit unpersist (the
+    # leak), while the eager localCheckpoint's backing RDD is reclaimed by
+    # the ContextCleaner once the result is GC'd.
+    # clearCache first: CacheManager dedups identical plans, so a leftover
+    # cache from another test (e.g. the cleanup=False run above) would
+    # otherwise share entries with this run and make the census ambiguous
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    registry.QUERIES["g01_pagerank"](spark, sf_dir).count()
+    assert cm.isEmpty()
 
 
 def test_s14_dim_stats_partial_agg(spark, sf_dir):

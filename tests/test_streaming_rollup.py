@@ -97,3 +97,35 @@ def test_rollup_crash_before_marker_retries_cleanly(spark, tmp_path):
     )
     marker = os.path.join(table, "_markers", "batch-7")
     assert os.path.exists(marker)
+
+
+def test_rollup_recovers_interrupted_swap(spark, tmp_path):
+    """A crash BETWEEN rename(data, old) and rename(tmp, data) leaves no
+    data dir; the next merge must restore the base from .old instead of
+    treating the delta as the whole history (which would then delete the
+    only surviving copy via rmtree(old))."""
+    events = _mk_events(spark, n=100)
+    table = str(tmp_path / "rollup")
+    writer = R.incremental_rollup_writer(table)
+    writer(events, 0)
+    total = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    # simulate the torn swap: data renamed away, replacement never landed
+    data = os.path.join(table, "data")
+    os.rename(data, data + ".old")
+    writer(events, 1)
+    after = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    assert after == 2 * total  # base survived AND batch 1 merged exactly once
+
+
+def test_rollup_replay_after_swap_before_marker_is_noop(spark, tmp_path):
+    """A crash AFTER the swap but BEFORE the batchId marker replays the
+    batch; the committed version's _batch_meta.json must make the re-merge
+    a no-op instead of a double count."""
+    events = _mk_events(spark, n=100)
+    table = str(tmp_path / "rollup")
+    R.merge_partials(table, R.minute_partials(events), batch_id=5)
+    once = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    # marker was never written → foreachBatch replays the same batch_id
+    R.merge_partials(table, R.minute_partials(events), batch_id=5)
+    again = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    assert again == once

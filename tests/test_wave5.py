@@ -91,26 +91,27 @@ def test_multires_rollup_levels_are_consistent(spark, sf_dir):
     assert by_res["hour"] == by_res["day"]
 
 
-def test_driver_sample_prefix_covers_unchecked_queries():
-    """The driver verifies a 50-query prefix of queries(); every query
-    without a CORRECTNESS row across r01/r02/r04 must sit inside it."""
-    import json
+def test_driver_sample_prefix_is_stalest_first():
+    """The driver verifies a 50-query prefix of queries(); the prefix must
+    hold the queries with the WEAKEST driver proof: every never-green query
+    inside it, and no query outside the prefix staler than one inside
+    (green-age monotone across the boundary)."""
     import os
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked = set()
-    for r in ("01", "02", "04"):
-        p = os.path.join(here, f"CORRECTNESS_r{r}.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                for k, v in json.load(f).items():
-                    if v.get("hash_match") or v.get("rows_match"):
-                        checked.add(k)
-    prefix = list(entry.queries())[:50]
-    never = [q for q in entry.queries() if q not in checked]
+    latest = entry._latest_green_round()
+    names = list(entry.queries())
+    prefix, rest = names[:50], names[50:]
+    never = [q for q in names if latest.get(q, 0) == 0]
     missing = [q for q in never if q not in prefix]
-    assert not missing, f"never-driver-checked queries outside the 50-prefix: {missing}"
+    assert not missing, f"never-driver-green queries outside the 50-prefix: {missing}"
+    if prefix and rest:
+        max_in = max(latest.get(q, 0) for q in prefix)
+        min_out = min(latest.get(q, 0) for q in rest)
+        assert max_in <= min_out, (
+            f"prefix holds a fresher green (r{max_in}) than something outside "
+            f"(r{min_out}) — driver sample must rotate to the stalest rows"
+        )
