@@ -297,7 +297,12 @@ def e07_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     level is the internal base table, analogous to a hypertable's raw
     chunks)."""
     e = load_table(spark, sf_dir, "events")
-    minute = e.groupBy(F.date_trunc("minute", "ts").alias("bucket")).agg(
+    # every date_trunc is cast back to NTZ: trunc on NTZ yields LTZ, which
+    # PySpark renders in the host TZ at collect (identity cast under the
+    # loader's pinned UTC session; keeps results host-TZ-independent)
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("bucket")
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
     )
@@ -310,11 +315,15 @@ def e07_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 F.struct(
                     F.lit("hour").alias("resolution"),
-                    F.date_trunc("hour", "bucket").alias("bucket"),
+                    F.date_trunc("hour", "bucket")
+                    .cast("timestamp_ntz")
+                    .alias("bucket"),
                 ),
                 F.struct(
                     F.lit("day").alias("resolution"),
-                    F.date_trunc("day", "bucket").alias("bucket"),
+                    F.date_trunc("day", "bucket")
+                    .cast("timestamp_ntz")
+                    .alias("bucket"),
                 ),
             )
         ).alias("rb"),

@@ -577,12 +577,77 @@ def l14_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l16_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # date_trunc on a TIMESTAMP_NTZ returns LTZ, and PySpark renders LTZ in
+    # the PROCESS timezone at collect — cast back to NTZ (identity under the
+    # loader's pinned UTC session) so results don't depend on the host TZ
     hourly = e.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"),
+        "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
     return (
         hourly.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .orderBy("hour", "rk")
+    )
+
+
+# --- l17: log template extraction -------------------------------------------
+# Drain-lite log pattern mining: render each record as a log line, mask the
+# variable fields (numbers — ids, counts, durations) to <NUM>, and count
+# occurrences per surviving template. This is the workhorse behind log
+# clustering / anomaly surfacing ("which message SHAPES dominate, and did a
+# new shape appear?"). Whole pipeline is regexp_replace + one template-keyed
+# aggregate: codegen-resident, and the agg key space is the (tiny) template
+# set, so partial aggregation collapses the corpus map-side — the classic
+# wordcount bound, same as l10.
+
+@query(
+    "l17_log_templates",
+    oracle="""
+    WITH lines AS (
+      SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) || ' ' || props
+               AS msg,
+             user_id
+      FROM events
+    ), templ AS (
+      SELECT regexp_replace(msg, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g') AS template,
+             user_id
+      FROM lines
+    )
+    SELECT template,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM templ
+    GROUP BY template
+    ORDER BY n_events DESC, template
+    LIMIT 20
+    """,
+)
+def l17_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 masked log templates with occurrence and distinct-user counts.
+
+    Number masking covers decimals as one token (``12.5`` → ``<NUM>``, not
+    ``<NUM>.<NUM>``) so engine-specific float→string formatting can never
+    leak into the template text. Spark's regexp_replace replaces all
+    matches by default; DuckDB needs the explicit 'g' flag — both sides
+    use the same RE2-safe pattern."""
+    e = load_table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("props"),
+    )
+    template = F.regexp_replace(msg, r"[0-9]+(\.[0-9]+)?", "<NUM>")
+    return (
+        e.select(template.alias("template"), "user_id")
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("template"))
+        .limit(20)
     )

@@ -330,6 +330,111 @@ def s03_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- s15: Hamming-signature ANN with exact rerank ---------------------------
+# The SimHash-for-embeddings retrieval shape: a compact bit signature (sign
+# pattern of the leading dims, same hyperplane family as s02's cells) makes
+# candidate scoring a CPU-trivial popcount, then only the Hamming-nearest
+# shortlist pays for exact cosine. Two-stage retrieve-then-rerank is the
+# standard serving layout (bit index in RAM, float vectors cold).
+#
+# 100 TB: candidates are bounded by the signature-prefix bucket equi-join
+# (top bits of the signature), never all-pairs; the Hamming stage carries
+# only (ids, sig) through its shuffle; the rerank joins float vectors back
+# for O(queries × shortlist) rows.
+
+SIG_BITS = 16
+PREFIX_BITS = 8  # bucket key = top 8 signature bits
+HAM_SHORTLIST = 20
+S15_TOP_K = 5
+
+
+@query(
+    "s15_hamming_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), sigs AS (
+      SELECT vec_id, emb,
+             list_sum(list_transform(range(1, {SIG_BITS} + 1),
+               i -> CASE WHEN emb[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                         ELSE CAST(0 AS BIGINT) END)) AS sig
+      FROM e
+    ), cand AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming,
+             a.emb AS q_emb, b.emb AS n_emb
+      FROM sigs a JOIN sigs b
+        ON (a.sig >> {SIG_BITS - PREFIX_BITS}) = (b.sig >> {SIG_BITS - PREFIX_BITS})
+       AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERY}
+    ), shortlist AS (
+      SELECT q_id, n_id, hamming, q_emb, n_emb,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY hamming, n_id) AS hrk
+      FROM cand
+    ), reranked AS (
+      SELECT q_id, n_id, hamming,
+             round(list_sum(list_transform(list_zip(q_emb, n_emb),
+                                           x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(q_emb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(n_emb, x -> x * x)))), 6)
+               AS cosine
+      FROM shortlist WHERE hrk <= {HAM_SHORTLIST}
+    )
+    SELECT q_id, n_id, hamming, cosine,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS INTEGER) AS rk
+    FROM reranked
+    QUALIFY rk <= {S15_TOP_K}
+    ORDER BY q_id, rk
+    """,
+)
+def s15_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sigs = e.withColumn("sig", _cell_expr(SIG_BITS).cast("bigint"))
+    a = sigs.where(F.col("vec_id") < N_QUERY).alias("a")
+    b = sigs.alias("b")
+    cand = a.join(
+        b,
+        (
+            F.shiftright(F.col("a.sig"), SIG_BITS - PREFIX_BITS)
+            == F.shiftright(F.col("b.sig"), SIG_BITS - PREFIX_BITS)
+        )
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("b.vec_id").alias("n_id"),
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+        .cast("int")
+        .alias("hamming"),
+        F.col("a.emb").alias("q_emb"),
+        F.col("b.emb").alias("n_emb"),
+    )
+    hw = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("n_id"))
+    shortlist = (
+        cand.withColumn("hrk", F.row_number().over(hw))
+        .where(F.col("hrk") <= HAM_SHORTLIST)
+        .select(
+            "q_id",
+            "n_id",
+            "hamming",
+            F.round(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        shortlist.withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") <= S15_TOP_K)
+        .orderBy("q_id", "rk")
+    )
+
+
 # --- s04: per-label embedding stats (array aggregation) --------------------
 
 @query(

@@ -634,3 +634,80 @@ def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t11: bigram language-model scoring --------------------------------------
+# One step up the n-gram ladder from t10: fit bigram transition counts over
+# the corpus and score each document by its mean conditional surprisal
+# -ln P(w2|w1), P estimated as c(w1,w2)/c(w1·) over observed bigrams. The
+# standard fluency signal a unigram model can't see (word-order scrambles
+# score identically under t10, poorly here).
+#
+# 100 TB: bigram extraction is row-local (an index-sequence transform over
+# the token array — no join, no self-zip shuffle); the model is one
+# (w1,w2)-keyed wordcount shuffle; context totals derive from the model
+# relation (bigram-vocabulary-sized, never re-reads the corpus); scoring is
+# one pair-keyed join. Everything stays in built-in expressions.
+
+@query(
+    "t11_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS arr
+      FROM documents
+    ), big AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM tok)
+    ), model AS (
+      SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM model GROUP BY w1
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln(CAST(m.c12 AS DOUBLE) / x.c1)), 4) AS avg_neg_logp
+    FROM big b
+    JOIN model m USING (w1, w2)
+    JOIN ctx x USING (w1)
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def t11_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's range(1, n) is end-exclusive and empty for n<=1; Spark's
+    sequence(1, n-1) DESCENDS when n-1 < 1, so the index list is guarded to
+    an empty array for sub-2-token docs — both engines then drop those docs
+    identically (no bigrams, inner join)."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    docs = d.select("doc_id", arr.alias("arr"))
+    idx = F.when(
+        F.size("arr") >= 2, F.sequence(F.lit(1), F.size("arr") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("arr", i).alias("w1"),
+                    F.element_at("arr", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    model = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
+    nlp = -F.log(F.col("c12").cast("double") / F.col("c1"))
+    return (
+        big.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select("doc_id", nlp.alias("nlp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nlp"), 4).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )

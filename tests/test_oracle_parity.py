@@ -106,6 +106,22 @@ def test_oracle_types_are_pandas_safe(sf_dir):
     )
 
 
+def test_no_ltz_timestamp_outputs(spark, sf_dir):
+    """date_trunc on a TIMESTAMP_NTZ yields LTZ, and PySpark renders LTZ in
+    the HOST process timezone at collect — an output that silently changes
+    with the TZ env var (e07/l16 failed the TZ=America/New_York probe this
+    way in r6). Every query output must be NTZ or DATE; schema-only check,
+    no execution."""
+    from pyspark.sql.types import TimestampType
+
+    bad = []
+    for name in QUERY_NAMES:
+        for f in registry.QUERIES[name](spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                bad.append((name, f.name))
+    assert not bad, f"host-TZ-dependent LTZ output columns: {bad}"
+
+
 def test_short_documents_yield_no_shingles(spark):
     """<3-token docs must produce ZERO shingles (Spark side previously
     emitted a degenerate 1-2-token shingle the SQL oracle never builds)."""
