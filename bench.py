@@ -376,6 +376,8 @@ def main() -> None:
         "l17_log_templates",
         "t11_bigram_logprob",
         "s15_hamming_ann",
+        "l18_error_bursts",
+        "e09_last_touch_attribution",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -399,3 +399,90 @@ def e08_conversion_funnel_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         for df, name in ((s0, "n_signup"), (s1, "n_click_7d"), (s2, "n_purchase_7d"))
     ]
     return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+# --- e09: last-touch attribution --------------------------------------------
+# Marketing-style attribution: each purchase is credited to the user's most
+# recent click no older than 7 days; the report is the daily count of
+# attributed vs unattributed purchases and the revenue credited. The as-of
+# lookup is the j01 window-carry-forward rewrite (no join at all): clicks
+# and purchases interleave in ONE user-keyed window ordered by time, and
+# last_value(click_ts, ignorenulls) carries the latest click forward onto
+# every purchase row.
+#
+# 100 TB: one user_id hash partitioning for the window (the only corpus
+# shuffle), then a day-keyed aggregate over the purchase subset. No
+# stream-sized join, no driver round-trips; ties at identical timestamps
+# are ordered by (ts, event_id) so both engines agree deterministically.
+
+@query(
+    "e09_last_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(click_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_click
+      FROM tagged
+    ), purchases AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             (last_click IS NOT NULL
+              AND ts - last_click <= INTERVAL 7 DAY) AS attributed
+      FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT day,
+           count(*) AS n_purchases,
+           CAST(count(*) FILTER (WHERE attributed) AS BIGINT) AS n_attributed,
+           round(COALESCE(sum(value) FILTER (WHERE attributed), 0.0), 2)
+             AS attributed_revenue
+    FROM purchases
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def e09_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    week = F.expr("INTERVAL 7 DAY")
+    purchases = carried.where(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "value",
+        (
+            F.col("last_click").isNotNull()
+            & (F.col("ts") <= F.col("last_click") + week)
+        ).alias("attributed"),
+    )
+    return (
+        purchases.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count(F.when(F.col("attributed"), 1)).alias("n_attributed"),
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("attributed"), F.col("value"))), F.lit(0.0)),
+                2,
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("day")
+    )

@@ -651,3 +651,79 @@ def l17_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("template"))
         .limit(20)
     )
+
+
+# --- l18: error-burst detection (gaps and islands) ---------------------------
+# Alerting-grade burst detection: maximal runs of CONSECUTIVE error-bearing
+# minutes, reported with span and magnitude when the run is long enough.
+# The classic gaps-and-islands rewrite: island id = minute index minus the
+# row_number over the error minutes — constant within a consecutive run.
+#
+# 100 TB: the corpus shuffle is the minute rollup (same bound as e07's base
+# aggregate); islands are computed over the error-minute AGGREGATE with the
+# window partitioned BY DAY (bursts are defined within a day), so there is
+# no partition-less window and no single task ever sees more than one day
+# of minutes. Minute indexes use integer epoch arithmetic — identical in
+# both engines.
+
+BURST_MIN_MINUTES = 3
+
+
+@query(
+    "l18_error_bursts",
+    oracle=f"""
+    WITH em AS (
+      SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) // 60
+               AS minute_idx,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2
+    ), isl AS (
+      SELECT day, minute_idx, n_errors,
+             minute_idx - row_number() OVER (PARTITION BY day
+                                             ORDER BY minute_idx) AS island
+      FROM em
+    )
+    SELECT day,
+           CAST(min(minute_idx) AS BIGINT) AS start_minute,
+           CAST(count(*) AS BIGINT) AS run_minutes,
+           CAST(sum(n_errors) AS BIGINT) AS total_errors
+    FROM isl
+    GROUP BY day, island
+    HAVING count(*) >= {BURST_MIN_MINUTES}
+    ORDER BY day, start_minute
+    """,
+)
+def l18_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    em = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(
+            (
+                F.unix_timestamp(
+                    F.date_trunc("minute", "ts").cast("timestamp")
+                )
+                / 60
+            )
+            .cast("bigint")
+            .alias("minute_idx"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    w = Window.partitionBy("day").orderBy("minute_idx")
+    isl = em.withColumn(
+        "island", F.col("minute_idx") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("day", "island")
+        .agg(
+            F.min("minute_idx").alias("start_minute"),
+            F.count(F.lit(1)).alias("run_minutes"),
+            F.sum("n_errors").alias("total_errors"),
+        )
+        .where(F.col("run_minutes") >= BURST_MIN_MINUTES)
+        .drop("island")
+        .orderBy("day", "start_minute")
+    )
