@@ -400,12 +400,10 @@ def main() -> None:
     # the same queries at a 10× key-consistent replica, reported with
     # per-query scaling factors (≈10 ⇒ linear plan; ≫10 ⇒ superlinear risk
     # at 100 TB). sr01 is excluded — it runs on its own fixture store, not
-    # the SF tables. Headliners get 2 runs keep-min (their factors are the
-    # headline claim of this section; a single noisy 10× run can misreport a
-    # linear plan as superlinear by 2×); the extras get 1 run each — the
-    # trainers among them (s07, s11, d08) are multi-second already, and a
-    # curvature estimate tolerates one-run noise better than the bench's
-    # wall clock tolerates doubling.
+    # the SF tables. Everything gets 2 runs keep-min: run 1 at a NEW sf_dir
+    # pays a fresh janino/codegen compile (plans embed the scan path), which
+    # misreported d10 as 21.8× cold when its warm curvature is 3.8× —
+    # cold-compile cost is a constant, not curvature.
     scale_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
     if scale_factor > 1:
         try:
@@ -419,13 +417,11 @@ def main() -> None:
             make_scaled(sf_dir, scale_dir, scale_factor)
             base_times = {**extras, **timings}
             scaled: dict[str, float] = {}
-            for name, n_runs in [(n, 2) for n in HEADLINE] + [
-                (n, 1) for n in extra_names if n in extras
-            ]:
+            for name in HEADLINE + [n for n in extra_names if n in extras]:
                 if name == "sr01_logstore_typed_agg":
                     continue
                 best = None
-                for _ in range(n_runs):
+                for _ in range(2):
                     t0 = time.perf_counter()
                     registry.QUERIES[name](spark, scale_dir).count()
                     dt = time.perf_counter() - t0
@@ -435,7 +431,7 @@ def main() -> None:
                 "factor": scale_factor,
                 "value": round(sum(scaled[n] for n in HEADLINE if n in scaled), 3),
                 "queries": scaled,
-                "runs": {"headline": 2, "extras": 1},
+                "runs": 2,
                 "scaling_vs_base": {
                     n: round(scaled[n] / base_times[n], 2)
                     for n in scaled

@@ -278,6 +278,51 @@ def test_no_global_single_partition_window(spark, sf_dir, name):
     assert pi.global_window_count(df) == 0, pi.formatted_plan(df)[:3000]
 
 
+def test_e09_attribution_is_single_window_no_join(spark, sf_dir):
+    """Last-touch credit must be the carry-forward window over interleaved
+    events, not a purchases×clicks join (which is quadratic per user at
+    scale)."""
+    df = registry.QUERIES["e09_last_touch_attribution"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+    assert pi.global_window_count(df) == 0
+
+
+def test_l18_bursts_no_global_window_and_partial_agg(spark, sf_dir):
+    df = registry.QUERIES["l18_error_bursts"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    assert pi.has_partial_aggregation(df), "minute rollup must combine map-side"
+    assert pi.has_pushed_filters(df), "event_type filter must reach the scan"
+
+
+def test_l17_templates_partial_agg_and_codegen(spark, sf_dir):
+    df = registry.QUERIES["l17_log_templates"](spark, sf_dir)
+    assert pi.has_partial_aggregation(df), "template counts must combine map-side"
+    n = pi.wholestage_codegen_spans(
+        lambda: registry.QUERIES["l17_log_templates"](spark, sf_dir), spark
+    )
+    assert n >= 1, "regexp masking must stay inside whole-stage codegen"
+
+
+def test_t11_bigram_no_cartesian_and_prunes(spark, sf_dir):
+    df = registry.QUERIES["t11_bigram_logprob"](spark, sf_dir)
+    scans = pi.read_schema_columns(df)
+    assert scans and all(cols <= {"doc_id", "text"} for cols in scans), scans
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(df)
+
+
+def test_s15_hamming_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The signature-prefix bucket join must plan as a hash/merge join on
+    the computed prefix — a nested-loop fallback would be all-pairs."""
+    df = registry.QUERIES["s15_hamming_ann"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
 def test_t10_unigram_prunes_and_no_cartesian(spark, sf_dir):
     df = registry.QUERIES["t10_unigram_logprob"](spark, sf_dir)
     scans = pi.read_schema_columns(df)
