@@ -378,6 +378,7 @@ def main() -> None:
         "s15_hamming_ann",
         "l18_error_bursts",
         "e09_last_touch_attribution",
+        "m05_image_luma_stats",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -53,8 +53,10 @@ except ImportError:
 
 # --- encoders (fixture/round-trip side) ------------------------------------
 
-def make_png(width: int, height: int) -> bytes:
-    """Minimal valid grayscale-8 PNG of the given dimensions (black)."""
+def make_png(width: int, height: int, fill=None) -> bytes:
+    """Minimal valid grayscale-8 PNG of the given dimensions. ``fill(i)``
+    gives pixel i's luma in row-major order (so an oracle can predict pixel
+    statistics in closed form); default is all-black."""
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -65,7 +67,14 @@ def make_png(width: int, height: int) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))  # filter 0 rows
+    if fill is None:
+        raw = b"".join(b"\x00" + bytes(width) for _ in range(height))  # filter 0
+    else:
+        raw = b"".join(
+            b"\x00"
+            + bytes(fill(y * width + x) & 0xFF for x in range(width))
+            for y in range(height)
+        )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -283,6 +292,59 @@ def decode_image_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema=IMAGE_META_SCHEMA)
+
+
+LUMA_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_luma double, "
+    "min_luma int, max_luma int"
+)
+
+
+def decode_image_luma_stats(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL pixel feature extraction: inflate the PNG's IDAT, strip the
+    per-scanline filter bytes, and compute luma statistics with vectorized
+    numpy over the raw pixel array — the decode/feature-extract stage of a
+    multimodal pipeline, Arrow-batched (peak memory one pandas batch).
+    Non-PNG / malformed blobs yield null stats instead of failing the task
+    (same tolerance mode as decode_image_meta)."""
+    import numpy as np
+
+    def stats(b):
+        meta = parse_image(b, strict=False)
+        if not meta or meta[0] != "png":
+            return None
+        _, w, h = meta
+        raw = zlib.decompress(b"".join(_png_chunks(b, b"IDAT")))
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w)[:, 1:]
+        return (w, h, float(arr.mean()), int(arr.min()), int(arr.max()))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [stats(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "mean_luma": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Float64"
+                    ),
+                    "min_luma": pd.array(
+                        [r[3] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "max_luma": pd.array(
+                        [r[4] if r else None for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=LUMA_STATS_SCHEMA)
 
 
 def decode_audio_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:

@@ -224,6 +224,86 @@ def m03_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encode_png_gradient_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture-encode stage: a REAL grayscale PNG per document whose pixel i
+    (row-major) is the closed form (doc_id*31 + i) % 251 — so the oracle can
+    predict every luma statistic without decoding anything."""
+    from spark_streaming_logservice_spark.functions import media
+
+    def blob(doc_id: int, n_chars: int) -> bytes:
+        return media.make_png(
+            n_chars % 64 + 1,
+            (n_chars * 7) % 48 + 1,
+            fill=lambda i, d=doc_id: (d * 31 + i) % 251,
+        )
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [
+                    blob(int(d), int(c))
+                    for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                ],
+            }
+        )
+
+
+@query(
+    "m05_image_luma_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 64 + 1 AS w, (n_chars * 7) % 48 + 1 AS h
+      FROM documents ORDER BY doc_id LIMIT 120
+    ), px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 31 + unnest(range(0, w * h))) % 251 AS luma
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(avg(luma), 4) AS mean_luma,
+           CAST(min(luma) AS INTEGER) AS min_luma,
+           CAST(max(luma) AS INTEGER) AS max_luma
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+)
+def m05_image_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel feature extraction (no stand-in): encode a gradient-filled
+    grayscale PNG per document, then inflate IDAT, strip filter bytes, and
+    compute per-image luma mean/min/max with numpy inside an Arrow-batched
+    mapInPandas stage. The oracle regenerates the same pixels from the
+    closed-form fill and aggregates them in SQL, so a wrong inflate, a
+    misaligned scanline walk, or a filter-byte off-by-one shifts every
+    statistic and fails the hash. This is the decode → feature-extract leg
+    of the multimodal brief (m02 covers container metadata, m04 video
+    frames)."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    blobs = d.mapInPandas(encode_png_gradient_batches, schema=ENCODE_IMG_SCHEMA)
+    return (
+        media.decode_image_luma_stats(blobs)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.round("mean_luma", 4).alias("mean_luma"),
+            "min_luma",
+            "max_luma",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "m01_multimodal_decode",
     oracle="""

@@ -60,6 +60,22 @@ def test_png_roundtrip_and_pixel_validation():
         media.parse_image(bytes(bad))
 
 
+def test_png_fill_pixels_survive_roundtrip():
+    """make_png(fill=...) must place pixel i (row-major) exactly where the
+    luma-stats decoder reads it back: inflate, strip scanline filter bytes,
+    and compare against the independently generated array."""
+    import zlib
+
+    w, h = 7, 3
+    blob = media.make_png(w, h, fill=lambda i: (i * 13) % 251)
+    raw = zlib.decompress(b"".join(media._png_chunks(blob, b"IDAT")))
+    pixels = [
+        raw[y * (1 + w) + 1 + x] for y in range(h) for x in range(w)
+    ]
+    assert pixels == [(i * 13) % 251 for i in range(w * h)]
+    assert all(raw[y * (1 + w)] == 0 for y in range(h))  # filter byte rows
+
+
 def test_non_image_returns_none():
     assert media.parse_image(b"plain text, not an image") is None
 
