@@ -379,6 +379,9 @@ def main() -> None:
         "l18_error_bursts",
         "e09_last_touch_attribution",
         "m05_image_luma_stats",
+        "sql06_lateral_topn",
+        "v05_zipf_slope",
+        "e10_dau_wau_stickiness",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -486,3 +486,62 @@ def e09_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- e10: rolling DAU/WAU stickiness ----------------------------------------
+# Product-analytics engagement ratio: daily active users over trailing-7-day
+# weekly active users. Rolling COUNT(DISTINCT) does not decompose into a
+# window aggregate, so the standard distributed rewrite is used: collapse to
+# distinct (user, day) pairs once (the only corpus shuffle), then each pair
+# contributes row-locally to the 7 target days it covers, and a distinct +
+# count per target day yields WAU. Everything after the first shuffle is
+# pair-aggregate-sized, O(users × days).
+
+@query(
+    "e10_dau_wau_stickiness",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM pairs GROUP BY day
+    ), contrib AS (
+      SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS target_day
+      FROM (SELECT user_id, day, unnest(range(0, 7)) AS i FROM pairs)
+    ), wau AS (
+      SELECT target_day AS day, count(*) AS wau FROM contrib GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY d.day
+    """,
+)
+def e10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        pairs.select(
+            "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+        )
+        .select("user_id", F.date_add("day", F.col("i")).alias("target_day"))
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("target_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

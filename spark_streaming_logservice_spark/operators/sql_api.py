@@ -85,6 +85,25 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
 
+# Correlated LATERAL subquery: per-region top-2 customers by balance — row
+# generation dependent on the outer row, the shape window functions can't
+# always replace (the subquery can ORDER BY + LIMIT arbitrarily). Both
+# engines parse the same ANSI LATERAL text.
+SQL06 = """
+SELECT r_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+FROM region,
+LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_regionkey = r_regionkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) AS t
+ORDER BY r_name, acctbal DESC, c_name
+"""
+
+
 def _sql_query(sql: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -98,3 +117,4 @@ query("sql02_cte_window_join", oracle=SQL02)(_sql_query(SQL02))
 query("sql03_case_classification", oracle=SQL03)(_sql_query(SQL03))
 query("sql04_recursive_month_gaps", oracle=SQL04)(_sql_query(SQL04))
 query("sql05_grouping_sets", oracle=SQL05)(_sql_query(SQL05))
+query("sql06_lateral_topn", oracle=SQL06)(_sql_query(SQL06))

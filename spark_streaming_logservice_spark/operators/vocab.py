@@ -248,3 +248,55 @@ def v04_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# --- t12 (vocab family): Zipf-law slope fit ---------------------------------
+# Corpus-health statistic: the log-log slope of frequency vs rank over the
+# head of the vocabulary (natural text sits near -1; synthetic or heavily
+# deduplicated corpora drift). One wordcount shuffle, TakeOrdered head, and
+# a closed-form least-squares fit via regr_slope/regr_r2 — both engines
+# implement the identical ANSI aggregates. The rank window runs over the
+# 100-row head only (post-LIMIT), never the full vocabulary.
+
+ZIPF_HEAD = 100
+
+
+@query(
+    "v05_zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY token
+    ), head AS (
+      SELECT cnt FROM freq ORDER BY cnt DESC, token LIMIT {ZIPF_HEAD}
+    ), ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC) AS rk FROM head
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
+           round(regr_r2(ln(cnt), ln(rk)), 4) AS fit_r2
+    FROM ranked
+    """,
+)
+def v05_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    head = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(ZIPF_HEAD)
+    ranked = head.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("cnt")))
+    )
+    ln_cnt = F.log(F.col("cnt").cast("double"))
+    ln_rk = F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.regr_slope(ln_cnt, ln_rk), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_cnt, ln_rk), 4).alias("fit_r2"),
+    )
