@@ -382,6 +382,7 @@ def main() -> None:
         "sql06_lateral_topn",
         "v05_zipf_slope",
         "e10_dau_wau_stickiness",
+        "m06_audio_pcm_stats",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

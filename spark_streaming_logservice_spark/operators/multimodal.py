@@ -304,6 +304,81 @@ def m05_image_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encode_wav_tone_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture-encode stage: a REAL mono 16-bit WAV per document whose PCM
+    sample i is the closed form ((doc_id*97 + i*31) % 2001) - 1000, so the
+    oracle can predict every amplitude statistic."""
+    from spark_streaming_logservice_spark.functions import media
+
+    def blob(doc_id: int, n_chars: int) -> bytes:
+        return media.make_wav(
+            n_chars % 400 + 50,
+            fill=lambda i, d=doc_id: ((d * 97 + i * 31) % 2001) - 1000,
+        )
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [
+                    blob(int(d), int(c))
+                    for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                ],
+            }
+        )
+
+
+@query(
+    "m06_audio_pcm_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 400 + 50 AS n
+      FROM documents ORDER BY doc_id LIMIT 150
+    ), px AS (
+      SELECT doc_id, n,
+             ((doc_id * 97 + unnest(range(0, n)) * 31) % 2001) - 1000 AS amp
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           round(avg(amp), 4) AS mean_amp,
+           CAST(max(abs(amp)) AS INTEGER) AS peak_amp,
+           round(sqrt(avg(CAST(amp AS DOUBLE) * amp)), 4) AS rms
+    FROM px
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+)
+def m06_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (no stand-in): synthesize a
+    closed-form PCM waveform per document, decode the frames back with the
+    stdlib wave reader, and compute mean/peak/RMS amplitude with numpy in
+    an Arrow-batched mapInPandas stage. The oracle regenerates the same
+    samples in SQL; amplitudes are bounded so every float64 sum is exact,
+    making the statistics engine-portable bit-for-bit. Completes the
+    decode → feature-extract triple (m05 image pixels, m04 video frames)."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(150)
+    )
+    blobs = d.mapInPandas(encode_wav_tone_batches, schema=ENCODE_WAV_SCHEMA)
+    return (
+        media.decode_audio_pcm_stats(blobs)
+        .select(
+            "doc_id",
+            "n_samples",
+            F.round("mean_amp", 4).alias("mean_amp"),
+            "peak_amp",
+            F.round("rms", 4).alias("rms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "m01_multimodal_decode",
     oracle="""

@@ -76,6 +76,20 @@ def test_png_fill_pixels_survive_roundtrip():
     assert all(raw[y * (1 + w)] == 0 for y in range(h))  # filter byte rows
 
 
+def test_wav_fill_samples_survive_roundtrip():
+    """make_wav(fill=...) must place sample i exactly where the PCM-stats
+    decoder reads it back, including int16 clamping at both rails."""
+    import io
+    import wave
+
+    vals = [0, 5, -7, 40000, -40000]  # last two clamp to int16 rails
+    blob = media.make_wav(len(vals), fill=lambda i: vals[i])
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        raw = w.readframes(w.getnframes())
+    got = list(struct.unpack("<%dh" % len(vals), raw))
+    assert got == [0, 5, -7, 32767, -32768]
+
+
 def test_non_image_returns_none():
     assert media.parse_image(b"plain text, not an image") is None
 
