@@ -383,6 +383,7 @@ def main() -> None:
         "v05_zipf_slope",
         "e10_dau_wau_stickiness",
         "m06_audio_pcm_stats",
+        "d13_containment_pairs",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

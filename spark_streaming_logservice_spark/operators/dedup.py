@@ -264,6 +264,18 @@ def lsh_verified_pairs(d: DataFrame) -> DataFrame:
     candidates linear in corpus size, and verification touches only the
     candidate pairs.
     """
+    o = lsh_pair_overlap(d)
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_tok_a") + F.col("n_tok_b") - F.col("n_inter")
+    )
+    return o.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+def lsh_pair_overlap(d: DataFrame) -> DataFrame:
+    """The raw overlap relation behind the verified-pair scores:
+    (doc_a, doc_b, n_inter, n_tok_a, n_tok_b) per LSH candidate pair —
+    Jaccard (d04), calibration (d12) and containment (d13) all derive from
+    these three integers."""
     sig = minhash_signature(d)
     bands = None
     for band in range(N_MINHASH // 2):
@@ -315,15 +327,18 @@ def lsh_verified_pairs(d: DataFrame) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    jac = F.col("n_inter").cast("double") / (
-        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")
-    )
     # sizes is per-document (O(corpus) at 100 TB): never force-broadcast it.
     # AQE picks broadcast only when the runtime size is genuinely small.
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.col("sa.n_tok").alias("n_tok_a"),
+            F.col("sb.n_tok").alias("n_tok_b"),
+        )
     )
 
 
@@ -870,5 +885,55 @@ def d12_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_raw") - F.col("exact_raw")), 4).alias("abs_err"),
         )
         .orderBy(F.desc("abs_err"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )
+
+
+# --- d13: asymmetric containment (subset duplication) ------------------------
+# Jaccard under-scores SUBSET duplication: a paragraph fully contained in a
+# much longer document scores |A|/|B| (small) on Jaccard but 1.0 on
+# containment C(A,B) = |A∩B| / |A|. Containment is the statistic behind
+# quote/boilerplate inclusion detection (Broder's original resemblance vs
+# containment distinction). Same LSH candidate chain as d04/d12 — the only
+# new work is two divisions over the already-computed overlap integers,
+# O(candidates) rows end-to-end.
+
+@query(
+    "d13_containment_pairs",
+    oracle=_duckdb_minhash_cte()
+    + _DUCKDB_LSH_PAIR_CTES
+    + """
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(n_inter AS DOUBLE) / sa.n_tok, 4) AS contain_a,
+           round(CAST(n_inter AS DOUBLE) / sb.n_tok, 4) AS contain_b,
+           round(greatest(CAST(n_inter AS DOUBLE) / sa.n_tok,
+                          CAST(n_inter AS DOUBLE) / sb.n_tok), 4)
+             AS max_containment,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4)
+             AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    ORDER BY max_containment DESC, i.doc_a, i.doc_b
+    LIMIT 100
+    """,
+)
+def d13_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    o = lsh_pair_overlap(d)
+    inter_d = F.col("n_inter").cast("double")
+    ca = inter_d / F.col("n_tok_a")
+    cb = inter_d / F.col("n_tok_b")
+    jac = inter_d / (F.col("n_tok_a") + F.col("n_tok_b") - F.col("n_inter"))
+    return (
+        o.select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 4).alias("contain_a"),
+            F.round(cb, 4).alias("contain_b"),
+            F.round(F.greatest(ca, cb), 4).alias("max_containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("max_containment"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(100)
     )

@@ -60,7 +60,10 @@ def test_codegen_active(spark, sf_dir, name):
     assert n >= 1, "whole-stage codegen missing"
 
 
-@pytest.mark.parametrize("name", ["d04_minhash_lsh_pairs", "d02_ngram_jaccard"])
+@pytest.mark.parametrize(
+    "name",
+    ["d04_minhash_lsh_pairs", "d02_ngram_jaccard", "d13_containment_pairs"],
+)
 def test_dedup_never_forces_per_doc_broadcast(spark, sf_dir, name):
     """The per-document ``sizes``/``band_ok`` relations are O(corpus) rows at
     100 TB — a forced broadcast there OOMs executors. The queries must carry
