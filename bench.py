@@ -384,6 +384,7 @@ def main() -> None:
         "e10_dau_wau_stickiness",
         "m06_audio_pcm_stats",
         "d13_containment_pairs",
+        "j04_asof_forward",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

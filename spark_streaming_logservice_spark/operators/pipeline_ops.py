@@ -257,6 +257,66 @@ def j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- j04: forward as-of join -------------------------------------------------
+
+@query(
+    "j04_asof_forward",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type IN ('error', 'click')
+    ), marked AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             min(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_click_us
+      FROM ev
+    )
+    SELECT event_id, user_id,
+           next_click_us - ts_us AS recovery_us
+    FROM marked WHERE event_type = 'error'
+    ORDER BY event_id
+    LIMIT 300
+    """,
+)
+def j04_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every error ← the user's next strictly-later
+    click ("time to recovery"), the mirror of j01's backward lookup.
+    DuckDB's native ASOF only looks backward, so BOTH engines run the same
+    window rewrite: one user-keyed window ordered by event time with a
+    strict-future range frame, min(click ts) over the frame — a single
+    shuffle, no join, no per-row subquery. Same 100 TB shape as j01/e09."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type").isin("error", "click")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, Window.unboundedFollowing)  # strictly later
+    )
+    marked = ev.withColumn(
+        "next_click_us",
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts_us"))
+        ).over(w),
+    )
+    return (
+        marked.where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("next_click_us") - F.col("ts_us")).alias("recovery_us"),
+        )
+        .orderBy("event_id")
+        .limit(300)
+    )
+
+
 # --- j02: bucketed range join ------------------------------------------------
 
 INCIDENT_WINDOW_S = 300  # each error opens a 5-minute incident window
