@@ -519,3 +519,69 @@ def sample_frame_features(df: DataFrame, every_n: int = 30, blob_col: str = "blo
     return df.select(id_col, blob_col).mapInPandas(
         batches, schema=FRAME_FEATURE_SCHEMA
     )
+
+
+def make_png_from_array(arr) -> bytes:
+    """Grayscale-8 PNG directly from a 2-D uint8 numpy array — the
+    vectorized encoder for transform stages (make_png's per-index ``fill``
+    is the closed-form fixture path; this one takes pixels that already
+    exist). Scanlines use filter 0, matching make_png byte-for-byte."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    # prepend the filter-0 byte per scanline without a Python loop
+    filtered = np.zeros((h, 1 + w), dtype=np.uint8)
+    filtered[:, 1:] = arr
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(filtered.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_images_nn(
+    df: DataFrame, factor: int = 2, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Nearest-neighbor downsample of grayscale-8 PNG blobs by an integer
+    factor, RE-ENCODED as PNG — a real transform stage (decode → resample →
+    encode), not just feature extraction. Output keeps the blob column name
+    so stages chain: resize_images_nn(...) feeds decode_image_luma_stats
+    unchanged. The resample is a numpy stride slice ``arr[::f, ::f]``
+    (output dims ceil(w/f) × ceil(h/f) — sample points 0, f, 2f, …), fully
+    vectorized; malformed/non-PNG blobs pass through as NULL rows rather
+    than failing the task. Arrow-batched; peak memory one pandas batch."""
+    import numpy as np
+
+    def resize(b):
+        meta = parse_image(b, strict=False)
+        if not meta or meta[0] != "png":
+            return None
+        _, w, h = meta
+        raw = zlib.decompress(b"".join(_png_chunks(b, b"IDAT")))
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w)[:, 1:]
+        return make_png_from_array(arr[::factor, ::factor])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "blob": [resize(b) for b in pdf[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema=f"{id_col} bigint, {blob_col} binary"
+    )

@@ -253,3 +253,150 @@ def _register_g01() -> None:
 
 
 _register_g01()
+
+
+# --- g02: Triangle counting (degree-oriented wedge join) -------------------
+# The third classic graph workload after components and PageRank. Graph:
+# parts co-purchased in the same order (lineitem self-join on l_orderkey,
+# per-order item list capped at 5 rows row-locally so pair fan-out is
+# O(orders * 25) by construction).
+#
+# Algorithm: orient every undirected edge from the endpoint with the lower
+# (degree, id) tuple to the higher — the standard trick (Suri & Vassilvitskii,
+# WWW'11 "Counting Triangles and the Curse of the Last Reducer") that bounds
+# per-node out-degree by O(sqrt(E)), so the wedge join Σ d_out² is O(E^1.5)
+# instead of Σ d² (which a single celebrity node blows up). Each triangle
+# {a<b<c} in orientation order is generated exactly once as wedge (a→b, a→c)
+# confirmed by oriented edge b→c (left-semi join).
+#
+# 100 TB shape: three hash shuffles (degree agg, wedge self-join on src,
+# closing semi-join on (b,c)); degree relation is O(nodes) and joins
+# normally (AQE broadcasts it when small — never forced). Nothing visits
+# the driver; per-node counts explode each triangle into 3 rows (row-local)
+# before one node-keyed agg.
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts for an undirected simple
+    graph. ``edges``: columns (a, b) with a != b, one row per undirected
+    edge in canonical a < b form. Returns (node, triangles)."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ed = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("b"), F.col("dd").alias("db_"))
+    e2 = oriented.select("src", F.col("dst").alias("c"), F.col("dd").alias("dc_"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("db_") < F.col("dc_"))
+        | ((F.col("db_") == F.col("dc_")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi").select(
+        F.col("src").alias("a"), "b", "c"
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def _register_g02() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_linenumber <= 5 AND l_orderkey % 2 = 0
+    ), edges AS (
+      SELECT DISTINCT i1.pk AS a, i2.pk AS b
+      FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+    ), deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+      ) GROUP BY node
+    ), oe AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                  THEN db.d ELSE da.d END AS dd
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+        AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      WHERE EXISTS (
+        SELECT 1 FROM oe e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst
+      )
+    ), members AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b AS node FROM tri
+      UNION ALL SELECT c AS node FROM tri
+    ), pern AS (
+      SELECT node, count(*) AS triangles FROM members GROUP BY node
+    ), tot AS (
+      SELECT count(*) AS total_triangles FROM tri
+    )
+    SELECT p.node AS part_key, p.triangles, t.total_triangles
+    FROM pern p CROSS JOIN tot t
+    ORDER BY p.triangles DESC, p.node
+    LIMIT 10
+    """
+
+    @query("g02_triangle_count", oracle=oracle)
+    def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-10 parts by triangle participation in the co-purchase graph,
+        with the global triangle total alongside (1-row scalar cross join)."""
+        from spark_streaming_logservice_spark.tables import load_table
+
+        items = (
+            load_table(spark, sf_dir, "lineitem")
+            # even-orderkey sample: wedge volume is quadratic in degree, so
+            # halving the order set quarters the dominant join's row count
+            # while keeping the same E^1.5 execution shape
+            .where((F.col("l_linenumber") <= 5) & (F.col("l_orderkey") % 2 == 0))
+            .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+            .distinct()
+        )
+        i2 = items.select("ok", F.col("pk").alias("pk2"))
+        edges = (
+            items.join(i2, "ok")
+            .where(F.col("pk") < F.col("pk2"))
+            .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+            .distinct()
+        )
+        pern = triangle_count(edges)
+        # total = sum(per-node)/3: every triangle contributes 3 member rows,
+        # so the corpus is not re-scanned for the scalar
+        tot = pern.agg(
+            (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long").alias("total_triangles")
+        )
+        return (
+            pern.crossJoin(tot)
+            .select(F.col("node").alias("part_key"), "triangles", "total_triangles")
+            .orderBy(F.desc("triangles"), F.asc("part_key"))
+            .limit(10)
+        )
+
+
+_register_g02()

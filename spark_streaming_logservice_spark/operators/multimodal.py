@@ -399,3 +399,63 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(decode_batches, schema=DECODE_SCHEMA).orderBy(
         "doc_id"
     ).limit(200)
+
+
+@query(
+    "m07_image_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 64 + 1 AS w, (n_chars * 7) % 48 + 1 AS h
+      FROM documents ORDER BY doc_id LIMIT 120
+    ), dims AS (
+      SELECT doc_id, w, h, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM d
+    ), px AS (
+      SELECT doc_id, rw, rh,
+             (doc_id * 31
+              + (2 * (unnest(range(0, rw * rh)) // rw)) * w
+              + 2 * (unnest(range(0, rw * rh)) % rw)) % 251 AS luma
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(rw AS INTEGER) AS width,
+           CAST(rh AS INTEGER) AS height,
+           round(avg(luma), 4) AS mean_luma,
+           CAST(min(luma) AS INTEGER) AS min_luma,
+           CAST(max(luma) AS INTEGER) AS max_luma
+    FROM px
+    GROUP BY doc_id, rw, rh
+    ORDER BY doc_id
+    """,
+)
+def m07_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image transform pipeline: encode a gradient PNG per document,
+    nearest-neighbor downsample it 2× (decode → numpy stride resample →
+    re-encode as PNG), then run the UNCHANGED luma-stats decode stage over
+    the resized blobs. Three chained Arrow-batched mapInPandas stages —
+    the multimodal pipeline shape (transform stages compose because each
+    keeps the (doc_id, blob) contract). The oracle regenerates the resized
+    pixels in closed form: resized pixel (ry,rx) = original (2ry, 2rx), so
+    any off-by-one in the stride walk, a mixed-up row-major order, or a
+    re-encode corruption shifts the statistics and fails the hash."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    blobs = d.mapInPandas(encode_png_gradient_batches, schema=ENCODE_IMG_SCHEMA)
+    resized = media.resize_images_nn(blobs, factor=2)
+    return (
+        media.decode_image_luma_stats(resized)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.round("mean_luma", 4).alias("mean_luma"),
+            "min_luma",
+            "max_luma",
+        )
+        .orderBy("doc_id")
+    )

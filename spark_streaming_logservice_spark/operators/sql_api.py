@@ -104,6 +104,38 @@ ORDER BY r_name, acctbal DESC, c_name
 """
 
 
+# Window-function battery over one customer-partitioned frame: ranking
+# (percent_rank/cume_dist/ntile), navigation (lag/lead), and frame-bound
+# aggregates (first_value, running sum) — the full ANSI window surface in a
+# single pass. One window spec = one shuffle on o_custkey; every function
+# shares it (Spark plans a single WindowExec, never one per function).
+# Restricted to a deterministic customer slice so ties can't straddle the
+# LIMIT boundary; (o_custkey, rk) ordering is a total order.
+SQL07 = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number()   OVER win AS rk,
+         ntile(4)       OVER win AS quartile,
+         round(percent_rank() OVER win, 6) AS pct_rank,
+         round(cume_dist()    OVER win, 6) AS cdist,
+         lag(o_orderkey)      OVER win AS prev_ok,
+         lead(o_orderkey)     OVER win AS next_ok,
+         first_value(o_orderkey) OVER win AS best_ok,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+  FROM orders
+  WHERE o_custkey % 100 = 7
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT o_custkey, o_orderkey, quartile, pct_rank, cdist,
+       prev_ok, next_ok, best_ok, run_total
+FROM w
+WHERE rk <= 5
+ORDER BY o_custkey, run_total
+"""
+
+
 def _sql_query(sql: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -118,3 +150,4 @@ query("sql03_case_classification", oracle=SQL03)(_sql_query(SQL03))
 query("sql04_recursive_month_gaps", oracle=SQL04)(_sql_query(SQL04))
 query("sql05_grouping_sets", oracle=SQL05)(_sql_query(SQL05))
 query("sql06_lateral_topn", oracle=SQL06)(_sql_query(SQL06))
+query("sql07_window_battery", oracle=SQL07)(_sql_query(SQL07))

@@ -56,6 +56,7 @@ def load_all() -> None:
         semdedup,
         similarity,
         skew,
+        profile,
         source_queries,
         sql_api,
         text,

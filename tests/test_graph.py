@@ -76,3 +76,60 @@ def test_random_graph_matches_union_find(spark, seed):
     ]
     clean = [(a, b) for a, b in edges if a != b]
     assert _run(spark, edges) == _expect(clean)
+
+
+# --- triangle_count -------------------------------------------------------
+
+
+def _tri_brute(edges):
+    """Brute-force per-node triangle counts over undirected edge list."""
+    import itertools
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] += 1
+    return {n: c for n, c in counts.items() if c > 0}
+
+
+def _run_tri(spark, edges):
+    from spark_streaming_logservice_spark.operators.graph import triangle_count
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    df = spark.createDataFrame(canon, "a BIGINT, b BIGINT")
+    return {(r["node"], r["triangles"]) for r in triangle_count(df).collect()}
+
+
+def test_triangle_k4(spark):
+    # K4: C(4,3)=4 triangles, every node in exactly 3
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _run_tri(spark, edges) == {(n, 3) for n in range(4)}
+
+
+def test_triangle_path_has_none(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    assert _run_tri(spark, edges) == set()
+
+
+def test_triangle_two_sharing_edge(spark):
+    # Triangles {0,1,2} and {1,2,3} share edge (1,2)
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    assert _run_tri(spark, edges) == {(0, 1), (1, 2), (2, 2), (3, 1)}
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_triangle_random_matches_brute(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(18))
+    edges = {
+        (min(a, b), max(a, b))
+        for _ in range(60)
+        for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+        if a != b
+    }
+    assert _run_tri(spark, sorted(edges)) == set(_tri_brute(sorted(edges)).items())

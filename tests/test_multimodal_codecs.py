@@ -223,3 +223,42 @@ def test_spark_frame_features_stage(spark):
         for r in media.sample_frame_features(df, every_n=2).collect()
     )
     assert rows == [(0, 0.0), (2, 14.0)]
+
+
+def test_make_png_from_array_matches_fill_encoder():
+    """Vectorized array encoder must produce byte-identical output to the
+    closed-form fill encoder for the same pixels."""
+    import numpy as np
+
+    from spark_streaming_logservice_spark.functions import media
+
+    w, h = 13, 7
+    arr = np.array([[(y * w + x) * 3 % 251 for x in range(w)] for y in range(h)],
+                   dtype=np.uint8)
+    via_fill = media.make_png(w, h, fill=lambda i: (i * 3) % 251)
+    via_array = media.make_png_from_array(arr)
+    assert via_fill == via_array
+
+
+def test_resize_nn_stride_semantics():
+    """2x nearest-neighbor keeps pixels at even (row, col) coordinates and
+    dims become ceil(d/2) — verified by decoding the re-encoded PNG."""
+    import zlib
+
+    import numpy as np
+
+    from spark_streaming_logservice_spark.functions import media
+
+    w, h = 9, 5  # odd dims: ceil behavior matters
+    src = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    blob = media.make_png_from_array(src)
+    # emulate the stage's per-blob path
+    meta = media.parse_image(blob)
+    assert meta == ("png", w, h)
+    raw = zlib.decompress(b"".join(media._png_chunks(blob, b"IDAT")))
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w)[:, 1:]
+    small_blob = media.make_png_from_array(arr[::2, ::2])
+    assert media.parse_image(small_blob) == ("png", 5, 3)
+    raw2 = zlib.decompress(b"".join(media._png_chunks(small_blob, b"IDAT")))
+    got = np.frombuffer(raw2, dtype=np.uint8).reshape(3, 6)[:, 1:]
+    assert np.array_equal(got, src[::2, ::2])

@@ -1,0 +1,40 @@
+"""Round-6 wave: column profiling, window battery plan shape."""
+
+from __future__ import annotations
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from spark_streaming_logservice_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5),
+            (2, None, 2.5),
+            (3, "a", None),
+            (4, "b", None),
+            (5, None, 1.5),
+        ],
+        "id BIGINT, tag STRING, score DOUBLE",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ["tag", "score", "id"]).collect()}
+    assert set(rows) == {"tag", "score", "id"}
+    t = rows["tag"]
+    assert (t["n_rows"], t["n_null"], t["n_distinct"]) == (5, 2, 2)
+    assert (t["min_str"], t["max_str"]) == ("a", "b")
+    assert t["min_num"] is None and t["max_num"] is None
+    s = rows["score"]
+    assert (s["n_rows"], s["n_null"], s["n_distinct"]) == (5, 2, 2)
+    assert (s["min_num"], s["max_num"]) == (1.5, 2.5)
+    assert s["min_str"] is None
+    i = rows["id"]
+    assert (i["n_null"], i["n_distinct"], i["min_num"], i["max_num"]) == (0, 5, 1.0, 5.0)
+
+
+def test_profile_single_scan(spark):
+    """All metrics for all columns come from ONE aggregate over ONE scan —
+    the physical plan must contain exactly one LocalTableScan/Scan source."""
+    from spark_streaming_logservice_spark.operators.profile import profile_columns
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS tag")
+    plan = profile_columns(df, ["id", "tag"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
