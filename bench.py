@@ -385,6 +385,12 @@ def main() -> None:
         "m06_audio_pcm_stats",
         "d13_containment_pairs",
         "j04_asof_forward",
+        "g02_triangle_count",
+        "sql07_window_battery",
+        "t12_column_profile",
+        "m07_image_resize",
+        "l19_countmin_frequency",
+        "d14_bloom_decontamination",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -57,6 +57,7 @@ def load_all() -> None:
         similarity,
         skew,
         profile,
+        sketch,
         source_queries,
         sql_api,
         text,

@@ -38,3 +38,34 @@ def test_profile_single_scan(spark):
     df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS tag")
     plan = profile_columns(df, ["id", "tag"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1
+
+
+def test_countmin_never_undercounts(spark):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    # skewed key distribution: key k appears k times
+    rows = [(k,) for k in range(1, 30) for _ in range(k)]
+    df = spark.createDataFrame(rows, "k BIGINT")
+    sk = countmin_sketch(df, F.col("k"), depth=3, width=16)  # tiny: collisions certain
+    keys = df.distinct()
+    est = {r["k"]: r["est_n"] for r in countmin_estimate(sk, keys, "k", depth=3, width=16).collect()}
+    for k in range(1, 30):
+        assert est[k] >= k, f"CM undercounted key {k}: {est[k]}"
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every exact positive must also be bloom-positive (d14 invariant)."""
+    from spark_streaming_logservice_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["d14_bloom_decontamination"](spark, "/root/testdata/sf0.001")
+    for r in df.collect():
+        assert r["n_bloom_positive"] >= r["n_exact_positive"]
+        # no false negatives => every exact positive is bloom-positive, so
+        # the false positives are exactly the surplus
+        assert r["n_false_positive"] == r["n_bloom_positive"] - r["n_exact_positive"]
