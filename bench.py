@@ -391,6 +391,9 @@ def main() -> None:
         "m07_image_resize",
         "l19_countmin_frequency",
         "d14_bloom_decontamination",
+        "l20_hopping_window",
+        "s16_mips_topk",
+        "g03_khop_reachability",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -400,3 +400,97 @@ def _register_g02() -> None:
 
 
 _register_g02()
+
+
+# --- g03: k-hop BFS reachability -------------------------------------------
+# Frontier-expansion BFS over the (undirected) supplier↔customer ship graph:
+# per-hop NEW-node counts from a seed set — the reachability/blast-radius
+# primitive. Spark shape per hop: frontier ⋈ edges (hash shuffle on node),
+# distinct, anti-join against the visited set — the same iterative
+# join-agg discipline as PageRank (loop-invariant edge relation persisted,
+# per-hop localCheckpoint keeps lineage O(1)). Frontier and visited are
+# O(nodes); nothing visits the driver but the per-hop counts.
+
+
+def khop_frontiers(
+    edges_undirected: DataFrame, seeds: DataFrame, hops: int = 3
+) -> DataFrame:
+    """(hop, n_nodes): hop 0 = |seeds|, hop h = nodes first reached at
+    distance h. ``edges_undirected``: (node, nbr) with both directions
+    present; ``seeds``: (node)."""
+    ed = edges_undirected.persist()
+    visited = seeds.select("node").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    counts = [(0, visited.count())]
+    for h in range(1, hops + 1):
+        frontier = (
+            ed.join(frontier, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        counts.append((h, frontier.count()))
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+    ed.unpersist()
+    spark = edges_undirected.sparkSession
+    return spark.createDataFrame(counts, "hop INT, n_nodes BIGINT")
+
+
+def _register_g03() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = """
+    WITH edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), und AS (
+      SELECT src AS node, dst AS nbr FROM edges
+      UNION ALL
+      SELECT dst AS node, src AS nbr FROM edges
+    ), v0 AS (
+      SELECT DISTINCT src AS node FROM edges
+      WHERE CAST(substr(src, 2) AS BIGINT) % 50 = 1
+    ), f1 AS (
+      SELECT DISTINCT u.nbr AS node FROM und u JOIN v0 ON u.node = v0.node
+      WHERE u.nbr NOT IN (SELECT node FROM v0)
+    ), v1 AS (
+      SELECT node FROM v0 UNION SELECT node FROM f1
+    ), f2 AS (
+      SELECT DISTINCT u.nbr AS node FROM und u JOIN f1 ON u.node = f1.node
+      WHERE u.nbr NOT IN (SELECT node FROM v1)
+    ), v2 AS (
+      SELECT node FROM v1 UNION SELECT node FROM f2
+    ), f3 AS (
+      SELECT DISTINCT u.nbr AS node FROM und u JOIN f2 ON u.node = f2.node
+      WHERE u.nbr NOT IN (SELECT node FROM v2)
+    )
+    SELECT 0 AS hop, count(*) AS n_nodes FROM v0
+    UNION ALL SELECT 1, count(*) FROM f1
+    UNION ALL SELECT 2, count(*) FROM f2
+    UNION ALL SELECT 3, count(*) FROM f3
+    ORDER BY hop
+    """
+
+    @query("g03_khop_reachability", oracle=oracle)
+    def g03_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """3-hop BFS frontier sizes from every 50th supplier over the
+        undirected ship graph (bipartite: odd hops are customers, even are
+        suppliers)."""
+        edges = _supplier_customer_edges(spark, sf_dir)
+        und = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+            edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        seeds = (
+            edges.select("src")
+            .distinct()
+            .where(F.substring("src", 2, 100).cast("bigint") % 50 == 1)
+            .select(F.col("src").alias("node"))
+        )
+        return khop_frontiers(und, seeds, hops=3).orderBy("hop")
+
+
+_register_g03()

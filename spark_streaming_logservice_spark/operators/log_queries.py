@@ -727,3 +727,48 @@ def l18_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("day", "start_minute")
     )
+
+
+# --- l20: hopping (sliding) event-time window agg ---------------------------
+# The overlapping-window sibling of l02: duration 2h, slide 1h, so every
+# event lands in exactly TWO windows. Spark's window() emits the overlap
+# row-locally (an Expand of the covering window set — no self-join, no
+# re-scan); the oracle unnests the same two covering starts per event.
+# Scale shape: the Expand doubles rows BEFORE one (window, type)-keyed
+# aggregate with map-side partials — same wordcount bound as l02, 2x the
+# shuffle rows, which is the honest cost of overlap semantics.
+
+@query(
+    "l20_hopping_window",
+    oracle="""
+    SELECT ws AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY ws, event_type
+    ORDER BY ws, event_type
+    """,
+)
+def l20_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -653,3 +653,82 @@ def s14_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- s16: maximum-inner-product search (MIPS) ------------------------------
+# Recommendation-style retrieval: rank by RAW inner product, not cosine —
+# long vectors legitimately outrank near-parallel short ones. The classic
+# reduction (Bachrach et al., RecSys'14) augments every corpus vector with
+# sqrt(M² − |x|²) (M = max corpus norm) and queries with 0, making MIPS an
+# exact cosine top-k in (d+1)-dim space: aug_cos(q', x') = (q·x) / (|q|·M),
+# strictly monotone in q·x for a fixed query. Both scores are emitted and
+# the oracle recomputes BOTH independently, so the reduction identity
+# itself is hash-checked, not just asserted in a comment.
+#
+# 100 TB shape: identical to s01 — tiny query side broadcast, corpus
+# streams once through a row-local dot product, per-query top-k via
+# WindowGroupLimit. M comes from a 1-row scalar aggregate (broadcast
+# scalar, not a driver round-trip inside the plan). The augmented form is
+# what makes MIPS *bucketable*: in augmented space the s02/s05 cosine ANN
+# infrastructure applies unchanged when brute force stops scaling.
+
+@query(
+    "s16_mips_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), m AS (
+      SELECT max(sqrt(list_sum(list_transform(emb, x -> x * x)))) AS mx FROM e
+    ), scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round({_DUCK_DOT}, 6) AS ip,
+             round({_DUCK_DOT} / ({_DUCK_NORM_A} * m.mx), 6) AS aug_score
+      FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id
+      CROSS JOIN m
+    ), ranked AS (
+      SELECT q_id, n_id, ip, aug_score,
+             row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rk
+      FROM scored
+    )
+    SELECT q_id, n_id, ip, aug_score, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY q_id, rk
+    """,
+)
+def s16_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    mx = e.select(F.max(_norm(F.col("emb"))).alias("mx"))
+    q = (
+        e.where(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            _norm(F.col("emb")).alias("q_nrm"),
+        )
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("n_id"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(_dot(F.col("q_emb"), F.col("n_emb")), 6).alias("ip"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("mx")),
+                6,
+            ).alias("aug_score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ip"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "ip", "aug_score", "rk")
+        .orderBy("q_id", "rk")
+    )

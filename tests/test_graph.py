@@ -133,3 +133,32 @@ def test_triangle_random_matches_brute(spark, seed):
         if a != b
     }
     assert _run_tri(spark, sorted(edges)) == set(_tri_brute(sorted(edges)).items())
+
+
+# --- khop_frontiers -------------------------------------------------------
+
+
+def test_khop_path_graph(spark):
+    """Path 0-1-2-3-4-5, seed {0}: frontier h = exactly node h."""
+    from spark_streaming_logservice_spark.operators.graph import khop_frontiers
+
+    edges = [(i, i + 1) for i in range(5)]
+    und = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "node BIGINT, nbr BIGINT"
+    )
+    seeds = spark.createDataFrame([(0,)], "node BIGINT")
+    got = {(r["hop"], r["n_nodes"]) for r in khop_frontiers(und, seeds, hops=3).collect()}
+    assert got == {(0, 1), (1, 1), (2, 1), (3, 1)}
+
+
+def test_khop_star_graph(spark):
+    """Star centered at 0 with 6 leaves, seed {0}: hop1 = all leaves, hop2 = 0."""
+    from spark_streaming_logservice_spark.operators.graph import khop_frontiers
+
+    edges = [(0, i) for i in range(1, 7)]
+    und = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "node BIGINT, nbr BIGINT"
+    )
+    seeds = spark.createDataFrame([(0,)], "node BIGINT")
+    got = {(r["hop"], r["n_nodes"]) for r in khop_frontiers(und, seeds, hops=2).collect()}
+    assert got == {(0, 1), (1, 6), (2, 0)}

@@ -333,3 +333,54 @@ def test_t10_unigram_prunes_and_no_cartesian(spark, sf_dir):
     # the only nested-loop is the 1-row total broadcast; a corpus-sized
     # cartesian would be a CartesianProduct node
     assert "CartesianProduct" not in pi.formatted_plan(df)
+
+
+def test_g02_triangle_join_is_hash_not_nested_loop(spark, sf_dir):
+    """Wedge + closing joins must be hash equi-joins; the only nested-loop
+    allowed is the 1-row scalar total cross join."""
+    df = registry.QUERIES["g02_triangle_count"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_t12_profile_single_expand_single_scan(spark, sf_dir):
+    """Multi-column exact distinct = ONE Expand over ONE events scan."""
+    df = registry.QUERIES["t12_column_profile"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert plan.count("Expand") >= 1
+    scans = pi.read_schema_columns(df)
+    assert len(scans) == 1, f"profile must scan events exactly once, got {scans}"
+    assert pi.has_partial_aggregation(df)
+
+
+def test_l19_countmin_partial_agg_no_cartesian(spark, sf_dir):
+    df = registry.QUERIES["l19_countmin_frequency"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(df), "sketch cells must combine map-side"
+
+
+def test_d14_bloom_bitsets_broadcast(spark, sf_dir):
+    df = registry.QUERIES["d14_bloom_decontamination"](spark, sf_dir)
+    assert pi.uses_broadcast_join(df), "bit-set joins must be broadcast"
+    assert pi.formatted_plan(df).count("CartesianProduct") == 0
+
+
+def test_l20_hopping_expand_not_join(spark, sf_dir):
+    """Overlapping windows come from a row-local Expand, never a self-join."""
+    df = registry.QUERIES["l20_hopping_window"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert pi.has_partial_aggregation(df)
+
+
+def test_s16_mips_scalar_broadcast_and_group_limit(spark, sf_dir):
+    """Corpus side streams once; M and the query set broadcast; per-query
+    top-k must be a WindowGroupLimit (map-side k-row heap)."""
+    df = registry.QUERIES["s16_mips_topk"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    # query set and scalar M broadcast through the cross joins (tiny sides)
+    assert "BroadcastNestedLoopJoin" in plan or pi.uses_broadcast_join(df)
+    assert "WindowGroupLimit" in plan
