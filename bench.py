@@ -394,6 +394,7 @@ def main() -> None:
         "l20_hopping_window",
         "s16_mips_topk",
         "g03_khop_reachability",
+        "t13_lexical_diversity",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -711,3 +711,59 @@ def t11_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t13: lexical diversity (type-token ratio + token entropy) -------------
+# The vocabulary-richness quality signal: low TTR / low entropy flags
+# template spam and keyword stuffing that raw length or repetition rules
+# (t06) miss. Shape: explode → (doc_id, token) count → doc-keyed entropy
+# fold — two shuffles, both the wordcount bound (partial aggregation
+# absorbs token skew map-side); everything stays in whole-stage codegen.
+# Entropy sums doubles across a doc's types, so parity is pinned at 4 dp
+# (the repo's iterative-float discipline, same as t10/t11/g01).
+
+@query(
+    "t13_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+                 4) AS entropy
+    FROM tf
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def t13_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_toks()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # H = ln N - (sum c*ln c)/N: entropy from the SAME doc-keyed aggregate
+    # that computes the counts — no per-doc window, two shuffles total
+    n = F.sum("c").cast("double")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.count(F.lit(1)) / n, 6).alias("ttr"),
+            F.round(
+                F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

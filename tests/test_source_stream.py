@@ -329,3 +329,55 @@ def test_stream_catchup_batch_slices_hot_shard(spark, tmp_path):
     out = _run_once(spark, df, "t_catchup_sliced", str(tmp_path / "ck-cs"))
     got = sorted(r["msg"] for r in out.collect())
     assert got == sorted(str(v) for v in range(50))
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Outer stream-stream join over two logstore streams: watermarks on
+    both sides + a time-range join constraint bound the join state; once
+    the watermark passes a left row's match window, the row emits with
+    nulls. Coverage for the OUTER variant of keyed_join (inner variant:
+    test_stream_stream_self_join)."""
+    register(spark)
+    left_store = str(tmp_path / "proj" / "clicks-store")
+    right_store = str(tmp_path / "proj" / "buys-store")
+    base = 1_700_000_000
+    # left keys 1,2,3 at base..base+2; right matches key 1 only (t=base+1).
+    fixtures.make_store(left_store, {0: ["1", "2", "3"]}, base_time=base)
+    fixtures.make_store(right_store, {0: ["1"]}, base_time=base + 1)
+    # watermark pushers on BOTH sides far past the join horizon
+    fixtures.write_messages(left_store, ["99"], shard=0, base_time=base + 500)
+    fixtures.write_messages(right_store, ["99"], shard=0, base_time=base + 500)
+
+    def src(path):
+        return (
+            spark.readStream.format("logstore")
+            .schema("msg STRING, __time__ TIMESTAMP")
+            .option("path", path)
+            .option("startingOffsets", "earliest")
+            # small trigger cap => several micro-batches, so the watermark
+            # advances WHILE data is still flowing and nulls emit in-run
+            .option("maxOffsetsPerTrigger", "2")
+            .load()
+        )
+
+    lt = src(left_store).select(
+        F.col("msg").cast("int").alias("key"), F.col("__time__").alias("lt")
+    ).withWatermark("lt", "5 seconds")
+    rt = src(right_store).select(
+        F.col("msg").cast("int").alias("rkey"), F.col("__time__").alias("rt")
+    ).withWatermark("rt", "5 seconds")
+    joined = lt.join(
+        rt,
+        (F.col("key") == F.col("rkey"))
+        & (F.col("rt") >= F.col("lt"))
+        & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 10 SECONDS")),
+        "leftOuter",
+    ).select("key", "lt", "rkey")
+
+    out, ckpt = str(tmp_path / "out-oj"), str(tmp_path / "ck-oj")
+    # matched: key 1 (+99); unmatched 2,3 emit after watermark passes
+    rows, _ = _run_to_parquet(spark, joined, out, ckpt, expect_rows=4, timeout=120)
+    got = {(r["key"], r["rkey"]) for r in rows}
+    assert (1, 1) in got and (99, 99) in got
+    assert (2, None) in got and (3, None) in got
+    assert len(rows) == 4
