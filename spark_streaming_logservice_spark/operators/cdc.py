@@ -112,3 +112,55 @@ def c02_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "event_type", "value", "ts")
     )
     return upsert_latest(e, key="user_id", ts="ts", tiebreak="event_id")
+
+
+def upsert_with_deletes(
+    changes: DataFrame, key: str, ts: str, tiebreak: str, op: str = "op"
+) -> DataFrame:
+    """MERGE semantics with tombstones: latest change per key wins, and if
+    that change is a delete ('D') the key vanishes from the snapshot.
+    Same single keyed-window shuffle as upsert_latest — the delete filter
+    is a post-window predicate, not a second pass."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(tiebreak).desc())
+    return (
+        changes.withColumn("__rn__", F.row_number().over(w))
+        .where((F.col("__rn__") == 1) & (F.col(op) != "D"))
+        .drop("__rn__")
+    )
+
+
+@query(
+    "c03_upsert_with_deletes",
+    oracle="""
+    SELECT user_id, event_id, value, ts
+    FROM (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE event_type IN ('signup', 'purchase', 'error')
+    )
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def c03_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog with tombstones: errors are per-user deletes; a user whose
+    LATEST change is a delete is absent from the snapshot (keys deleted
+    then re-created survive — only the final state matters)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            "ts",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+    return upsert_with_deletes(e, key="user_id", ts="ts", tiebreak="event_id").select(
+        "user_id", "event_id", "value", "ts"
+    )

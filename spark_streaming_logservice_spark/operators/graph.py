@@ -315,6 +315,30 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+
+
+def _copurchase_edges(spark, sf_dir) -> DataFrame:
+    """Undirected part co-purchase graph (canonical a < b rows): parts in
+    the same order, even-orderkey sample — wedge volume is quadratic in
+    degree, so halving the order set quarters the dominant join's row count
+    while keeping the same E^1.5 execution shape; ≤5 items/order caps the
+    per-order pair fan-out row-locally."""
+    from spark_streaming_logservice_spark.tables import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_linenumber") <= 5) & (F.col("l_orderkey") % 2 == 0))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    i2 = items.select("ok", F.col("pk").alias("pk2"))
+    return (
+        items.join(i2, "ok")
+        .where(F.col("pk") < F.col("pk2"))
+        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+
 def _register_g02() -> None:
     from pyspark.sql import SparkSession
 
@@ -367,24 +391,7 @@ def _register_g02() -> None:
     def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-10 parts by triangle participation in the co-purchase graph,
         with the global triangle total alongside (1-row scalar cross join)."""
-        from spark_streaming_logservice_spark.tables import load_table
-
-        items = (
-            load_table(spark, sf_dir, "lineitem")
-            # even-orderkey sample: wedge volume is quadratic in degree, so
-            # halving the order set quarters the dominant join's row count
-            # while keeping the same E^1.5 execution shape
-            .where((F.col("l_linenumber") <= 5) & (F.col("l_orderkey") % 2 == 0))
-            .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-            .distinct()
-        )
-        i2 = items.select("ok", F.col("pk").alias("pk2"))
-        edges = (
-            items.join(i2, "ok")
-            .where(F.col("pk") < F.col("pk2"))
-            .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
-            .distinct()
-        )
+        edges = _copurchase_edges(spark, sf_dir)
         pern = triangle_count(edges)
         # total = sum(per-node)/3: every triangle contributes 3 member rows,
         # so the corpus is not re-scanned for the scalar
@@ -494,3 +501,92 @@ def _register_g03() -> None:
 
 
 _register_g03()
+
+
+# --- g04: local clustering coefficient -------------------------------------
+# cc(v) = 2·tri(v) / (d(v)·(d(v)−1)) — how close a node's neighborhood is
+# to a clique; the community-structure signal PageRank and components miss.
+# Reuses the g02 triangle relation (same oriented wedge join) plus the
+# degree aggregate; the division is row-local over the O(nodes) result.
+
+
+def _register_g04() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_linenumber <= 5 AND l_orderkey % 2 = 0
+    ), edges AS (
+      SELECT DISTINCT i1.pk AS a, i2.pk AS b
+      FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+    ), deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+      ) GROUP BY node
+    ), oe AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                  THEN db.d ELSE da.d END AS dd
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+        AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      WHERE EXISTS (
+        SELECT 1 FROM oe e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst
+      )
+    ), pern AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS part_key, d.d AS degree,
+           coalesce(p.triangles, 0) AS triangles,
+           round(2.0 * coalesce(p.triangles, 0) / (d.d * (d.d - 1)), 6) AS cc
+    FROM deg d LEFT JOIN pern p ON p.node = d.node
+    WHERE d.d >= 2
+    ORDER BY cc DESC, part_key
+    LIMIT 15
+    """
+
+    @query("g04_clustering_coefficient", oracle=oracle)
+    def g04_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-15 parts by local clustering coefficient (degree >= 2)."""
+        edges = _copurchase_edges(spark, sf_dir)
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        pern = triangle_count(edges)
+        return (
+            deg.where(F.col("d") >= 2)
+            .join(pern, "node", "left")
+            .select(
+                F.col("node").alias("part_key"),
+                F.col("d").alias("degree"),
+                F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ).alias("cc"),
+            )
+            .orderBy(F.desc("cc"), F.asc("part_key"))
+            .limit(15)
+        )
+
+
+_register_g04()

@@ -772,3 +772,43 @@ def l20_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --- l21: top event trigram paths (user-journey mining) ---------------------
+# e04 counts 2-step transitions; l21 mines 3-step paths — one user-keyed
+# window (single shuffle) with two leads, then a path-keyed wordcount agg.
+# At 100 TB: the window never holds more than one user's events per task;
+# the path vocabulary is |types|³ (tiny), so the count agg collapses
+# map-side.
+
+@query(
+    "l21_event_trigram_paths",
+    oracle="""
+    SELECT t1, t2, t3, count(*) AS n
+    FROM (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 10
+    """,
+)
+def l21_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        paths.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(10)
+    )

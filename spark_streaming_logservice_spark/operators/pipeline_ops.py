@@ -834,3 +834,115 @@ def p10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+# --- p11: Neyman allocation (variance-proportional stratified budgets) ------
+# Optimal stratified sampling allocates budget ∝ N_h·σ_h (Neyman 1934): a
+# stratum that is big AND internally varied gets more of the sample. Shape:
+# one lang-keyed aggregate (sums, not avg — σ from Σx/Σx² keeps both engines
+# on the identical closed form; all inputs are integers < 2^53 so the double
+# sums are exact), then a 1-row scalar total broadcast back. The corpus is
+# read once; everything downstream is O(strata).
+
+@query(
+    "p11_neyman_allocation",
+    oracle="""
+    WITH st AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             sum(CAST(n_chars AS DOUBLE)) AS s1,
+             sum(CAST(n_chars AS DOUBLE) * n_chars) AS s2
+      FROM documents GROUP BY lang
+    ), sig AS (
+      SELECT lang, n_docs,
+             sqrt(s2 / n_docs - (s1 / n_docs) * (s1 / n_docs)) AS sigma
+      FROM st
+    ), tot AS (
+      SELECT sum(n_docs * sigma) AS t FROM sig
+    )
+    SELECT lang, n_docs,
+           round(sigma, 4) AS sigma,
+           CAST(floor(1000 * n_docs * sigma / t) AS BIGINT) AS alloc
+    FROM sig CROSS JOIN tot
+    ORDER BY lang
+    """,
+)
+def p11_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sample-budget allocation for a 1000-doc budget,
+    n_h ∝ N_h·σ_h over document length."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("x")
+    )
+    st = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    sig = st.select(
+        "lang",
+        "n_docs",
+        F.sqrt(
+            F.col("s2") / F.col("n_docs")
+            - (F.col("s1") / F.col("n_docs")) * (F.col("s1") / F.col("n_docs"))
+        ).alias("sigma"),
+    )
+    tot = sig.agg(F.sum(F.col("n_docs") * F.col("sigma")).alias("t"))
+    return (
+        sig.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("sigma", 4).alias("sigma"),
+            F.floor(1000 * F.col("n_docs") * F.col("sigma") / F.col("t"))
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- p12: deterministic k-fold cross-validation assignment ------------------
+# p02's train/test split generalized: fold = md5-bucket % k, engine-portable
+# and RNG-free, so every engine (and every re-run) agrees on membership.
+# Row-local assignment, one fold-keyed count agg; membership is pinned the
+# same way p02 pins it — per-fold doc_id sums, so a single misassigned row
+# shifts a fold's checksum.
+
+K_FOLDS = 5
+
+
+@query(
+    "p12_kfold_assignment",
+    oracle=f"""
+    SELECT ('0x' || substr(md5('p12:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % {K_FOLDS} AS fold,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def p12_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("p12:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % K_FOLDS
+    ).alias("fold")
+    return (
+        d.select(fold, "doc_id", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("fold")
+    )

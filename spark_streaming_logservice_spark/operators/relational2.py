@@ -582,3 +582,55 @@ def q24_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("unit_price"), F.asc("partkey"))
         .limit(40)
     )
+
+
+# --- q26: argmax over an aggregate (TPC-H Q15 shape) ------------------------
+# "The supplier(s) achieving the maximum quarterly revenue": aggregate, then
+# keep rows equal to the aggregate's max. Spark shape: one suppkey-keyed
+# partial-agg shuffle builds the revenue relation; the max is a 1-row scalar
+# re-aggregated FROM that relation (not a second corpus pass) and broadcast
+# back via a scalar cross join. Ties all surface (no LIMIT 1 arbitrariness).
+
+@query(
+    "q26_top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ), mx AS (
+      SELECT max(total_revenue) AS m FROM rev
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = supplier_no
+    CROSS JOIN mx
+    WHERE total_revenue = m
+    ORDER BY s_suppkey
+    """,
+)
+def q26_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

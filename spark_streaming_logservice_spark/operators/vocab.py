@@ -300,3 +300,147 @@ def v05_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_cnt, ln_rk), 4).alias("zipf_slope"),
         F.round(F.regr_r2(ln_cnt, ln_rk), 4).alias("fit_r2"),
     )
+
+
+# --- v06: BPE merge application (two unrolled trainer rounds) ---------------
+# v02 computes the statistic a BPE trainer maximizes; v06 executes the
+# trainer's actual step, twice: pick the most frequent adjacent pair
+# (w1 <> w2, lexicographic tiebreak), rewrite every document ROW-LOCALLY
+# replacing each occurrence with the merged token "w1_w2", recount, repeat.
+# With w1 <> w2 occurrences can never overlap (a start at i and i+1 would
+# need a[i+1] = w2 = w1), so the greedy left-to-right merge equals the
+# simultaneous merge and is expressible as a pure index transform — no
+# sequential state, no UDF.
+#
+# Shape per round: one pair-keyed wordcount aggregate (the v02 bound), a
+# 1-row driver round-trip for the argmax pair (k-rows-by-construction, the
+# IVF-centroid discipline), then a row-local array rewrite. At 100 TB each
+# round is one shuffle over the (partial-agg-collapsed) pair vocabulary
+# plus a full row-local pass — the same cost profile as the real trainers.
+
+_MERGE_ROUNDS = 2
+
+
+def _adjacent_pairs(docs: DataFrame, arr: str = "a") -> DataFrame:
+    return docs.select(
+        F.explode(
+            F.when(F.size(arr) < 2, F.array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col(arr), i).alias("w1"),
+                        F.element_at(F.col(arr), i + 1).alias("w2"),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+
+
+def apply_bpe_merge(docs: DataFrame, w1: str, w2: str, arr: str = "a") -> DataFrame:
+    """Replace every adjacent (w1, w2) with 'w1_w2' in the token-array
+    column — row-local, non-overlap guaranteed by w1 != w2."""
+    assert w1 != w2, "overlap-free simultaneous merge requires distinct tokens"
+    a = F.col(arr)
+    merged = F.filter(
+        F.transform(
+            F.when(F.size(arr) >= 1, F.sequence(F.lit(1), F.size(arr)))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: F.when(
+                (F.element_at(a, i) == w1)
+                & (i < F.size(arr))
+                & (F.element_at(a, i + 1) == w2),
+                F.lit(f"{w1}_{w2}"),
+            )
+            .when(
+                (i > 1)
+                & (F.element_at(a, i - 1) == w1)
+                & (F.element_at(a, i) == w2),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(F.element_at(a, i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.withColumn(arr, merged)
+
+
+def _duck_merge_round(src: str, top: str, out: str) -> str:
+    """One oracle merge round: pick argmax pair from ``src``, rewrite into
+    ``out`` (same index-transform as the Spark side)."""
+    return f"""
+    {top} AS (
+      SELECT w1, w2 FROM (
+        SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS c
+        FROM {src}, UNNEST(range(1, greatest(len(a), 1))) AS u(i)
+        GROUP BY 1, 2
+      ) WHERE w1 <> w2
+      ORDER BY c DESC, w1, w2 LIMIT 1
+    ), {out} AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(range(1, len(a) + 1),
+                 i -> CASE
+                        WHEN a[i] = t.w1 AND i < len(a) AND a[i + 1] = t.w2
+                          THEN t.w1 || '_' || t.w2
+                        WHEN i > 1 AND a[i - 1] = t.w1 AND a[i] = t.w2
+                          THEN NULL
+                        ELSE a[i]
+                      END),
+               x -> x IS NOT NULL) AS a
+      FROM {src} CROSS JOIN {top} t
+    )"""
+
+
+def _register_v06() -> None:
+    from spark_streaming_logservice_spark.registry import query
+    from spark_streaming_logservice_spark.tables import load_table
+
+    oracle = f"""
+    WITH tok0 AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS a
+      FROM documents
+    ),{_duck_merge_round("tok0", "top1", "tok1")},{_duck_merge_round("tok1", "top2", "tok2")}
+    SELECT w1, w2, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, w1, w2) AS INTEGER) AS rk
+    FROM (
+      SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS cnt
+      FROM tok2, UNNEST(range(1, greatest(len(a), 1))) AS u(i)
+      GROUP BY 1, 2
+    )
+    ORDER BY cnt DESC, w1, w2 LIMIT 10
+    """
+
+    @query("v06_bpe_merge_rounds", oracle=oracle)
+    def v06_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pair statistics after two executed BPE merge rounds; the merged
+        tokens ('x_y') surface in the final top-10 wherever frequent."""
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            ).alias("a"),
+        )
+        for _ in range(_MERGE_ROUNDS):
+            top = (
+                _adjacent_pairs(d)
+                .groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("w1") != F.col("w2"))
+                .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+                .limit(1)
+                .first()
+            )
+            d = apply_bpe_merge(d, top["w1"], top["w2"])
+        counts = (
+            _adjacent_pairs(d)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        head = counts.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2")).limit(10)
+        w = Window.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        return head.withColumn("rk", F.row_number().over(w)).orderBy("rk")
+
+
+_register_v06()

@@ -69,3 +69,45 @@ def test_bloom_no_false_negatives(spark):
         # no false negatives => every exact positive is bloom-positive, so
         # the false positives are exactly the surplus
         assert r["n_false_positive"] == r["n_bloom_positive"] - r["n_exact_positive"]
+
+
+def test_upsert_with_deletes_semantics(spark):
+    from spark_streaming_logservice_spark.operators.cdc import upsert_with_deletes
+
+    rows = [
+        # key 1: update then delete -> absent
+        (1, 1, 10.0, 1, "U"), (1, 2, 11.0, 2, "D"),
+        # key 2: delete then re-create -> present with final value
+        (2, 3, 20.0, 1, "D"), (2, 4, 21.0, 2, "U"),
+        # key 3: same-ts tie -> higher tiebreak wins (here a delete)
+        (3, 5, 30.0, 5, "U"), (3, 6, 31.0, 5, "D"),
+        # key 4: plain latest-wins
+        (4, 7, 40.0, 1, "U"), (4, 8, 41.0, 9, "U"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k BIGINT, id BIGINT, v DOUBLE, ts BIGINT, op STRING"
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in upsert_with_deletes(df, key="k", ts="ts", tiebreak="id").collect()
+    }
+    assert got == {(2, 21.0), (4, 41.0)}
+
+
+def test_bpe_merge_transform_semantics(spark):
+    from spark_streaming_logservice_spark.operators.vocab import apply_bpe_merge
+
+    rows = [
+        (1, ["x", "y", "x", "y"]),      # back-to-back occurrences both merge
+        (2, ["x", "y", "y", "x"]),      # only the leading pair
+        (3, ["a", "x", "y", "b"]),      # interior occurrence
+        (4, ["x"]),                      # single token untouched
+        (5, ["y", "x"]),                 # reversed order: no merge
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, a ARRAY<STRING>")
+    got = {r["doc_id"]: r["a"] for r in apply_bpe_merge(df, "x", "y").collect()}
+    assert got[1] == ["x_y", "x_y"]
+    assert got[2] == ["x_y", "y", "x"]
+    assert got[3] == ["a", "x_y", "b"]
+    assert got[4] == ["x"]
+    assert got[5] == ["y", "x"]
