@@ -53,11 +53,19 @@ def minute_partials(df: DataFrame, time_col: str = "ts",
     )
 
 
-def merge_partials(
-    table_dir: str, delta: DataFrame, batch_id: int | None = None
+def merge_additive(
+    table_dir: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    schema: str,
+    batch_id: int | None = None,
 ) -> None:
-    """base ∪ delta → re-aggregate → atomic swap. Both inputs are
-    rollup-sized; the ``rename(tmp, data)`` is the commit point.
+    """Generic additive-partial merge: base ∪ delta → re-aggregate (sum per
+    key) → atomic swap. Works for ANY decomposable keyed sum (the rollup's
+    minute buckets, a Count-Min sketch's cells, …); both inputs are
+    table-sized, never corpus-sized. ``rename(tmp, data)`` is the commit
+    point.
 
     Crash recovery (see module docstring): an interrupted swap is healed by
     restoring ``.old`` when the data dir is missing, and with ``batch_id``
@@ -83,14 +91,11 @@ def merge_partials(
         except (OSError, ValueError):
             pass
     if os.path.exists(data):
-        base = delta.sparkSession.read.schema(_SCHEMA).parquet(data)
+        base = delta.sparkSession.read.schema(schema).parquet(data)
         merged = (
             base.unionByName(delta)
-            .groupBy("bucket")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("n_errors").alias("n_errors"),
-            )
+            .groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
         )
     else:
         merged = delta
@@ -104,6 +109,20 @@ def merge_partials(
         os.rename(data, old)
     os.rename(tmp, data)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def merge_partials(
+    table_dir: str, delta: DataFrame, batch_id: int | None = None
+) -> None:
+    """Rollup-specific face of :func:`merge_additive` (minute buckets)."""
+    merge_additive(
+        table_dir,
+        delta,
+        key_cols=["bucket"],
+        sum_cols=["n_events", "n_errors"],
+        schema=_SCHEMA,
+        batch_id=batch_id,
+    )
 
 
 def incremental_rollup_writer(table_dir: str):
