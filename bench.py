@@ -395,6 +395,12 @@ def main() -> None:
         "s16_mips_topk",
         "g03_khop_reachability",
         "t13_lexical_diversity",
+        "v06_bpe_merge_rounds",
+        "q26_top_supplier_revenue",
+        "c03_upsert_with_deletes",
+        "p11_neyman_allocation",
+        "p12_kfold_assignment",
+        "l21_event_trigram_paths",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

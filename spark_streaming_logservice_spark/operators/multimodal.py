@@ -459,3 +459,86 @@ def m07_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def encode_y4m_scene_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture-encode stage for scene detection: Y4M streams whose luma
+    jumps by 60 every 5 frames (scene boundaries) and is constant within a
+    scene — cut positions are a pure function of (doc_id, n_chars)."""
+    from spark_streaming_logservice_spark.functions import media
+
+    def blob(doc_id: int, n_chars: int) -> bytes:
+        return media.make_y4m(
+            (n_chars % 16) * 2 + 2,
+            (n_chars % 12) * 2 + 2,
+            n_chars % 24 + 1,
+            y_fill=lambda i, d=doc_id: (d * 17 + 60 * (i // 5)) % 251,
+        )
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [
+                    blob(int(d), int(c))
+                    for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                ],
+            }
+        )
+
+
+@query(
+    "m08_video_scene_cuts",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 24 + 1 AS n_frames
+      FROM documents ORDER BY doc_id LIMIT 40
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST((n_frames - 1) // 5 AS BIGINT) AS n_cuts,
+           CASE WHEN n_frames > 5 THEN 5 END AS first_cut_idx
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def m08_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video scene-change detection: synthesize scene-structured Y4M
+    (luma jumps 60 every 5 frames), decode EVERY frame's mean luma with the
+    real frame walker, then detect cuts as |Δ mean| >= 30 via a per-doc
+    lag window — one doc_id-keyed shuffle over the per-frame features (a
+    few doubles per frame; pixels never leave the decode stage). The oracle
+    predicts frame counts and cut positions in closed form, so a misaligned
+    frame walk, a plane-size error, or a wrong lag frame shifts the cut
+    positions and fails the hash."""
+    from pyspark.sql.window import Window as W
+
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    blobs = d.mapInPandas(encode_y4m_scene_batches, schema=ENCODE_Y4M_SCHEMA)
+    frames = media.sample_frame_features(blobs, every_n=1)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.select(
+        "doc_id",
+        "frame_idx",
+        (
+            F.abs(F.col("y_mean") - F.lag("y_mean").over(w)) >= 30
+        ).alias("is_cut"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.count(F.when(F.col("is_cut"), 1)).alias("n_cuts"),
+            F.min(F.when(F.col("is_cut"), F.col("frame_idx"))).alias(
+                "first_cut_idx"
+            ),
+        )
+        .orderBy("doc_id")
+    )
