@@ -401,6 +401,10 @@ def main() -> None:
         "p11_neyman_allocation",
         "p12_kfold_assignment",
         "l21_event_trigram_paths",
+        "e11_ab_test_lift",
+        "p13_temperature_mixture",
+        "d16_bbit_minhash",
+        "m08_video_scene_cuts",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -937,3 +937,109 @@ def d13_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_containment"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(100)
     )
+
+
+# --- d16: b-bit minwise hashing (compressed signatures) ----------------------
+# Li & König (WWW'10): store only the lowest b bits of each MinHash value —
+# b=1 shrinks the d03 signature 128× — and correct the estimator for the
+# random-agreement floor: with 1 bit, unrelated values still agree half the
+# time, so E[agree] = J + (1-J)/2 and Ĵ = 2·agree − 1 (clamped at 0). The
+# at-scale story: signature storage/shuffle volume is THE cost of minhash
+# dedup at 100 TB, and this is the standard compression; the query reports
+# the accuracy price next to the full-width estimate over the same d04
+# candidate chain (everything O(candidates)).
+
+@query(
+    "d16_bbit_minhash",
+    oracle=_duckdb_minhash_cte()
+    + _DUCKDB_LSH_PAIR_CTES
+    + """
+    , scored AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST((CASE WHEN sa2.mh0 = sb2.mh0 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh1 = sb2.mh1 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh2 = sb2.mh2 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh3 = sb2.mh3 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh4 = sb2.mh4 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh5 = sb2.mh5 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh6 = sb2.mh6 THEN 1 ELSE 0 END
+                 + CASE WHEN sa2.mh7 = sb2.mh7 THEN 1 ELSE 0 END) AS DOUBLE)
+               / 8.0 AS est_full,
+             CAST((CASE WHEN ('0x' || substr(sa2.mh0, 32, 1))::INTEGER % 2
+                           = ('0x' || substr(sb2.mh0, 32, 1))::INTEGER % 2 THEN 1 ELSE 0 END
+                 + CASE WHEN ('0x' || substr(sa2.mh1, 32, 1))::INTEGER % 2
+                           = ('0x' || substr(sb2.mh1, 32, 1))::INTEGER % 2 THEN 1 ELSE 0 END
+                 + CASE WHEN ('0x' || substr(sa2.mh2, 32, 1))::INTEGER % 2
+                           = ('0x' || substr(sb2.mh2, 32, 1))::INTEGER % 2 THEN 1 ELSE 0 END
+                 + CASE WHEN ('0x' || substr(sa2.mh3, 32, 1))::INTEGER % 2
+                           = ('0x' || substr(sb2.mh3, 32, 1))::INTEGER % 2 THEN 1 ELSE 0 END
+                 + CASE WHEN ('0x' || substr(sa2.mh4, 32, 1))::INTEGER % 2
+                           = ('0x' || substr(sb2.mh4, 32, 1))::INTEGER % 2 THEN 1 ELSE 0 END
+                 + CASE WHEN ('0x' || substr(sa2.mh5, 32, 1))::INTEGER % 2
+                           = ('0x' || substr(sb2.mh5, 32, 1))::INTEGER % 2 THEN 1 ELSE 0 END
+                 + CASE WHEN ('0x' || substr(sa2.mh6, 32, 1))::INTEGER % 2
+                           = ('0x' || substr(sb2.mh6, 32, 1))::INTEGER % 2 THEN 1 ELSE 0 END
+                 + CASE WHEN ('0x' || substr(sa2.mh7, 32, 1))::INTEGER % 2
+                           = ('0x' || substr(sb2.mh7, 32, 1))::INTEGER % 2 THEN 1 ELSE 0 END)
+               AS DOUBLE) / 8.0 AS agree_1bit,
+             CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter)
+               AS exact_jaccard
+      FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        JOIN sig sa2 ON sa2.doc_id = i.doc_a
+        JOIN sig sb2 ON sb2.doc_id = i.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(greatest(2 * agree_1bit - 1, 0), 4) AS est_1bit,
+           round(est_full, 4) AS est_full,
+           round(exact_jaccard, 4) AS exact_jaccard,
+           round(abs(greatest(2 * agree_1bit - 1, 0) - exact_jaccard), 4)
+             AS err_1bit
+    FROM scored
+    ORDER BY err_1bit DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
+def d16_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d)
+    sig = minhash_signature(d)
+
+    def bit(col: str):
+        return F.conv(F.substring(F.col(col), 32, 1), 16, 10).cast("int") % 2
+
+    agree_full = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    agree_1bit = sum(
+        F.when(bit(f"sa.mh{i}") == bit(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est_full = agree_full.cast("double") / float(N_MINHASH)
+    a1 = agree_1bit.cast("double") / float(N_MINHASH)
+    est_1bit = F.greatest(2 * a1 - 1, F.lit(0.0))
+    scored = (
+        pairs.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est_1bit.alias("e1"),
+            est_full.alias("ef"),
+            F.col("jaccard").alias("ex"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            F.round("e1", 4).alias("est_1bit"),
+            F.round("ef", 4).alias("est_full"),
+            F.round("ex", 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("e1") - F.col("ex")), 4).alias("err_1bit"),
+        )
+        .orderBy(F.desc("err_1bit"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )

@@ -545,3 +545,92 @@ def e10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- e11: A/B experiment lift (Welch's t) -----------------------------------
+# Deterministic md5 arm assignment (the sampling family's hash discipline),
+# per-user purchase totals, then the two-sample comparison from Σx/Σx² —
+# the closed form both engines compute identically (per-user totals are
+# doubles, so parity holds at 4 dp). Shape: one user-keyed agg (corpus
+# shuffle), then a 2-row arm agg and a 1-row pivot — O(users) after the
+# first aggregate, nothing collected.
+
+@query(
+    "e11_ab_test_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5('e11:' || CAST(user_id AS VARCHAR)), 1, 2))::INTEGER
+               % 2 AS arm,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x
+      FROM events
+      GROUP BY user_id
+    ), arms AS (
+      SELECT arm, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+      FROM per_user GROUP BY arm
+    ), stats AS (
+      SELECT arm, n, s1 / n AS mean,
+             (s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1) AS var
+      FROM arms
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 4) AS mean_a,
+           round(b.mean, 4) AS mean_b,
+           round(b.mean - a.mean, 4) AS lift,
+           round((b.mean - a.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat
+    FROM stats a JOIN stats b ON a.arm = 0 AND b.arm = 1
+    """,
+)
+def e11_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("e11:"), F.col("user_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias("x")
+        )
+        .select(arm.alias("arm"), "x")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    stats = arms.select(
+        "arm",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) ** 2)
+            * F.col("n")
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = stats.where(F.col("arm") == 0).alias("a")
+    b = stats.where(F.col("arm") == 1).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round("a.mean", 4).alias("mean_a"),
+        F.round("b.mean", 4).alias("mean_b"),
+        F.round(F.col("b.mean") - F.col("a.mean"), 4).alias("lift"),
+        F.round(
+            (F.col("b.mean") - F.col("a.mean"))
+            / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+            4,
+        ).alias("t_stat"),
+    )

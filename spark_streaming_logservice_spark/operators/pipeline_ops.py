@@ -946,3 +946,54 @@ def p12_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --- p13: temperature-scaled mixture weights (N^alpha sampling) -------------
+# The multilingual-corpus sampling rule (mBERT/XLM-R): sample language h
+# with probability ∝ N_h^α, α < 1, boosting low-resource strata. Same
+# O(strata) shape as p11: one lang-keyed count (the only corpus work), a
+# scalar normalizer broadcast back, closed-form weights both engines
+# compute identically.
+
+ALPHA_TEMP = 0.7
+
+
+@query(
+    "p13_temperature_mixture",
+    oracle=f"""
+    WITH st AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(pow(CAST(n_docs AS DOUBLE), {ALPHA_TEMP})) AS z,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+      FROM st
+    )
+    SELECT lang, n_docs,
+           round(n_docs / CAST(n_total AS DOUBLE), 6) AS raw_share,
+           round(pow(CAST(n_docs AS DOUBLE), {ALPHA_TEMP}) / z, 6) AS temp_share,
+           round(pow(CAST(n_docs AS DOUBLE), {ALPHA_TEMP}) / z
+                 / (n_docs / CAST(n_total AS DOUBLE)), 4) AS boost
+    FROM st CROSS JOIN tot
+    ORDER BY lang
+    """,
+)
+def p13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("lang")
+    st = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = st.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), ALPHA_TEMP)).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    p_temp = F.pow(F.col("n_docs").cast("double"), ALPHA_TEMP) / F.col("z")
+    p_raw = F.col("n_docs") / F.col("n_total").cast("double")
+    return (
+        st.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(p_raw, 6).alias("raw_share"),
+            F.round(p_temp, 6).alias("temp_share"),
+            F.round(p_temp / p_raw, 4).alias("boost"),
+        )
+        .orderBy("lang")
+    )
