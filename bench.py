@@ -405,6 +405,7 @@ def main() -> None:
         "p13_temperature_mixture",
         "d16_bbit_minhash",
         "m08_video_scene_cuts",
+        "v07_bm25_scoring",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

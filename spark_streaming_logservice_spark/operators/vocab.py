@@ -444,3 +444,113 @@ def _register_v06() -> None:
 
 
 _register_v06()
+
+
+# --- v07: BM25 retrieval scoring --------------------------------------------
+# The lexical-retrieval scorer (Robertson–Spärck Jones; Lucene's idf form):
+# score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)).
+# Shape: ONE corpus tokenization feeds both the per-doc length aggregate and
+# the (doc, term) tf relation (term filter applied post-explode, so the
+# term-filtered branch is tiny); df/N/avglen are O(terms)/scalar aggregates
+# broadcast back. At 100 TB this is the classic map-side-join scorer — the
+# corpus streams once, every model relation is small.
+
+BM25_TERMS = ("join", "scan", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _register_v07() -> None:
+    from spark_streaming_logservice_spark.registry import query
+    from spark_streaming_logservice_spark.tables import load_table
+
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    oracle = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+    ), corpus AS (
+      SELECT count(*) AS n, avg(CAST(len AS DOUBLE)) AS avglen FROM dl
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN ({terms_sql})
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+      SELECT t.doc_id,
+             sum(
+               ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1)
+               * t.tf * ({BM25_K1} + 1)
+               / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.len / c.avglen))
+             ) AS score,
+             count(*) AS n_terms_hit
+      FROM tf t
+      JOIN df d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN corpus c
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_terms_hit, round(score, 4) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+    @query("v07_bm25_scoring", oracle=oracle)
+    def v07_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "").alias(
+                "a"
+            ),
+        )
+        tok = d.select("doc_id", F.explode("a").alias("token"))
+        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+        corpus = dl.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("len").cast("double")).alias("avglen"),
+        )
+        tf = (
+            tok.where(F.col("token").isin(*BM25_TERMS))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1
+        )
+        contrib = (
+            tf.join(F.broadcast(df_rel), "token")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(corpus))
+            .select(
+                "doc_id",
+                (
+                    idf
+                    * F.col("tf")
+                    * (BM25_K1 + 1)
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1 - BM25_B + BM25_B * F.col("len") / F.col("avglen"))
+                    )
+                ).alias("c"),
+            )
+        )
+        return (
+            contrib.groupBy("doc_id")
+            .agg(
+                F.round(F.sum("c"), 4).alias("bm25"),
+                F.count(F.lit(1)).alias("n_terms_hit"),
+            )
+            .select("doc_id", "n_terms_hit", "bm25")
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+
+_register_v07()
