@@ -812,3 +812,56 @@ def l21_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "t1", "t2", "t3")
         .limit(10)
     )
+
+
+# --- l22: equi-depth histogram (distributed quantile binning) ---------------
+# Feature binning for ML pipelines: 10 equal-count buckets over the value
+# distribution. NOT a global ntile window (a partition-less WindowExec is
+# the v04-class scale-killer); rank comes from the two-pass range-partition
+# `distributed_row_number` (O(partitions) driver array + broadcast offsets),
+# bucket = floor(rank*10 / n) is then row-local, and per-bucket stats are
+# one wordcount-bound aggregate. The (value, event_id) sort key is unique,
+# which both engines need for identical bucket boundaries at ties.
+
+@query(
+    "l22_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST(rk * 10 // n AS INTEGER) AS bucket,
+           count(*) AS n_rows,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi,
+           round(sum(value), 2) AS total
+    FROM ranked
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def l22_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_logservice_spark.operators.pipeline_ops import (
+        distributed_row_number,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = distributed_row_number(e, ["value", "event_id"], out="rn")
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("int").alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )

@@ -570,8 +570,17 @@ def distributed_row_number(
     with doc_id and v04 with token).
     """
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(n), *sort_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Eagerly materialize the range partitioning BEFORE collecting the
+    # per-partition stats: repartitionByRange samples the data to pick its
+    # boundaries, and a re-execution in a later job may sample differently —
+    # local ranks would then combine with STALE offsets (observed as
+    # overlapping/gapped global ranks on double-valued keys). The
+    # checkpoint pins one set of boundaries for both the stats job and
+    # every downstream use.
+    ranged = (
+        df.repartitionByRange(int(n), *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     aggs = [F.count(F.lit(1)).alias("cnt")]
     if cumsum_col is not None:
@@ -996,4 +1005,64 @@ def p13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p_temp / p_raw, 4).alias("boost"),
         )
         .orderBy("lang")
+    )
+
+
+# --- p14: group-aware train/test split (leakage prevention) -----------------
+# p02 splits DOCUMENTS; evaluation hygiene for user-generated data demands
+# splitting by GROUP (all of a user's events land on one side, or the test
+# set leaks the train users' behavior). Assignment hashes the group key, so
+# it is row-local on each event — no join against a user table — and
+# engine-portable. The output pins both the split sizes and the leakage
+# invariant itself (n_users_both_sides is part of the hashed result, so a
+# leaky split cannot pass).
+
+@query(
+    "p14_group_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             CASE WHEN ('0x' || substr(md5('p14:' || CAST(user_id AS VARCHAR)), 1, 2))::INTEGER
+                       < 204 THEN 'train' ELSE 'test' END AS split
+      FROM events
+    ), sides AS (
+      SELECT split,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(user_id) AS BIGINT) AS user_checksum
+      FROM assigned GROUP BY split
+    ), leak AS (
+      SELECT count(*) AS n_users_both_sides FROM (
+        SELECT user_id FROM assigned GROUP BY user_id
+        HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT s.split, s.n_events, s.n_users, s.user_checksum, l.n_users_both_sides
+    FROM sides s CROSS JOIN leak l
+    ORDER BY s.split
+    """,
+)
+def p14_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    assigned = e.select(
+        "user_id",
+        F.when(hash_bucket("p14", F.col("user_id")) < 204, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sides = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("user_id").alias("user_checksum"),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_users_both_sides"))
+    )
+    return (
+        sides.crossJoin(F.broadcast(leak))
+        .select("split", "n_events", "n_users", "user_checksum", "n_users_both_sides")
+        .orderBy("split")
     )
