@@ -60,12 +60,16 @@ def merge_additive(
     sum_cols: list[str],
     schema: str,
     batch_id: int | None = None,
+    aggs: dict[str, str] | None = None,
 ) -> None:
-    """Generic additive-partial merge: base ∪ delta → re-aggregate (sum per
-    key) → atomic swap. Works for ANY decomposable keyed sum (the rollup's
-    minute buckets, a Count-Min sketch's cells, …); both inputs are
-    table-sized, never corpus-sized. ``rename(tmp, data)`` is the commit
-    point.
+    """Generic decomposable-partial merge: base ∪ delta → re-aggregate →
+    atomic swap. Default combiner per value column is ``sum`` (the rollup's
+    minute buckets, a Count-Min sketch's cells); ``aggs`` overrides a
+    column to ``"min"``/``"max"`` for first-seen / last-seen semantics —
+    any combiner that is associative, commutative and idempotent-mergeable
+    works, which is exactly the class a crash-retried merge needs. Both
+    inputs are table-sized, never corpus-sized. ``rename(tmp, data)`` is
+    the commit point.
 
     Crash recovery (see module docstring): an interrupted swap is healed by
     restoring ``.old`` when the data dir is missing, and with ``batch_id``
@@ -95,7 +99,12 @@ def merge_additive(
         merged = (
             base.unionByName(delta)
             .groupBy(*key_cols)
-            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .agg(*[
+                (F.min(c) if (aggs or {}).get(c) == "min"
+                 else F.max(c) if (aggs or {}).get(c) == "max"
+                 else F.sum(c)).alias(c)
+                for c in sum_cols
+            ])
         )
     else:
         merged = delta

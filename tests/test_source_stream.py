@@ -267,7 +267,9 @@ def test_shard_split_parent_drain_children_at_earliest(spark, tmp_path):
     _t.sleep(1.5)  # a few triggers with only the (drained) parents
     fixtures.write_messages(path, ["6", "7"], shard=2, base_time=1_700_000_300)
     fixtures.write_messages(path, ["8", "9"], shard=3, base_time=1_700_000_300)
-    deadline = _t.time() + 60
+    # generous: under a loaded host (parallel suites/benches) micro-batches
+    # can starve well past a minute — the 60s deadline flaked exactly once
+    deadline = _t.time() + 150
     while _t.time() < deadline:
         try:
             if spark.read.parquet(out_dir).count() >= 9:
