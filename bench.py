@@ -406,6 +406,11 @@ def main() -> None:
         "d16_bbit_minhash",
         "m08_video_scene_cuts",
         "v07_bm25_scoring",
+        "p14_group_split",
+        "l22_equidepth_histogram",
+        "d17_fuzzy_name_join",
+        "q27_monthly_growth",
+        "m09_image_ahash_neardup",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

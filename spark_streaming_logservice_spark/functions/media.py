@@ -585,3 +585,60 @@ def resize_images_nn(
     return df.select(id_col, blob_col).mapInPandas(
         batches, schema=f"{id_col} bigint, {blob_col} binary"
     )
+
+
+AHASH_SCHEMA = "doc_id bigint, width int, height int, hash_lo bigint, hash_hi bigint"
+
+
+def decode_image_ahash(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: nearest-neighbor
+    8×8 resample (sample point (i,j) = pixel ((i·w)//8, (j·h)//8)), bit k =
+    (sample > mean) with k = j·8 + i row-major, split into two 32-bit
+    halves so downstream Hamming arithmetic stays in signed BIGINT range in
+    any engine. The 64-sample mean is sum/64 — a power-of-two division, so
+    it is EXACT in float64 and the > comparison is engine-unambiguous.
+    Images smaller than 8×8 (no valid resample grid) yield NULL hashes."""
+    import numpy as np
+
+    def ahash(b):
+        meta = parse_image(b, strict=False)
+        if not meta or meta[0] != "png":
+            return None
+        _, w, h = meta
+        if w < 8 or h < 8:
+            return (w, h, None, None)
+        raw = zlib.decompress(b"".join(_png_chunks(b, b"IDAT")))
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w)[:, 1:]
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        samples = arr[np.ix_(ys, xs)].astype(np.int64)
+        mean = samples.sum() / 64.0
+        bits = (samples > mean).ravel()  # k = j*8 + i (row-major)
+        lo = int(sum(1 << k for k in range(32) if bits[k]))
+        hi = int(sum(1 << (k - 32) for k in range(32, 64) if bits[k]))
+        return (w, h, lo, hi)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [ahash(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "hash_lo": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Int64"
+                    ),
+                    "hash_hi": pd.array(
+                        [r[3] if r else None for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=AHASH_SCHEMA)

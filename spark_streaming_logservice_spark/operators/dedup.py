@@ -1043,3 +1043,68 @@ def d16_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("err_1bit"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(100)
     )
+
+
+# --- d17: fuzzy join via deletion-neighborhood blocking (SymSpell/FastSS) ---
+# Edit-distance joins are the classic record-linkage primitive, and the
+# naive form is an all-pairs levenshtein cross join. The FastSS trick:
+# every string's candidate block is {itself} ∪ {itself minus one char} —
+# two strings within edit distance 1 ALWAYS share a block key, so an
+# equi-join on the (row-locally generated) variants finds every candidate
+# with shuffle volume O(rows · avg_len), never O(rows²). Exact
+# levenshtein == 1 then verifies the survivors (both engines ship the same
+# built-in). 100 TB shape: variant explode is row-local; the join is a
+# plain hash equi-join on the variant key; verification runs only on
+# O(candidates).
+
+@query(
+    "d17_fuzzy_name_join",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT s_name AS nm FROM supplier
+    ), variants AS (
+      SELECT nm, unnest(list_prepend(nm,
+               list_transform(range(1, len(nm) + 1),
+                 i -> substr(nm, 1, i - 1) || substr(nm, i + 1)))) AS v
+      FROM names
+    ), cand AS (
+      SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+      FROM variants a JOIN variants b ON a.v = b.v AND a.nm < b.nm
+    )
+    SELECT name_a, name_b,
+           levenshtein(name_a, name_b) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) = 1
+    ORDER BY name_a, name_b
+    """,
+)
+def d17_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("nm")
+    ).distinct()
+    variants = names.select(
+        "nm",
+        F.explode(
+            F.concat(
+                F.array(F.col("nm")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("nm")),
+                    lambda i: F.concat(
+                        F.substring(F.col("nm"), F.lit(1), i - 1),
+                        F.substring(F.col("nm"), i + 1, F.length("nm")),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    vb = variants.select(F.col("nm").alias("name_b"), F.col("v").alias("v2"))
+    cand = (
+        variants.join(vb, (F.col("v") == F.col("v2")) & (F.col("nm") < F.col("name_b")))
+        .select(F.col("nm").alias("name_a"), "name_b")
+        .distinct()
+    )
+    return (
+        cand.where(F.levenshtein("name_a", "name_b") == 1)
+        .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )

@@ -542,3 +542,79 @@ def m08_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "m09_image_ahash_neardup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             n_chars % 64 + 1 AS w, (n_chars * 7) % 48 + 1 AS h
+      FROM documents ORDER BY doc_id LIMIT 120
+    ), ok AS (
+      SELECT doc_id, w, h FROM d WHERE w >= 8 AND h >= 8
+    ), px AS (
+      SELECT doc_id,
+             unnest(range(0, 64)) AS k,
+             (doc_id * 31
+              + (((unnest(range(0, 64)) // 8) * h) // 8) * w
+              + ((unnest(range(0, 64)) % 8) * w) // 8) % 251 AS p
+      FROM ok
+    ), means AS (
+      SELECT doc_id, sum(p) / 64.0 AS m FROM px GROUP BY doc_id
+    ), hashes AS (
+      SELECT px.doc_id,
+             CAST(sum(CASE WHEN k < 32 AND p > m
+                           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+               AS hash_lo,
+             CAST(sum(CASE WHEN k >= 32 AND p > m
+                           THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
+               AS hash_hi
+      FROM px JOIN means ON means.doc_id = px.doc_id
+      GROUP BY px.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+                + bit_count(xor(a.hash_hi, b.hash_hi)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 50
+    """,
+)
+def m09_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over REAL pixels: gradient PNGs
+    → decoded 8×8 average-hash (two 32-bit halves) → pairwise Hamming over
+    the tiny per-image hash relation — the image-dedup shape where only
+    64 bits per image ever leave the decode stage. The oracle regenerates
+    the sampled pixels, the exact power-of-two mean, and both hash halves
+    in closed form, so a resample off-by-one or a bit-order mistake shifts
+    the Hamming ranking and fails the hash."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    blobs = d.mapInPandas(encode_png_gradient_batches, schema=ENCODE_IMG_SCHEMA)
+    hashes = (
+        media.decode_image_ahash(blobs)
+        .where(F.col("hash_lo").isNotNull())
+        .select("doc_id", "hash_lo", "hash_hi")
+    )
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+                + F.bit_count(F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi")))
+            ).cast("int").alias("hamming"),
+        )
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )

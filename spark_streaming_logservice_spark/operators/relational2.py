@@ -634,3 +634,52 @@ def q26_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --- q27: month-over-month growth (navigation over an aggregate) ------------
+# Monthly revenue rollup (one partial-agg shuffle over orders, key space =
+# months) then lag/growth% over the TINY aggregate — the e06 pattern: the
+# partition-less window is fine because it runs on O(months) rows, never
+# the corpus.
+
+@query(
+    "q27_monthly_growth",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             round(sum(o_totalprice), 2) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY ym
+    )
+    SELECT CAST(ym AS BIGINT) AS ym, n_orders, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY ym), 2) AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY ym))
+                 / lag(revenue) OVER (ORDER BY ym) * 100, 4) AS growth_pct
+    FROM m
+    ORDER BY ym
+    """,
+)
+def q27_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return (
+        m.select(
+            F.col("ym").cast("long").alias("ym"),
+            "n_orders",
+            "revenue",
+            F.round(F.col("revenue") - prev, 2).alias("delta"),
+            F.round((F.col("revenue") - prev) / prev * 100, 4).alias("growth_pct"),
+        )
+        .orderBy("ym")
+    )
