@@ -411,6 +411,8 @@ def main() -> None:
         "d17_fuzzy_name_join",
         "q27_monthly_growth",
         "m09_image_ahash_neardup",
+        "e12_rfm_segments",
+        "m10_audio_silence_segments",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

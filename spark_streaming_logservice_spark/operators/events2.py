@@ -634,3 +634,80 @@ def e11_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_stat"),
     )
+
+
+# --- e12: RFM segmentation --------------------------------------------------
+# Classic customer segmentation: per-user Recency (days since last
+# purchase), Frequency (purchase count), Monetary (purchase value), each
+# quartiled, then segment counts. Shape: ONE user-keyed aggregate over the
+# corpus; the ntile windows run over the O(users) relation (the e06
+# tiny-window pattern — a corpus-sized global window would be the
+# v04-class scale bug, this is not that). Quartile ties: ntile needs a
+# total order, so every ORDER BY carries user_id.
+
+@query(
+    "e12_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(ts) AS mx FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', max(ts), (SELECT mx FROM anchor)) AS BIGINT)
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM per_user
+    )
+    SELECT r, f, m, count(*) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def e12_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    anchor = e.agg(F.max("ts").alias("mx"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("mx"), F.col("last_ts")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").alias("user_checksum"),
+        )
+        .orderBy("r", "f", "m")
+    )

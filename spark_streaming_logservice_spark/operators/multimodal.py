@@ -618,3 +618,87 @@ def m09_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(50)
     )
+
+
+def encode_wav_gated_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture-encode stage for silence detection: PCM with alternating
+    50-sample loud/quiet gates — sample i is ((doc_id*97 + i*31) % 1800) - 900
+    when (i // 50) is even, else 0 — so silent spans are a pure function of
+    (doc_id, n_chars) the oracle can segment identically."""
+    from spark_streaming_logservice_spark.functions import media
+
+    def blob(doc_id: int, n_chars: int) -> bytes:
+        def amp(i, d=doc_id):
+            if (i // 50) % 2 == 1:
+                return 0
+            return ((d * 97 + i * 31) % 1800) - 900
+
+        return media.make_wav(n_chars % 400 + 50, fill=amp)
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [
+                    blob(int(d), int(c))
+                    for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                ],
+            }
+        )
+
+
+@query(
+    "m10_audio_silence_segments",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 400 + 50 AS n
+      FROM documents ORDER BY doc_id LIMIT 150
+    ), samp AS (
+      SELECT doc_id, n,
+             unnest(range(0, n)) AS i,
+             CASE WHEN (unnest(range(0, n)) // 50) % 2 = 1 THEN 0
+                  ELSE ((doc_id * 97 + unnest(range(0, n)) * 31) % 1800) - 900
+             END AS amp
+      FROM d
+    ), flagged AS (
+      SELECT doc_id, n, i, (abs(amp) < 50) AS s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i)
+               - row_number() OVER (PARTITION BY doc_id, (abs(amp) < 50) ORDER BY i)
+               AS grp
+      FROM samp
+    ), runs AS (
+      SELECT doc_id, n, grp, count(*) AS run_len
+      FROM flagged WHERE s GROUP BY doc_id, n, grp
+    )
+    SELECT d.doc_id,
+           CAST(d.n AS BIGINT) AS n_samples,
+           coalesce(CAST(sum(r.run_len) AS BIGINT), 0) AS n_silent,
+           coalesce(count(r.grp), 0) AS n_runs,
+           coalesce(CAST(max(r.run_len) AS BIGINT), 0) AS longest_run
+    FROM d LEFT JOIN runs r ON r.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.n
+    ORDER BY d.doc_id
+    """,
+)
+def m10_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio silence segmentation: gated closed-form PCM → stdlib wave
+    decode → vectorized run-length pass inside the Arrow stage (per-sample
+    data never leaves the scan; 4 counters per doc cross the shuffle). The
+    oracle regenerates the samples and segments them with the SQL
+    gaps-and-islands idiom — a misread frame, an off-by-one at a gate
+    boundary, or a wrong run merge shifts the counters and fails the
+    hash."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(150)
+    )
+    blobs = d.mapInPandas(encode_wav_gated_batches, schema=ENCODE_WAV_SCHEMA)
+    return (
+        media.decode_audio_silence(blobs, threshold=50)
+        .select("doc_id", "n_samples", "n_silent", "n_runs", "longest_run")
+        .orderBy("doc_id")
+    )
