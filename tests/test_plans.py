@@ -384,3 +384,33 @@ def test_s16_mips_scalar_broadcast_and_group_limit(spark, sf_dir):
     # query set and scalar M broadcast through the cross joins (tiny sides)
     assert "BroadcastNestedLoopJoin" in plan or pi.uses_broadcast_join(df)
     assert "WindowGroupLimit" in plan
+
+
+def test_d17_fuzzy_join_is_hash_on_variant_key(spark, sf_dir):
+    """Deletion-neighborhood blocking must plan as a hash equi-join on the
+    variant key — never a nested-loop over name pairs."""
+    df = registry.QUERIES["d17_fuzzy_name_join"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_v07_bm25_model_relations_broadcast(spark, sf_dir):
+    df = registry.QUERIES["v07_bm25_scoring"](spark, sf_dir)
+    assert pi.uses_broadcast_join(df) or "BroadcastNestedLoopJoin" in pi.formatted_plan(df)
+    assert pi.has_partial_aggregation(df)
+
+
+def test_l22_histogram_no_global_single_partition_window(spark, sf_dir):
+    """The equi-depth rank must come from the two-pass range-partitioned
+    path, not a partition-less window over the corpus."""
+    df = registry.QUERIES["l22_equidepth_histogram"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+
+
+def test_p14_group_split_partial_agg(spark, sf_dir):
+    # the 1-row leak relation joins via a scalar broadcast cross join —
+    # fine; what matters is the split counts combine map-side
+    df = registry.QUERIES["p14_group_split"](spark, sf_dir)
+    assert pi.has_partial_aggregation(df)
+    assert "CartesianProduct" not in pi.formatted_plan(df)

@@ -111,3 +111,22 @@ def test_bpe_merge_transform_semantics(spark):
     assert got[3] == ["a", "x_y", "b"]
     assert got[4] == ["x"]
     assert got[5] == ["y", "x"]
+
+
+def test_audio_silence_run_edges(spark):
+    """All-silent, no-silent, and boundary-touching runs."""
+    from spark_streaming_logservice_spark.functions import media
+
+    rows = [
+        (1, media.make_wav(20, fill=lambda i: 0)),            # all silent
+        (2, media.make_wav(20, fill=lambda i: 500)),          # none silent
+        (3, media.make_wav(6, fill=lambda i: [0, 0, 500, 0, 500, 0][i])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, blob BINARY")
+    got = {
+        r["doc_id"]: (r["n_samples"], r["n_silent"], r["n_runs"], r["longest_run"])
+        for r in media.decode_audio_silence(df, threshold=50).collect()
+    }
+    assert got[1] == (20, 20, 1, 20)
+    assert got[2] == (20, 0, 0, 0)
+    assert got[3] == (6, 4, 3, 2)  # runs [0,1], [3], [5]
