@@ -413,6 +413,7 @@ def main() -> None:
         "m09_image_ahash_neardup",
         "e12_rfm_segments",
         "m10_audio_silence_segments",
+        "e13_cumulative_reach",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

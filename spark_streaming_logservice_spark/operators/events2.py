@@ -711,3 +711,44 @@ def e12_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+# --- e13: cumulative reach (distinct users ever seen, by day) ---------------
+# The batch face of streaming/first_seen.py: per-user first-seen day (one
+# user-keyed aggregate), users counted per acquisition day, then a running
+# sum over the O(days) relation — cumulative COUNT(DISTINCT) without ever
+# windowing the corpus (the naive rolling-distinct form is quadratic).
+
+@query(
+    "e13_cumulative_reach",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS day0
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT day0 AS day, count(*) AS n_new FROM fs GROUP BY day0
+    )
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS total_reach
+    FROM daily
+    ORDER BY day
+    """,
+)
+def e13_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    fs = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("day"))
+    daily = fs.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "day", "n_new", F.sum("n_new").over(w).alias("total_reach")
+        )
+        .orderBy("day")
+    )
