@@ -414,6 +414,7 @@ def main() -> None:
         "e12_rfm_segments",
         "m10_audio_silence_segments",
         "e13_cumulative_reach",
+        "m11_png_text_metadata",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -711,3 +711,64 @@ def decode_audio_silence(
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema=SILENCE_SCHEMA)
+
+
+def make_png_with_text(width: int, height: int, texts: dict[str, str],
+                       fill=None) -> bytes:
+    """make_png plus tEXt metadata chunks (keyword → latin-1 value), the
+    PNG container's native key/value metadata (the EXIF analog) — inserted
+    between IHDR and IDAT per the spec's ordering rules."""
+    blob = make_png(width, height, fill=fill)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    text_chunks = b"".join(
+        chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in sorted(texts.items())
+    )
+    # splice after the IHDR chunk (8-byte sig + 25-byte IHDR chunk)
+    head = 8 + 12 + 13
+    return blob[:head] + text_chunks + blob[head:]
+
+
+def parse_png_text(blob: bytes) -> dict[str, str]:
+    """All tEXt keyword→value pairs from a PNG (empty dict if none or not
+    a PNG)."""
+    if not blob.startswith(_PNG_SIG):
+        return {}
+    out: dict[str, str] = {}
+    for data in _png_chunks(blob, b"tEXt"):
+        if b"\x00" in data:
+            k, v = data.split(b"\x00", 1)
+            out[k.decode("latin-1")] = v.decode("latin-1")
+    return out
+
+
+PNG_TEXT_SCHEMA = "doc_id bigint, n_keys int, title string, creator string"
+
+
+def decode_png_text(df: DataFrame, blob_col: str = "blob",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Container-metadata extraction stage: tEXt keyword/value pairs from
+    each PNG (the 'Title'/'Author'-class metadata a curation pipeline
+    filters on), Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [parse_png_text(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_keys": pd.array([len(m) for m in metas], dtype="Int32"),
+                    "title": [m.get("Title") for m in metas],
+                    "creator": [m.get("Creator") for m in metas],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=PNG_TEXT_SCHEMA)

@@ -702,3 +702,57 @@ def m10_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_samples", "n_silent", "n_runs", "longest_run")
         .orderBy("doc_id")
     )
+
+
+def encode_png_text_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture-encode stage: PNGs carrying tEXt metadata derived from
+    (doc_id, lang) so the oracle predicts every extracted field."""
+    from spark_streaming_logservice_spark.functions import media
+
+    def blob(doc_id: int, lang: str) -> bytes:
+        return media.make_png_with_text(
+            4, 4,
+            {"Title": f"doc-{doc_id}", "Creator": f"gen-{lang}"},
+        )
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [
+                    blob(int(d), str(l))
+                    for d, l in zip(pdf["doc_id"], pdf["lang"])
+                ],
+            }
+        )
+
+
+@query(
+    "m11_png_text_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_keys,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           'gen-' || lang AS creator
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def m11_png_text_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata round-trip: encode tEXt keyword/value chunks into
+    REAL PNGs (spliced between IHDR and IDAT with valid CRCs), then extract
+    them with the chunk walker — the EXIF-analog metadata path a curation
+    pipeline filters on. A wrong splice point, a CRC mistake, or a chunk
+    walk misstep loses the fields and fails the hash (and the still-valid
+    pixel stream is covered by the m02/m05 decoders)."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    blobs = d.mapInPandas(encode_png_text_batches, schema=ENCODE_IMG_SCHEMA)
+    return media.decode_png_text(blobs).orderBy("doc_id")

@@ -262,3 +262,18 @@ def test_resize_nn_stride_semantics():
     raw2 = zlib.decompress(b"".join(media._png_chunks(small_blob, b"IDAT")))
     got = np.frombuffer(raw2, dtype=np.uint8).reshape(3, 6)[:, 1:]
     assert np.array_equal(got, src[::2, ::2])
+
+
+def test_png_text_chunks_roundtrip_and_pixels_survive():
+    """tEXt splice must keep the PNG decodable (pixels intact) and the
+    metadata recoverable; a PNG without tEXt yields an empty dict."""
+    from spark_streaming_logservice_spark.functions import media
+
+    plain = media.make_png(5, 3, fill=lambda i: i * 7 % 251)
+    assert media.parse_png_text(plain) == {}
+    tagged = media.make_png_with_text(
+        5, 3, {"Title": "t1", "Creator": "c1"}, fill=lambda i: i * 7 % 251
+    )
+    assert media.parse_png_text(tagged) == {"Title": "t1", "Creator": "c1"}
+    # pixel stream still validates after the splice
+    assert media.parse_image(tagged) == ("png", 5, 3)
