@@ -415,6 +415,8 @@ def main() -> None:
         "m10_audio_silence_segments",
         "e13_cumulative_reach",
         "m11_png_text_metadata",
+        "sql08_range_frame",
+        "t14_source_divergence",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

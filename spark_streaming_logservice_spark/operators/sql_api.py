@@ -136,6 +136,23 @@ ORDER BY o_custkey, run_total
 """
 
 
+# RANGE-frame windows (value-distance frames, not row-count frames): for
+# each order, how many orders fall within 100 currency units below it, and
+# the revenue inside that band — the frame clause ROWS can't express.
+# Deterministic: the frame is defined by VALUES, so peer order doesn't
+# matter; count/sum over the band are exact.
+SQL08 = """
+SELECT o_orderkey, o_totalprice,
+       count(*) OVER band AS n_in_band,
+       round(sum(o_totalprice) OVER band, 2) AS band_revenue
+FROM orders
+WHERE o_custkey % 200 = 11
+WINDOW band AS (ORDER BY o_totalprice
+                RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+ORDER BY o_totalprice, o_orderkey
+"""
+
+
 def _sql_query(sql: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -151,3 +168,4 @@ query("sql04_recursive_month_gaps", oracle=SQL04)(_sql_query(SQL04))
 query("sql05_grouping_sets", oracle=SQL05)(_sql_query(SQL05))
 query("sql06_lateral_topn", oracle=SQL06)(_sql_query(SQL06))
 query("sql07_window_battery", oracle=SQL07)(_sql_query(SQL07))
+query("sql08_range_frame", oracle=SQL08)(_sql_query(SQL08))

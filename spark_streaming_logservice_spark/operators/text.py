@@ -767,3 +767,76 @@ def t13_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t14: per-source distribution drift (KL divergence vs corpus) -----------
+# Domain-mixing QA: how far each source's token distribution sits from the
+# corpus mixture — the statistic behind "this crawl slice looks nothing
+# like the rest" alerts. KL(p_src ‖ q_corpus) needs no smoothing because
+# the corpus marginal includes every source (q > 0 wherever p > 0; p = 0
+# terms vanish). Shape: one (source, token) wordcount shuffle; the corpus
+# marginal RE-AGGREGATES those counts (corpus read once), joins back
+# token-keyed (co-partitioned), one source-keyed fold. Float sums → 4 dp
+# parity, the iterative-float discipline.
+
+@query(
+    "t14_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), st AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+    ), src_tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY source
+    ), corp AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY token
+    ), corp_tot AS (
+      SELECT CAST(sum(cc) AS BIGINT) AS n FROM corp
+    )
+    SELECT s.source,
+           t.ns AS n_tokens,
+           count(*) AS n_types,
+           round(sum((s.c / CAST(t.ns AS DOUBLE))
+                     * ln((s.c / CAST(t.ns AS DOUBLE))
+                          / (corp.cc / CAST(ct.n AS DOUBLE)))), 4)
+             AS kl_vs_corpus
+    FROM st s
+    JOIN src_tot t ON t.source = s.source
+    JOIN corp ON corp.token = s.token
+    CROSS JOIN corp_tot ct
+    GROUP BY s.source, t.ns
+    ORDER BY s.source
+    """,
+)
+def t14_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(_toks()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    corp = st.groupBy("token").agg(F.sum("c").alias("cc"))
+    corp_tot = corp.agg(F.sum("cc").alias("n"))
+    p = F.col("c") / F.col("ns").cast("double")
+    q = F.col("cc") / F.col("n").cast("double")
+    return (
+        st.join(src_tot, "source")
+        .join(corp, "token")
+        .crossJoin(F.broadcast(corp_tot))
+        .select("source", "ns", (p * F.log(p / q)).alias("term"))
+        .groupBy("source", "ns")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum("term"), 4).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "n_types",
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
