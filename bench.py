@@ -417,6 +417,7 @@ def main() -> None:
         "m11_png_text_metadata",
         "sql08_range_frame",
         "t14_source_divergence",
+        "q28_waiting_suppliers",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -683,3 +683,78 @@ def q27_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+# --- q28: waiting suppliers (TPC-H Q21 shape, adapted) ----------------------
+# The classic hard TPC-H query: suppliers who were the ONLY late shipper in
+# a multi-supplier finished order. The testdata trims l_receiptdate /
+# l_commitdate, so "late" is adapted to l_shipdate > o_orderdate + 90 days;
+# the double-correlated EXISTS / NOT EXISTS structure is intact. The Spark
+# side uses the aggregate rewrite (per-order supplier and late-supplier
+# counts joined back — two wordcount-bound aggregates + one orderkey join,
+# no correlated subquery re-execution); the ORACLE keeps the textbook
+# EXISTS/NOT EXISTS form, so the rewrite's equivalence is itself what the
+# hash checks.
+
+@query(
+    "q28_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM l l1
+      WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM l l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM l l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY
+        )
+    ) w
+    JOIN supplier ON s_suppkey = w.l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q28_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    l = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    late_flag = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_supp = (
+        l.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late_flag, 1).otherwise(0)).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    waiting = (
+        per_supp.where(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
