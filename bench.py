@@ -418,6 +418,7 @@ def main() -> None:
         "sql08_range_frame",
         "t14_source_divergence",
         "q28_waiting_suppliers",
+        "e14_metric_correlation",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

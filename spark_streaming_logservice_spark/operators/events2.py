@@ -752,3 +752,46 @@ def e13_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- e14: metric cross-correlation ------------------------------------------
+# "Do errors depress purchases?" — Pearson r between two event-rate series
+# on the hourly grid. One corpus rollup (hour × conditional counts — single
+# wordcount-bound shuffle), then corr() over the O(hours) relation. Both
+# engines compute sample correlation; 4-dp rounding absorbs their
+# accumulation-order differences (the iterative-float discipline).
+
+@query(
+    "e14_metric_correlation",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buy,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click
+      FROM events GROUP BY h
+    )
+    SELECT count(*) AS n_hours,
+           round(corr(CAST(n_err AS DOUBLE), CAST(n_buy AS DOUBLE)), 4)
+             AS err_buy_corr,
+           round(corr(CAST(n_click AS DOUBLE), CAST(n_buy AS DOUBLE)), 4)
+             AS click_buy_corr
+    FROM hourly
+    """,
+)
+def e14_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_buy"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+    )
+    return hourly.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(
+            F.corr(F.col("n_err").cast("double"), F.col("n_buy").cast("double")), 4
+        ).alias("err_buy_corr"),
+        F.round(
+            F.corr(F.col("n_click").cast("double"), F.col("n_buy").cast("double")), 4
+        ).alias("click_buy_corr"),
+    )
