@@ -419,6 +419,7 @@ def main() -> None:
         "t14_source_divergence",
         "q28_waiting_suppliers",
         "e14_metric_correlation",
+        "p15_curation_manifest",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -1066,3 +1066,87 @@ def p14_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_events", "n_users", "user_checksum", "n_users_both_sides")
         .orderBy("split")
     )
+
+
+# --- p15: end-to-end curation manifest --------------------------------------
+# The integration query: one pass from raw documents to a training-shard
+# manifest — exact-dup keeper (first doc_id per content digest), quality
+# gate (token-count and mean-token-length bounds, the t02 family), then
+# deterministic shard assignment — composed exactly the way the individual
+# operators run (digest window = d01's keeper, md5 bucket = p01's
+# discipline). Shape: one digest-keyed window shuffle + one shard-keyed
+# aggregate; everything else row-local. Per-shard id checksums pin every
+# membership decision, so a wrong dedup keeper, a quality off-by-one, or a
+# routing change all fail the hash.
+
+N_MANIFEST_SHARDS = 8
+
+
+@query(
+    "p15_curation_manifest",
+    oracle=f"""
+    WITH keep AS (
+      SELECT doc_id, n_chars, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM keep WHERE rn = 1
+    ), gated AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5('p15:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {N_MANIFEST_SHARDS} AS shard
+      FROM quality
+      WHERE n_tok >= 10
+        AND n_chars / CAST(n_tok AS DOUBLE) BETWEEN 2.0 AND 12.0
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM gated
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def p15_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .withColumn(
+            "n_tok", F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        )
+    )
+    gated = kept.where(
+        (F.col("n_tok") >= 10)
+        & (F.col("n_chars") / F.col("n_tok").cast("double")).between(2.0, 12.0)
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("p15:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % N_MANIFEST_SHARDS
+        ).alias("shard"),
+        "doc_id",
+        "n_chars",
+    )
+    return (
+        gated.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )
