@@ -74,3 +74,65 @@ def test_late_earlier_timestamp_corrects_table(spark, tmp_path):
         for r in FS.read_first_seen(spark, table).collect()
     }
     assert again == got
+
+
+def test_multi_store_foreachBatch_converges_after_partial_crash(spark, tmp_path):
+    """One foreachBatch maintaining TWO stores (rollup-style sketch + the
+    first-seen table): a crash AFTER store 1's merge but BEFORE store 2's
+    must converge on replay — store 1's batch marker makes its re-merge a
+    no-op while store 2 catches up, so neither double-counts."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.operators.sketch import countmin_sketch
+    from spark_streaming_logservice_spark.streaming import sketch as SK
+    from spark_streaming_logservice_spark.streaming.rollup import merge_additive
+
+    cm_dir = str(tmp_path / "cm")
+    fs_dir = str(tmp_path / "fs")
+
+    def write_both(batch_df, batch_id, crash_between=False):
+        partial = countmin_sketch(batch_df, F.col("user_id")).selectExpr(
+            "CAST(j AS INT) j", "CAST(col AS BIGINT) col", "CAST(cnt AS BIGINT) cnt"
+        )
+        merge_additive(cm_dir, partial, ["j", "col"], ["cnt"],
+                       "j INT, col BIGINT, cnt BIGINT", batch_id=batch_id)
+        if crash_between:
+            raise RuntimeError("injected crash between store merges")
+        fsp = batch_df.groupBy("user_id").agg(
+            F.min("ts").cast("timestamp_ntz").alias("first_seen")
+        )
+        merge_additive(fs_dir, fsp, ["user_id"], ["first_seen"],
+                       "user_id BIGINT, first_seen TIMESTAMP_NTZ",
+                       batch_id=batch_id, aggs={"first_seen": "min"})
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id LONG, ts STRING"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+    b0 = mk([(1, "2024-04-01 10:00:00"), (2, "2024-04-01 11:00:00")])
+    write_both(b0, 0)
+    b1 = mk([(1, "2024-04-01 09:00:00"), (3, "2024-04-02 08:00:00")])
+    try:
+        write_both(b1, 1, crash_between=True)
+    except RuntimeError:
+        pass
+    # replay of batch 1 after the crash: sketch merge is a marker no-op,
+    # first-seen merge completes
+    write_both(b1, 1)
+
+    cm = {(r["j"], r["col"]): r["cnt"] for r in SK.read_sketch(spark, cm_dir).collect()}
+    both = b0.unionAll(b1)
+    exp = {
+        (r["j"], r["col"]): r["cnt"]
+        for r in countmin_sketch(both, F.col("user_id")).collect()
+    }
+    assert cm == exp  # no double count for batch 1's keys
+
+    from spark_streaming_logservice_spark.streaming import first_seen as FS
+
+    fs = {r["user_id"]: str(r["first_seen"]) for r in FS.read_first_seen(spark, fs_dir).collect()}
+    assert fs == {
+        1: "2024-04-01 09:00:00",
+        2: "2024-04-01 11:00:00",
+        3: "2024-04-02 08:00:00",
+    }
