@@ -164,3 +164,82 @@ def c03_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_with_deletes(e, key="user_id", ts="ts", tiebreak="event_id").select(
         "user_id", "event_id", "value", "ts"
     )
+
+
+def snapshot_asof(
+    changes: DataFrame, key: str, ts: str, tiebreak: str, asof
+) -> DataFrame:
+    """Time travel: the table state as of ``asof`` — the latest change per
+    key at or before the cut. Semantically a filter + upsert_latest; the
+    ts predicate is pushed below the keyed window shuffle, so history after
+    the cut is pruned at the scan (at 100 TB, on a time-partitioned
+    changelog, entire partitions drop before any shuffle)."""
+    return upsert_latest(
+        changes.where(F.col(ts) <= asof), key=key, ts=ts, tiebreak=tiebreak
+    )
+
+
+@query(
+    "c04_snapshot_asof",
+    oracle="""
+    WITH cut AS (
+      SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2)
+               AS t0
+      FROM events
+    ), snap AS (
+      SELECT user_id, event_id, event_type, value, ts
+      FROM (
+        SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e, cut
+        WHERE event_type IN ('signup', 'purchase') AND ts <= cut.t0
+      )
+      WHERE rn = 1
+    )
+    SELECT event_type,
+           count(*) AS n_users,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user
+    FROM snap
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def c04_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read at the midpoint of the changelog's time range,
+    summarized per latest-state type. The cut timestamp is computed from a
+    1-row bounds aggregate and broadcast-joined (no driver round-trip, no
+    literal in the plan — the codegen cache keeps one compiled shape across
+    sf_dirs). Both engines derive the cut by integer-µs midpoint so the
+    boundary row set is identical."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    # unix_micros rejects NTZ; localtimestamp arithmetic keeps everything
+    # NTZ-typed: midpoint = min + (max - min) / 2 at integer-µs precision,
+    # identical to the oracle's epoch_us floor-div midpoint.
+    bounds = e.agg(
+        F.expr(
+            "timestampadd(MICROSECOND,"
+            " timestampdiff(MICROSECOND, min(ts), max(ts)) div 2, min(ts))"
+        ).alias("t0")
+    )
+    changes = (
+        e.where(F.col("event_type").isin(*_UPDATE_TYPES))
+        .join(F.broadcast(bounds))
+        .where(F.col("ts") <= F.col("t0"))
+    )
+    snap = upsert_latest(changes, key="user_id", ts="ts", tiebreak="event_id")
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )

@@ -795,3 +795,130 @@ def e14_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.corr(F.col("n_click").cast("double"), F.col("n_buy").cast("double")), 4
         ).alias("click_buy_corr"),
     )
+
+
+# --- e15: hour-of-day seasonality profile -----------------------------------
+# Capacity planning / anomaly baselines need the diurnal shape per metric:
+# how is each event type distributed over the 24 clock hours, and where is
+# its peak? One corpus rollup to (type, hour-of-day) — 5×24 rows — then
+# share-of-type and peak flags are windows partitioned by type over ≤24
+# rows per task. The corpus pass is a single wordcount-bound shuffle.
+
+@query(
+    "e15_seasonality_profile",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hod, n,
+           round(n / sum(n) OVER (PARTITION BY event_type), 4) AS share,
+           (n = max(n) OVER (PARTITION BY event_type)) AS is_peak
+    FROM prof
+    ORDER BY event_type, hod
+    """,
+)
+def e15_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    prof = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return prof.select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("share"),
+        (F.col("n") == F.max("n").over(w)).alias("is_peak"),
+    ).orderBy("event_type", "hod")
+
+
+# --- e16: single-changepoint detection (binary segmentation step) -----------
+# "When did the error rate shift?" — the first step of binary segmentation:
+# for every candidate split day k, score |mean(rate[..k]) - mean(rate[k+1..])|
+# scaled by sqrt(k(n-k)/n) (the two-sample t numerator under equal
+# variance). Everything after the daily rollup runs over the O(days)
+# relation: running sums give both side means from ONE ordered pass — no
+# per-split rescan, no self-join. The ordered window is over ~days (tiny by
+# construction, not a v04-class corpus window). Scores are rounded to 6dp
+# BEFORE the argmax so both engines agree on the winning split even when
+# float accumulation differs in the last ulp; ties break to the earliest
+# day via the (score DESC, day) rank.
+
+@query(
+    "e16_changepoint_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n_total,
+             count(*) FILTER (WHERE event_type = 'error') AS n_err
+      FROM events GROUP BY 1
+    ), seq AS (
+      SELECT day, n_total, n_err,
+             CAST(n_err AS DOUBLE) / n_total AS rate,
+             row_number() OVER (ORDER BY day) AS k,
+             count(*) OVER () AS n,
+             sum(CAST(n_err AS DOUBLE) / n_total) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             sum(CAST(n_err AS DOUBLE) / n_total) OVER () AS tot
+      FROM daily
+    ), scored AS (
+      SELECT day, round(rate, 4) AS rate,
+             CASE WHEN k < n THEN
+               round(abs(cum / k - (tot - cum) / (n - k))
+                     * sqrt(CAST(k AS DOUBLE) * (n - k) / n), 6)
+             END AS score
+      FROM seq
+    )
+    SELECT day, rate, score,
+           coalesce(row_number() OVER (ORDER BY score DESC NULLS LAST, day) = 1,
+                    FALSE) AS is_changepoint
+    FROM scored
+    ORDER BY day
+    """,
+)
+def e16_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    rate = F.col("n_err").cast("double") / F.col("n_total")
+    wo = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        rate.alias("rate"),
+        F.row_number().over(wo).alias("k"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum(rate)
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum(rate).over(Window.partitionBy()).alias("tot"),
+    )
+    k, n, cum, tot = F.col("k"), F.col("n"), F.col("cum"), F.col("tot")
+    scored = seq.select(
+        "day",
+        F.round("rate", 4).alias("rate"),
+        F.when(
+            k < n,
+            F.round(
+                F.abs(cum / k - (tot - cum) / (n - k))
+                * F.sqrt(k.cast("double") * (n - k) / n),
+                6,
+            ),
+        ).alias("score"),
+    )
+    wr = Window.orderBy(F.desc_nulls_last("score"), F.asc("day"))
+    return scored.select(
+        "day",
+        "rate",
+        "score",
+        F.coalesce(F.row_number().over(wr) == 1, F.lit(False)).alias(
+            "is_changepoint"
+        ),
+    ).orderBy("day")

@@ -590,3 +590,97 @@ def _register_g04() -> None:
 
 
 _register_g04()
+
+
+# --- g05: synchronous min-label propagation --------------------------------
+# k rounds of "adopt the minimum label in your closed neighborhood" — the
+# bounded-round community/component primitive (k-round labels = min node id
+# within k hops; run to convergence it IS connected components, which d08
+# computes with the O(log²n) star algorithm — this is the fixed-depth
+# variant whose round count, and therefore oracle, is static).
+#
+# 100 TB shape per round: one hash shuffle on the neighbor key (join) + one
+# on the node key (min agg) — the same keyed join-agg discipline as
+# PageRank, with the symmetrized edge relation persisted across rounds and
+# released before returning. Self-loops fold the node's own label into the
+# same min, so a round is exactly one join + one groupBy (no extra union).
+
+
+def min_label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """(node, lbl) after ``rounds`` synchronous min-label updates over the
+    undirected graph given as canonical (a < b) edge rows."""
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .unionAll(nodes.select(F.col("node").alias("u"), F.col("node").alias("v")))
+    )
+    sym = sym.persist()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(rounds):
+        labels = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node2"))
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("node2").alias("node"), "lbl")
+        )
+    labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    return labels
+
+
+def _register_g05() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    _ROUND = """
+      SELECT s.u AS node, min(l.lbl) AS lbl
+      FROM sym s JOIN {prev} l ON l.node = s.v
+      GROUP BY s.u
+    """
+
+    oracle = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_linenumber <= 5 AND l_orderkey % 2 = 0
+    ), edges AS (
+      SELECT DISTINCT i1.pk AS a, i2.pk AS b
+      FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+    ), nodes AS (
+      SELECT a AS node FROM edges UNION SELECT b FROM edges
+    ), sym AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+      UNION ALL SELECT node AS u, node AS v FROM nodes
+    ), l0 AS (
+      SELECT node, node AS lbl FROM nodes
+    ), l1 AS ({_ROUND.format(prev="l0")}
+    ), l2 AS ({_ROUND.format(prev="l1")})
+    SELECT lbl AS cluster_label, count(*) AS n_nodes
+    FROM l2 GROUP BY lbl
+    ORDER BY n_nodes DESC, cluster_label
+    LIMIT 20
+    """
+
+    @query("g05_label_propagation", oracle=oracle)
+    def g05_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-20 2-round label-propagation clusters of the co-purchase
+        graph (same edge relation as g02/g04; 2 rounds keeps the labeling
+        non-degenerate — the dense co-purchase graph collapses to ONE
+        cluster by round 3, which is d08's job, not a profile)."""
+        edges = _copurchase_edges(spark, sf_dir)
+        labels = min_label_propagation(edges, rounds=2)
+        return (
+            labels.groupBy(F.col("lbl").alias("cluster_label"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy(F.desc("n_nodes"), F.asc("cluster_label"))
+            .limit(20)
+        )
+
+
+_register_g05()

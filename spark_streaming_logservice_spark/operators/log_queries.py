@@ -865,3 +865,74 @@ def l22_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- l23: time-series gap fill + forward fill -------------------------------
+# Observability dashboards need dense series: every (event_type, hour) slot
+# between that type's first and last activity, with empty hours filled by
+# the last observed value (LOCF). Spark-first: ONE corpus-sized rollup to
+# the hourly grain, then the grid is generated from the O(types) span
+# relation via sequence() explode — grid size is types × hours, independent
+# of corpus row count, so at 100 TB the fill stage costs the same as at
+# sf0.01. The LOCF window partitions by event_type (bounded rows per task;
+# never the v04-class partition-less WindowExec).
+
+@query(
+    "l23_hourly_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n_events, avg(value) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM span
+    )
+    SELECT g.event_type, g.h,
+           coalesce(hr.n_events, 0) AS n_events,
+           (hr.n_events IS NULL) AS is_gap,
+           round(last_value(hr.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled_value
+    FROM grid g LEFT JOIN hourly hr
+      ON hr.event_type = g.event_type AND hr.h = g.h
+    ORDER BY g.event_type, g.h
+    """,
+)
+def l23_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("avg_value"),
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+            F.round(
+                F.last("avg_value", ignorenulls=True).over(w), 4
+            ).alias("filled_value"),
+        )
+        .orderBy("event_type", "h")
+    )

@@ -1150,3 +1150,74 @@ def p15_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- p16: deterministic mixture interleave schedule -------------------------
+# Training runs don't just SELECT a mixture (p04/p06) — they need a global
+# feed ORDER that interleaves sources proportionally to weight, stably and
+# reproducibly, so step k of the run always sees the same document. The
+# stride schedule does this with no RNG: source position p (1-based, in a
+# deterministic per-source order) is fed at key (p - 0.5) / weight; sorting
+# by key yields each source at a rate proportional to its weight
+# (weight 3 appears 3× as often as weight 1 in any key interval).
+#
+# 100 TB shape: the per-source position is a source-partitioned window
+# (bounded per task, never a global window); the schedule key is row-local;
+# the global head is TakeOrdered (k rows to the driver, no full sort). The
+# full materialized schedule would be written out range-partitioned by key
+# (distributed_row_number's two-pass discipline); the query exposes the
+# head, which is what a resume-from-step-0 consumer reads first.
+
+SCHEDULE_HEAD = 60
+
+
+@query(
+    "p16_mixture_schedule",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             1 + CAST(substr(source, 4) AS INTEGER) % 3 AS wt
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, source, wt,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS p
+      FROM w
+    )
+    SELECT doc_id, source,
+           round((p - 0.5) / wt, 6) AS sched_key,
+           CAST(row_number() OVER (ORDER BY round((p - 0.5) / wt, 6), doc_id)
+                AS INTEGER) AS step
+    FROM pos
+    ORDER BY step
+    LIMIT {SCHEDULE_HEAD}
+    """,
+)
+def p16_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {k} steps of the stride-interleaved mixture schedule with
+    source weights 1..3 derived from the source id (src<n> → 1 + n%3)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    wt = 1 + F.substring("source", 4, 10).cast("int") % 3
+    pos = d.select(
+        "doc_id",
+        "source",
+        wt.alias("wt"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("p"),
+    )
+    keyed = pos.select(
+        "doc_id",
+        "source",
+        F.round((F.col("p") - 0.5) / F.col("wt"), 6).alias("sched_key"),
+    )
+    head = keyed.orderBy("sched_key", "doc_id").limit(SCHEDULE_HEAD)
+    # step numbering only over the k-row head (tiny ordered window)
+    return head.select(
+        "doc_id",
+        "source",
+        "sched_key",
+        F.row_number()
+        .over(Window.orderBy("sched_key", "doc_id"))
+        .cast("int")
+        .alias("step"),
+    ).orderBy("step")

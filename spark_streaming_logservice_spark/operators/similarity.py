@@ -732,3 +732,61 @@ def s16_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "ip", "aug_score", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+# --- s17: cosine range search (threshold, not top-k) ------------------------
+# The other half of the vector-search API: "everything within distance r",
+# used for dedup-style radius queries where the neighbor COUNT is unknown
+# a priori (top-k truncates dense neighborhoods; range search doesn't).
+# Same broadcast-queries shape as s01 — the corpus side streams through one
+# narrow row-local projection, no shuffle at all until the (tiny) ordered
+# result — so at 100 TB it is a single scan regardless of match count.
+# The filter compares the ROUNDED score (6dp, same as the ranking queries)
+# so the boundary row set is identical in both engines.
+
+RANGE_TAU = 0.3
+
+
+@query(
+    "s17_cosine_range_search",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS score
+      FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id
+    )
+    SELECT q_id, n_id, score
+    FROM scored WHERE score >= {RANGE_TAU}
+    ORDER BY q_id, n_id
+    """,
+)
+def s17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = (
+        e.where(F.col("vec_id") < N_QUERY)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .withColumn("q_nrm", _norm(F.col("q_emb")))
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    ).withColumn("n_nrm", _norm(F.col("n_emb")))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= RANGE_TAU)
+        .orderBy("q_id", "n_id")
+    )

@@ -161,6 +161,25 @@ def _sql_query(sql: str):
     return fn
 
 
+
+# UNPIVOT: wide-to-long reshaping in SQL text (Spark 4 and DuckDB both parse
+# the SQL-standard UNPIVOT clause). The wide side is a 3-row aggregate, so
+# the reshape itself is O(flags x metrics) regardless of corpus size — the
+# one corpus pass is the grouped sum above it.
+SQL09 = """
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS qty,
+         round(sum(l_extendedprice), 2) AS price,
+         round(sum(l_discount), 2) AS disc,
+         round(sum(l_tax), 2) AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, val
+FROM agg UNPIVOT (val FOR metric IN (qty, price, disc, tax))
+ORDER BY l_returnflag, metric
+"""
+
 query("sql01_grouped_filter", oracle=SQL01)(_sql_query(SQL01))
 query("sql02_cte_window_join", oracle=SQL02)(_sql_query(SQL02))
 query("sql03_case_classification", oracle=SQL03)(_sql_query(SQL03))
@@ -169,3 +188,4 @@ query("sql05_grouping_sets", oracle=SQL05)(_sql_query(SQL05))
 query("sql06_lateral_topn", oracle=SQL06)(_sql_query(SQL06))
 query("sql07_window_battery", oracle=SQL07)(_sql_query(SQL07))
 query("sql08_range_frame", oracle=SQL08)(_sql_query(SQL08))
+query("sql09_unpivot", oracle=SQL09)(_sql_query(SQL09))

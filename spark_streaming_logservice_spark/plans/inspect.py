@@ -85,8 +85,12 @@ def global_window_count(df: DataFrame) -> int:
     """Window operators with an EMPTY partition spec — the plans Spark warns
     about with "No Partition Defined ... moving all data to a single
     partition". In the formatted plan a Window node's Arguments line has
-    [functions], [partitionSpec], [orderSpec] — the partition-less form drops
-    the middle group, so two top-level bracket groups == global window."""
+    [functions], [partitionSpec], [orderSpec], with EMPTY specs dropped, so
+    bracket-group count alone is ambiguous at 2: it is either
+    (functions, orderSpec) — a global ordered window — or
+    (functions, partitionSpec) — a partitioned whole-frame window, which is
+    fine. Disambiguate by the sort direction keywords only an orderSpec
+    carries. 1 group == global unordered window (also flagged)."""
     import re
 
     lines = formatted_plan(df).splitlines()
@@ -98,15 +102,21 @@ def global_window_count(df: DataFrame) -> int:
             s = lines[j].strip()
             if not s.startswith("Arguments:"):
                 continue
-            depth, groups = 0, 0
-            for ch in s:
+            depth, groups, spans = 0, 0, []
+            start = 0
+            for pos, ch in enumerate(s):
                 if ch == "[":
                     if depth == 0:
                         groups += 1
+                        start = pos
                     depth += 1
                 elif ch == "]":
                     depth -= 1
-            if groups == 2:
+                    if depth == 0:
+                        spans.append(s[start : pos + 1])
+            if groups == 1:
+                count += 1
+            elif groups == 2 and re.search(r"\b(ASC|DESC)\b", spans[1]):
                 count += 1
             break
     return count

@@ -414,3 +414,52 @@ def test_p14_group_split_partial_agg(spark, sf_dir):
     df = registry.QUERIES["p14_group_split"](spark, sf_dir)
     assert pi.has_partial_aggregation(df)
     assert "CartesianProduct" not in pi.formatted_plan(df)
+
+
+def test_l23_gap_fill_no_global_window(spark, sf_dir):
+    """LOCF window must partition by event_type; grid explode must not
+    force a cartesian (span relation joins back hash-keyed)."""
+    df = registry.QUERIES["l23_hourly_gap_fill"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    assert "CartesianProduct" not in pi.formatted_plan(df)
+    assert pi.has_partial_aggregation(df)
+
+
+def test_e15_seasonality_partitioned_window(spark, sf_dir):
+    df = registry.QUERIES["e15_seasonality_profile"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    assert pi.has_partial_aggregation(df)
+
+
+def test_c04_snapshot_pushes_type_filter_and_broadcasts_cut(spark, sf_dir):
+    """The changelog-type filter reaches the scan; the 1-row cut bound
+    arrives via broadcast, not a shuffle."""
+    df = registry.QUERIES["c04_snapshot_asof"](spark, sf_dir)
+    assert pi.has_pushed_filters(df)
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or pi.uses_broadcast_join(df)
+
+
+def test_s17_range_search_single_scan_broadcast_queries(spark, sf_dir):
+    """Range search = broadcast queries against one corpus-side projection;
+    no shuffle exchange other than the final tiny ordered result."""
+    df = registry.QUERIES["s17_cosine_range_search"](spark, sf_dir)
+    assert pi.uses_broadcast_join(df) or "BroadcastNestedLoopJoin" in pi.formatted_plan(df)
+
+
+def test_g05_label_rounds_are_hash_joins(spark, sf_dir):
+    df = registry.QUERIES["g05_label_propagation"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert pi.has_partial_aggregation(df)
+
+
+def test_p16_schedule_no_global_window_before_head(spark, sf_dir):
+    """Per-source position is a partitioned window; the only ordered-global
+    step is the TakeOrdered head + the k-row step numbering."""
+    df = registry.QUERIES["p16_mixture_schedule"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # one global window IS expected: step numbering over the 60-row head
+    assert pi.global_window_count(df) <= 1
