@@ -772,3 +772,79 @@ def decode_png_text(df: DataFrame, blob_col: str = "blob",
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema=PNG_TEXT_SCHEMA)
+
+
+RESAMPLE_STATS_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate int,"
+    " mean_amp double, peak_amp int, rms double"
+)
+
+
+def downsample_audio_stats(
+    df: DataFrame, factor: int, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decimation round-trip: decode 16-bit mono PCM, keep every
+    ``factor``-th frame, RE-ENCODE a real WAV at rate/factor, then re-decode
+    the new container and emit its statistics — the re-decode proves the
+    re-encoded header/frames parse, not just that the array math ran. One
+    Arrow-batched pass; per-sample data never leaves the stage."""
+    import wave
+
+    import numpy as np
+
+    def one(b):
+        try:
+            with wave.open(io.BytesIO(b), "rb") as w:
+                rate = w.getframerate()
+                raw = w.readframes(w.getnframes())
+            arr = np.frombuffer(raw, dtype="<i2")[::factor]
+            out = io.BytesIO()
+            with wave.open(out, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate // factor)
+                w.writeframes(arr.astype("<i2").tobytes())
+            with wave.open(io.BytesIO(out.getvalue()), "rb") as w:
+                rate2 = w.getframerate()
+                n2 = w.getnframes()
+                raw2 = w.readframes(n2)
+            a = np.frombuffer(raw2, dtype="<i2").astype(np.float64)
+            if a.size == 0:
+                return (0, rate2, 0.0, 0, 0.0)
+            return (
+                n2,
+                rate2,
+                float(a.mean()),
+                int(np.abs(a).max()),
+                float(np.sqrt((a * a).mean())),
+            )
+        except Exception:
+            return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "mean_amp": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Float64"
+                    ),
+                    "peak_amp": pd.array(
+                        [r[3] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "rms": pd.array(
+                        [r[4] if r else None for r in rows], dtype="Float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema=RESAMPLE_STATS_SCHEMA
+    )

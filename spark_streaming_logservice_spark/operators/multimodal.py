@@ -756,3 +756,57 @@ def m11_png_text_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blobs = d.mapInPandas(encode_png_text_batches, schema=ENCODE_IMG_SCHEMA)
     return media.decode_png_text(blobs).orderBy("doc_id")
+
+
+@query(
+    "m12_audio_downsample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 400 + 50 AS n
+      FROM documents ORDER BY doc_id LIMIT 150
+    ), samp AS (
+      SELECT doc_id, n, unnest(range(0, (n + 3) // 4)) AS j
+      FROM d
+    ), amp AS (
+      SELECT doc_id, n, j,
+             CAST(((doc_id * 97 + (j * 4) * 31) % 2001) - 1000 AS DOUBLE) AS a
+      FROM samp
+    )
+    SELECT doc_id,
+           CAST((n + 3) // 4 AS BIGINT) AS n_samples,
+           4000 AS sample_rate,
+           round(avg(a), 4) AS mean_amp,
+           CAST(max(abs(a)) AS INTEGER) AS peak_amp,
+           round(sqrt(avg(a * a)), 4) AS rms
+    FROM amp GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+)
+def m12_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimate-by-4 resample as a REAL codec round-trip (decode → stride
+    slice → re-encode at 4 kHz → re-decode): the transform stage every audio
+    pipeline needs before feature extraction at a uniform rate. The oracle
+    regenerates the kept samples (indices 0,4,8,…) from the tone's closed
+    form — a wrong stride, off-by-one frame count, or bad re-encoded header
+    shifts n_samples/stats and fails the hash."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(150)
+    )
+    blobs = d.mapInPandas(encode_wav_tone_batches, schema=ENCODE_WAV_SCHEMA)
+    return (
+        media.downsample_audio_stats(blobs, factor=4)
+        .select(
+            "doc_id",
+            "n_samples",
+            "sample_rate",
+            F.round("mean_amp", 4).alias("mean_amp"),
+            "peak_amp",
+            F.round("rms", 4).alias("rms"),
+        )
+        .orderBy("doc_id")
+    )

@@ -76,24 +76,9 @@ def merge_additive(
     set a replay of an already-committed batch returns without merging
     (``_batch_meta.json`` inside the committed version names its producer;
     the leading underscore keeps the parquet reader from touching it)."""
-    data = os.path.join(table_dir, "data")
-    old, tmp = data + ".old", data + ".tmp"
-    if not os.path.exists(data) and os.path.exists(old):
-        # crash landed between rename(data, old) and rename(tmp, data):
-        # .old IS the base table — restore it before reading/deleting
-        os.rename(old, data)
-    meta = os.path.join(data, "_batch_meta.json")
-    if batch_id is not None and os.path.exists(meta):
-        try:
-            with open(meta) as f:
-                if json.load(f).get("batch_id") == batch_id:
-                    # crash landed between swap and marker: this batch is
-                    # already in the committed version — merging again
-                    # would double-count it
-                    shutil.rmtree(old, ignore_errors=True)
-                    return
-        except (OSError, ValueError):
-            pass
+    data, done = _recover_swap(table_dir, batch_id)
+    if done:
+        return
     if os.path.exists(data):
         base = delta.sparkSession.read.schema(schema).parquet(data)
         merged = (
@@ -108,6 +93,38 @@ def merge_additive(
         )
     else:
         merged = delta
+    _commit_swap(table_dir, merged, batch_id)
+
+
+def _recover_swap(table_dir: str, batch_id: int | None) -> tuple[str, bool]:
+    """Heal an interrupted two-phase swap and detect an already-committed
+    batch. Returns (data_dir, already_committed)."""
+    data = os.path.join(table_dir, "data")
+    old = data + ".old"
+    if not os.path.exists(data) and os.path.exists(old):
+        # crash landed between rename(data, old) and rename(tmp, data):
+        # .old IS the base table — restore it before reading/deleting
+        os.rename(old, data)
+    meta = os.path.join(data, "_batch_meta.json")
+    if batch_id is not None and os.path.exists(meta):
+        try:
+            with open(meta) as f:
+                if json.load(f).get("batch_id") == batch_id:
+                    # crash landed between swap and marker: this batch is
+                    # already in the committed version — merging again
+                    # would double-count it
+                    shutil.rmtree(old, ignore_errors=True)
+                    return data, True
+        except (OSError, ValueError):
+            pass
+    return data, False
+
+
+def _commit_swap(table_dir: str, merged: DataFrame, batch_id: int | None) -> None:
+    """Write the merged version to ``.tmp`` and atomically publish it;
+    ``rename(tmp, data)`` is the commit point."""
+    data = os.path.join(table_dir, "data")
+    old, tmp = data + ".old", data + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     if batch_id is not None:
