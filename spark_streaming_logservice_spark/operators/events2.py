@@ -922,3 +922,79 @@ def e16_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     ).orderBy("day")
+
+
+# --- e17: growth accounting (new / retained / resurrected / churned) --------
+# The canonical weekly growth-accounting decomposition: every active user in
+# week w is exactly one of new (first-ever week), retained (also active in
+# w-1), or resurrected (active before, but not in w-1); churned(w) counts
+# users active in w-1 and not in w. One corpus pass to distinct
+# (user, week); the per-user lag is a user-partitioned window (bounded rows
+# per task); the churn identity n_churned(w) = n_active(w-1) - n_retained(w)
+# is computed over the O(weeks) rollup, so no user-level anti-join is
+# needed — the algebra replaces the second shuffle.
+
+@query(
+    "e17_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), lagged AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM uw
+    ), states AS (
+      SELECT wk,
+             count(*) AS n_active,
+             count(*) FILTER (WHERE prev_wk IS NULL) AS n_new,
+             count(*) FILTER (WHERE date_diff('day', prev_wk, wk) = 7)
+               AS n_retained,
+             count(*) FILTER (WHERE prev_wk IS NOT NULL
+                              AND date_diff('day', prev_wk, wk) > 7)
+               AS n_resurrected
+      FROM lagged GROUP BY wk
+    )
+    SELECT wk, n_active, n_new, n_retained, n_resurrected,
+           coalesce(lag(n_active) OVER (ORDER BY wk) - n_retained, 0)
+             AS n_churned
+    FROM states
+    ORDER BY wk
+    """,
+)
+def e17_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+    ).distinct()
+    lagged = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(Window.partitionBy("user_id").orderBy("wk")).alias(
+            "prev_wk"
+        ),
+    )
+    gap = F.datediff(F.col("wk"), F.col("prev_wk"))
+    states = lagged.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count(F.when(F.col("prev_wk").isNull(), 1)).alias("n_new"),
+        F.count(F.when(gap == 7, 1)).alias("n_retained"),
+        F.count(F.when(F.col("prev_wk").isNotNull() & (gap > 7), 1)).alias(
+            "n_resurrected"
+        ),
+    )
+    # churn from the O(weeks) rollup: active(w-1) - retained(w)
+    return states.select(
+        "wk",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(
+            F.lag("n_active").over(Window.orderBy("wk")) - F.col("n_retained"),
+            F.lit(0),
+        ).alias("n_churned"),
+    ).orderBy("wk")

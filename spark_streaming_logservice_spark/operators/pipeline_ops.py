@@ -1221,3 +1221,101 @@ def p16_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("step"),
     ).orderBy("step")
+
+
+# --- j05: nearest-event (bidirectional as-of) join ---------------------------
+
+NEAREST_TOLERANCE_US = 1_800_000_000  # ±30 min
+
+
+@query(
+    "j05_nearest_event_join",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), marked AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             max(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_click_us,
+             min(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_click_us
+      FROM ev
+    ), scored AS (
+      SELECT event_id, user_id,
+             CASE
+               WHEN prev_click_us IS NOT NULL AND (next_click_us IS NULL
+                    OR ts_us - prev_click_us <= next_click_us - ts_us)
+                 THEN prev_click_us - ts_us
+               ELSE next_click_us - ts_us
+             END AS gap_us
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, gap_us,
+           CASE WHEN gap_us < 0 THEN 'back' ELSE 'fwd' END AS direction
+    FROM scored
+    WHERE abs(gap_us) <= {NEAREST_TOLERANCE_US}
+    ORDER BY event_id
+    LIMIT 300
+    """,
+)
+def j05_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor temporal join: each purchase ← the user's closest
+    click in EITHER direction within ±30 min (ties break backward — the
+    strictly-earlier frame). Neither engine has a native bidirectional
+    ASOF, so both run the identical two-frame window rewrite: ONE user-
+    keyed window shuffle carries both the carry-forward max and the
+    strict-future min — still a single shuffle, no join, no per-row
+    subquery (same 100 TB shape as j01/j04/e09)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.max(click_ts).over(wb).alias("prev_click_us"),
+        F.min(click_ts).over(wf).alias("next_click_us"),
+    )
+    back_wins = F.col("prev_click_us").isNotNull() & (
+        F.col("next_click_us").isNull()
+        | (
+            F.col("ts_us") - F.col("prev_click_us")
+            <= F.col("next_click_us") - F.col("ts_us")
+        )
+    )
+    gap = F.when(
+        back_wins, F.col("prev_click_us") - F.col("ts_us")
+    ).otherwise(F.col("next_click_us") - F.col("ts_us"))
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            gap.alias("gap_us"),
+            F.when(gap < 0, "back").otherwise("fwd").alias("direction"),
+        )
+        .where(F.abs(F.col("gap_us")) <= NEAREST_TOLERANCE_US)
+        .orderBy("event_id")
+        .limit(300)
+    )

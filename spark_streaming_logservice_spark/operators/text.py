@@ -840,3 +840,96 @@ def t14_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- t15: n-gram novelty scoring -------------------------------------------
+# Data-curation signal: how much of a document's 3-gram content is NEW
+# relative to everything that came before it in corpus order (doc_id)?
+# Boilerplate-heavy docs score near 0; fresh content near 1 — the
+# streaming-corpus novelty filter (used to down-weight recycled text when
+# assembling training mixtures).
+#
+# Spark-first: trigram construction is ROW-LOCAL (transform over the token
+# array — no window, no self-join); "first seen" is one min-agg shuffled on
+# the trigram key; the verdict joins back trigram-keyed. At 100 TB both
+# shuffles are n-gram-keyed (high cardinality, naturally spread); nothing
+# is quadratic in docs and no corpus-ordered window exists.
+
+@query(
+    "t15_ngram_novelty",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), tri AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      FROM tk WHERE len(tk) >= 3
+    ), first_seen AS (
+      SELECT g, min(doc_id) AS d0 FROM tri GROUP BY g
+    ), per_doc AS (
+      SELECT t.doc_id, t.source,
+             count(*) AS n_tri,
+             count(*) FILTER (WHERE f.d0 = t.doc_id) AS n_novel
+      FROM tri t JOIN first_seen f ON f.g = t.g
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tri) AS BIGINT) AS total_tri,
+           CAST(sum(n_novel) AS BIGINT) AS total_novel,
+           round(sum(n_novel) / CAST(sum(n_tri) AS DOUBLE), 4) AS novelty_rate
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t15_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty: share of each doc's distinct trigrams whose
+    first corpus appearance (min doc_id) is that doc itself."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tk = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "").alias(
+            "tk"
+        ),
+    ).where(F.size("tk") >= 3)
+    tri = tk.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("tk"), i + 1),
+                    F.element_at(F.col("tk"), i + 2),
+                    F.element_at(F.col("tk"), i + 3),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = tri.groupBy("g").agg(F.min("doc_id").alias("d0"))
+    per_doc = (
+        tri.join(first_seen, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.count(F.when(F.col("d0") == F.col("doc_id"), 1)).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tri").alias("total_tri"),
+            F.sum("n_novel").alias("total_novel"),
+            F.round(
+                F.sum("n_novel") / F.sum("n_tri").cast("double"), 4
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

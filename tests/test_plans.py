@@ -463,3 +463,31 @@ def test_p16_schedule_no_global_window_before_head(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # one global window IS expected: step numbering over the 60-row head
     assert pi.global_window_count(df) <= 1
+
+
+def test_t15_novelty_ngram_keyed_no_cartesian(spark, sf_dir):
+    """Trigram build must be row-local (no self-join); first-seen join is
+    hash on the n-gram key."""
+    df = registry.QUERIES["t15_ngram_novelty"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.global_window_count(df) == 0
+    assert pi.has_partial_aggregation(df)
+
+
+def test_e17_growth_user_partitioned_lag(spark, sf_dir):
+    """The per-user lag partitions by user; the only ordered-global window
+    is the churn identity over the O(weeks) rollup."""
+    df = registry.QUERIES["e17_growth_accounting"](spark, sf_dir)
+    assert pi.global_window_count(df) <= 1
+    assert pi.has_partial_aggregation(df)
+
+
+def test_j05_nearest_single_window_shuffle_no_join(spark, sf_dir):
+    """Both direction frames ride ONE user-keyed window — no join at all
+    in the plan, and the type filter reaches the scan."""
+    df = registry.QUERIES["j05_nearest_event_join"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "Join" not in plan
+    assert pi.has_pushed_filters(df)
+    assert pi.global_window_count(df) == 0
