@@ -420,6 +420,19 @@ def main() -> None:
         "q28_waiting_suppliers",
         "e14_metric_correlation",
         "p15_curation_manifest",
+        # round 6, third wave
+        "l23_hourly_gap_fill",
+        "e15_seasonality_profile",
+        "e16_changepoint_detection",
+        "e17_growth_accounting",
+        "c04_snapshot_asof",
+        "s17_cosine_range_search",
+        "sql09_unpivot",
+        "g05_label_propagation",
+        "p16_mixture_schedule",
+        "m12_audio_downsample",
+        "t15_ngram_novelty",
+        "j05_nearest_event_join",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

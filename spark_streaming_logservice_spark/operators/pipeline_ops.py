@@ -1319,3 +1319,107 @@ def j05_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(300)
     )
+
+
+# --- p17: leakage-free split under near-duplication --------------------------
+# A train/test split that hashes DOC ids leaks: near-duplicate documents land
+# on both sides and the test set is contaminated (the d07 decontamination
+# problem, created by the split itself). The fix is splitting by NEAR-DUP
+# CLUSTER: hash the cluster id (singletons hash their own doc_id), so every
+# cluster lands wholly on one side. The n_leaky_clusters column pins the
+# zero-leakage invariant INTO the hashed result, not just a test.
+#
+# 100 TB shape: cluster assignment is the d08 chain (bucketed LSH pairs +
+# O(log²n) star rounds over the pair set); the corpus-side work after that
+# is one left join on doc_id + row-local md5 side assignment + one grouped
+# count. The leak check is a group-by over O(clustered docs).
+
+P17_TRAIN_RATE_256 = 204  # ≈80% train
+
+
+def _register_p17() -> None:
+    from spark_streaming_logservice_spark.operators.dedup import (
+        _duckdb_cluster_sql,
+        neardup_clusters,
+    )
+
+    oracle = _duckdb_cluster_sql(
+        f"""
+    , grp AS (
+      SELECT d.doc_id, d.source, coalesce(a.cluster_id, d.doc_id) AS gk
+      FROM documents d LEFT JOIN assign a ON a.doc_id = d.doc_id
+    ), sided AS (
+      SELECT doc_id, source, gk,
+             ('0x' || substr(md5('p17:' || CAST(gk AS VARCHAR)), 1, 2))::INTEGER
+               < {P17_TRAIN_RATE_256} AS is_train
+      FROM grp
+    ), leaky AS (
+      SELECT count(*) AS n_leaky_clusters FROM (
+        SELECT gk FROM sided GROUP BY gk
+        HAVING count(DISTINCT is_train) > 1
+      )
+    )
+    SELECT source,
+           count(*) FILTER (WHERE is_train) AS n_train,
+           count(*) FILTER (WHERE NOT is_train) AS n_test,
+           l.n_leaky_clusters
+    FROM sided CROSS JOIN leaky l
+    GROUP BY source, l.n_leaky_clusters
+    ORDER BY source
+    """
+    )
+
+    @query("p17_leakage_free_split", oracle=oracle)
+    def p17_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        # the assignment is pair-bounded (orders of magnitude below the
+        # corpus) — pin it eagerly so the LSH+CC chain runs ONCE, not once
+        # per consumer (unpinned, the leak check and the split each re-ran
+        # the whole minhash pipeline: 147s → ~1× d08's cost)
+        assign = neardup_clusters(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        grp = d.join(assign, "doc_id", "left").select(
+            "doc_id",
+            "source",
+            F.coalesce("cluster_id", "doc_id").alias("gk"),
+        )
+        sided = grp.select(
+            "doc_id",
+            "source",
+            (hash_bucket("p17", F.col("gk")) < P17_TRAIN_RATE_256).alias(
+                "is_train"
+            ),
+        )
+        # leak check needs only clustered docs (singletons are 1-row groups
+        # and cannot straddle): run it over the pinned assignment, never
+        # the corpus
+        leaky = (
+            assign.select(
+                "cluster_id",
+                (
+                    hash_bucket("p17", F.col("cluster_id"))
+                    < P17_TRAIN_RATE_256
+                ).alias("is_train"),
+            )
+            .groupBy("cluster_id")
+            .agg(F.countDistinct("is_train").alias("nsides"))
+            .agg(
+                F.count(F.when(F.col("nsides") > 1, 1)).alias(
+                    "n_leaky_clusters"
+                )
+            )
+        )
+        return (
+            sided.groupBy("source")
+            .agg(
+                F.count(F.when(F.col("is_train"), 1)).alias("n_train"),
+                F.count(F.when(~F.col("is_train"), 1)).alias("n_test"),
+            )
+            .join(F.broadcast(leaky))
+            .select("source", "n_train", "n_test", "n_leaky_clusters")
+            .orderBy("source")
+        )
+
+
+_register_p17()

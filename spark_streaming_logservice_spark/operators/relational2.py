@@ -758,3 +758,63 @@ def q28_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# --- q29: dominant suppliers (correlated aggregate threshold, Q20 family) ---
+# "Which suppliers ship an outsized share of some part's total quantity?" —
+# the correlated-subquery-with-aggregate shape (TPC-H Q20's inner predicate
+# qty > θ * sum(...)), decorrelated the way Catalyst does: compute the
+# per-part total ONCE as a relation and join it back, instead of a per-row
+# subquery. Two shuffles over the fact table (part+supplier keyed, then
+# part keyed), one co-partitioned join between two aggregates of the SAME
+# scan (Spark reuses the exchange), then a supplier-keyed rollup joined to
+# the broadcast supplier dim.
+
+@query(
+    "q29_dominant_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), pt AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM ps GROUP BY 1
+    ), dom AS (
+      SELECT ps.l_suppkey,
+             count(*) AS n_dominated,
+             round(max(ps.qty / pt.total_qty), 4) AS max_share
+      FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      WHERE ps.qty > 0.1 * pt.total_qty
+      GROUP BY ps.l_suppkey
+    )
+    SELECT s.s_name, d.n_dominated, d.max_share
+    FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+    ORDER BY d.n_dominated DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q29_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dom = (
+        ps.join(pt, "l_partkey")
+        .where(F.col("qty") > 0.1 * F.col("total_qty"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated"),
+            F.round(F.max(F.col("qty") / F.col("total_qty")), 4).alias(
+                "max_share"
+            ),
+        )
+    )
+    return (
+        dom.join(F.broadcast(s), dom["l_suppkey"] == s["s_suppkey"])
+        .select("s_name", "n_dominated", "max_share")
+        .orderBy(F.desc("n_dominated"), F.asc("s_name"))
+        .limit(25)
+    )

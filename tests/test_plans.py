@@ -491,3 +491,27 @@ def test_j05_nearest_single_window_shuffle_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert pi.has_pushed_filters(df)
     assert pi.global_window_count(df) == 0
+
+
+def test_p17_split_one_corpus_pass_after_pinned_assign(spark, sf_dir):
+    """Side assignment and per-source counts combine map-side; the leak
+    check runs over the pinned assignment (no second corpus scan in the
+    same plan — the CC chain is behind an eager checkpoint)."""
+    import re
+
+    df = registry.QUERIES["p17_leakage_free_split"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert pi.has_partial_aggregation(df)
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scan_nodes) <= 1, (
+        "corpus must be scanned once; the cluster chain is checkpointed"
+    )
+    assert "Scan ExistingRDD" in plan, "pinned assignment missing from plan"
+
+
+def test_q29_single_fact_scan_and_broadcast_dim(spark, sf_dir):
+    """Both aggregation grains derive from ONE lineitem scan (exchange
+    reuse), and the supplier dim broadcasts."""
+    df = registry.QUERIES["q29_dominant_suppliers"](spark, sf_dir)
+    assert pi.uses_broadcast_join(df)
+    assert pi.has_partial_aggregation(df)
