@@ -848,3 +848,42 @@ def downsample_audio_stats(
     return df.select(id_col, blob_col).mapInPandas(
         batches, schema=RESAMPLE_STATS_SCHEMA
     )
+
+
+def stretch_contrast_images(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Min-max contrast stretch of grayscale-8 PNG blobs: y' =
+    floor((y−min)·255/(max−min) + 0.5) (round-half-up, matching SQL round on
+    non-negative values — numpy's default rounding is banker's and would
+    diverge on exact .5), re-encoded as PNG. Flat images (max == min) pass
+    through unchanged. Keeps the (doc_id, blob) contract so the stats
+    decoder chains unchanged."""
+    import numpy as np
+
+    def stretch(b):
+        meta = parse_image(b, strict=False)
+        if not meta or meta[0] != "png":
+            return None
+        _, w, h = meta
+        raw = zlib.decompress(b"".join(_png_chunks(b, b"IDAT")))
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w)[:, 1:]
+        lo, hi = int(arr.min()), int(arr.max())
+        if hi > lo:
+            arr = np.floor(
+                (arr.astype(np.float64) - lo) * 255.0 / (hi - lo) + 0.5
+            ).astype(np.uint8)
+        return make_png_from_array(arr)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "blob": [stretch(b) for b in pdf[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema="doc_id bigint, blob binary"
+    )

@@ -998,3 +998,85 @@ def e17_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("n_churned"),
     ).orderBy("wk")
+
+
+# --- e18: robust (MAD) anomaly detection ------------------------------------
+# e06 flags anomalies with mean/stddev z-scores, which an outlier itself
+# inflates (masking); the robust version uses median and MAD with the
+# Iglewicz–Hoaglin modified z-score 0.6745·(x−med)/MAD and the standard 3.5
+# cut. Shape: one corpus rollup to (type, day), then two exact interpolated
+# medians per type over the O(days) relation (type-partitioned aggregates,
+# not windows) joined back type-keyed. Both engines interpolate medians
+# identically (percentile == percentile_cont).
+
+MAD_Z_CUT = 3.5
+
+
+@query(
+    "e18_mad_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS med_n
+      FROM daily GROUP BY event_type
+    ), mad AS (
+      SELECT d.event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(d.n - m.med_n))
+               AS mad_n
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+      GROUP BY d.event_type
+    ), scored AS (
+      SELECT d.event_type, d.n, m.med_n, md.mad_n,
+             0.6745 * (d.n - m.med_n) / md.mad_n AS rz
+      FROM daily d
+      JOIN med m ON m.event_type = d.event_type
+      JOIN mad md ON md.event_type = d.event_type
+      WHERE md.mad_n > 0
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           round(any_value(med_n), 4) AS median_daily,
+           round(any_value(mad_n), 4) AS mad_daily,
+           count(*) FILTER (WHERE abs(rz) > {MAD_Z_CUT}) AS n_anomalies,
+           round(max(abs(rz)), 4) AS max_robust_z
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e18_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med_n")
+    )
+    mad = (
+        daily.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(n - med_n), 0.5)").alias("mad_n"))
+    )
+    rz = 0.6745 * (F.col("n") - F.col("med_n")) / F.col("mad_n")
+    scored = (
+        daily.join(med, "event_type")
+        .join(mad, "event_type")
+        .where(F.col("mad_n") > 0)
+        .select("event_type", "n", "med_n", "mad_n", rz.alias("rz"))
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.any_value("med_n"), 4).alias("median_daily"),
+            F.round(F.any_value("mad_n"), 4).alias("mad_daily"),
+            F.count(F.when(F.abs(F.col("rz")) > MAD_Z_CUT, 1)).alias(
+                "n_anomalies"
+            ),
+            F.round(F.max(F.abs(F.col("rz"))), 4).alias("max_robust_z"),
+        )
+        .orderBy("event_type")
+    )

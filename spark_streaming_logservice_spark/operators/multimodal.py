@@ -810,3 +810,64 @@ def m12_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "m13_image_contrast_stretch",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 64 + 1 AS w, (n_chars * 7) % 48 + 1 AS h
+      FROM documents ORDER BY doc_id LIMIT 120
+    ), px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 31 + unnest(range(0, w * h))) % 251 AS y
+      FROM d
+    ), rng AS (
+      SELECT doc_id, min(y) AS lo, max(y) AS hi FROM px GROUP BY doc_id
+    ), st AS (
+      SELECT p.doc_id, p.w, p.h,
+             CASE WHEN r.hi > r.lo
+                  THEN floor((p.y - r.lo) * 255.0 / (r.hi - r.lo) + 0.5)
+                  ELSE p.y END AS y2
+      FROM px p JOIN rng r ON r.doc_id = p.doc_id
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(avg(y2), 4) AS mean_luma,
+           CAST(min(y2) AS INTEGER) AS min_luma,
+           CAST(max(y2) AS INTEGER) AS max_luma
+    FROM st
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+)
+def m13_image_contrast_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image normalization stage: min-max contrast stretch per image
+    (decode → vectorized remap → re-encode), verified by running the
+    UNCHANGED luma-stats decoder over the stretched blobs — a non-flat
+    image must land exactly on [0, 255]. The oracle remaps the closed-form
+    pixels; a wrong rounding rule (banker's vs half-up) or a bad re-encode
+    shifts mean_luma and fails the hash."""
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    blobs = d.mapInPandas(encode_png_gradient_batches, schema=ENCODE_IMG_SCHEMA)
+    stretched = media.stretch_contrast_images(blobs)
+    return (
+        media.decode_image_luma_stats(stretched)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.round("mean_luma", 4).alias("mean_luma"),
+            "min_luma",
+            "max_luma",
+        )
+        .orderBy("doc_id")
+    )

@@ -790,3 +790,71 @@ def s17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") >= RANGE_TAU)
         .orderBy("q_id", "n_id")
     )
+
+
+# --- s18: similarity-threshold calibration sweep ----------------------------
+# Before running near-dup collapse you pick a cosine threshold; this query
+# is the evidence for that choice: the distribution of LSH-candidate pair
+# similarities in 0.1-wide buckets plus the cumulative pair count from the
+# top — i.e. "how many pairs would each threshold fire on", every
+# threshold in ONE pass over the SAME bucketed candidate chain s03 uses
+# (d12 does the analogous sweep for MinHash agreement). The histogram is
+# O(20) rows, so the cumulative window is trivially bounded.
+
+@query(
+    "s18_threshold_sweep",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), {_DUCK_PARAMS}, cells AS (
+      SELECT vec_id, emb, {_DUCK_CELL} AS cell FROM e, params
+    ), pairs AS (
+      SELECT round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS c
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ), hist AS (
+      SELECT CAST(floor(c * 10) AS INTEGER) AS bucket, count(*) AS n_pairs
+      FROM pairs GROUP BY 1
+    )
+    SELECT round(bucket / 10.0, 1) AS sim_lo, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_at_or_above
+    FROM hist
+    ORDER BY sim_lo
+    """,
+)
+def s18_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    planes, _ = _corpus_stats(e, cache_key=sf_dir)
+    cells = e.withColumn("cell", _cell_expr(planes)).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.round(
+            _dot(F.col("a.emb"), F.col("b.emb"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        ).alias("c")
+    )
+    hist = pairs.groupBy(
+        F.floor(F.col("c") * 10).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hist.select(
+            F.round(F.col("bucket") / 10.0, 1).alias("sim_lo"),
+            "n_pairs",
+            F.sum("n_pairs").over(w).alias("n_at_or_above"),
+        )
+        .orderBy("sim_lo")
+    )

@@ -554,3 +554,103 @@ def _register_v07() -> None:
 
 
 _register_v07()
+
+
+# --- v08: Heaps'-law vocabulary growth fit ----------------------------------
+# The companion corpus-health statistic to v05's Zipf slope: vocabulary size
+# grows as V(N) ≈ K·N^β (Heaps' law, β ≈ 0.4-0.6 for natural text); a
+# degenerate β flags template/duplicated corpora before training.
+#
+# The naive computation — cumulative distinct tokens in corpus order — is a
+# corpus-ordered global window (the v04-class scale killer). Instead:
+# growth is SAMPLED at K fixed doc_id checkpoints; N(c) = Σ tokens of docs
+# ≤ c and V(c) = #tokens whose FIRST-SEEN doc (min doc_id, one token-keyed
+# agg — the t15 relation) is ≤ c both come from one conditional aggregate
+# against the broadcast checkpoint list. No ordered window anywhere; the
+# regression runs over K points.
+
+HEAPS_CHECKPOINTS = 20
+
+
+@query(
+    "v08_heaps_law",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), doc_n AS (
+      SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id
+    ), fs AS (
+      SELECT token, min(doc_id) AS d0 FROM tok GROUP BY token
+    ), bounds AS (
+      SELECT max(doc_id) AS mx FROM documents
+    ), cps AS (
+      SELECT CAST(mx * k / {HEAPS_CHECKPOINTS} AS BIGINT) AS c
+      FROM bounds, (SELECT unnest(range(1, {HEAPS_CHECKPOINTS} + 1)) AS k)
+    ), pts AS (
+      SELECT c,
+             (SELECT CAST(sum(n_toks) AS BIGINT) FROM doc_n WHERE doc_id <= c)
+               AS n_total,
+             (SELECT count(*) FROM fs WHERE d0 <= c) AS v_size
+      FROM cps
+    )
+    SELECT count(*) AS n_points,
+           round(regr_slope(ln(v_size), ln(n_total)), 4) AS beta,
+           round(exp(regr_intercept(ln(v_size), ln(n_total))), 4) AS k_coef,
+           round(regr_r2(ln(v_size), ln(n_total)), 4) AS r2
+    FROM pts WHERE n_total > 0 AND v_size > 0
+    """,
+)
+def v08_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    doc_n = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    fs = tok.groupBy("token").agg(F.min("doc_id").alias("d0"))
+    bounds = d.agg(F.max("doc_id").alias("mx"))
+    cps = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(HEAPS_CHECKPOINTS))
+            ).alias("k"),
+            "mx",
+        )
+        .select(
+            (F.col("mx") * F.col("k") / HEAPS_CHECKPOINTS)
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    n_at = (
+        F.broadcast(cps)
+        .join(doc_n, doc_n["doc_id"] <= F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("n_toks").alias("n_total"))
+    )
+    v_at = (
+        F.broadcast(cps)
+        .join(fs, fs["d0"] <= F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("v_size"))
+    )
+    pts = (
+        n_at.join(v_at, "c")
+        .where((F.col("n_total") > 0) & (F.col("v_size") > 0))
+        .select(
+            F.log("v_size").alias("ly"), F.log("n_total").alias("lx")
+        )
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope(F.col("ly"), F.col("lx")), 4).alias("beta"),
+        F.round(
+            F.exp(F.regr_intercept(F.col("ly"), F.col("lx"))), 4
+        ).alias("k_coef"),
+        F.round(F.regr_r2(F.col("ly"), F.col("lx")), 4).alias("r2"),
+    )

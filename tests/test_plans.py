@@ -515,3 +515,26 @@ def test_q29_single_fact_scan_and_broadcast_dim(spark, sf_dir):
     df = registry.QUERIES["q29_dominant_suppliers"](spark, sf_dir)
     assert pi.uses_broadcast_join(df)
     assert pi.has_partial_aggregation(df)
+
+
+def test_v08_heaps_no_ordered_corpus_window(spark, sf_dir):
+    """Growth sampling must be the broadcast-checkpoint conditional agg,
+    never a cumulative corpus-ordered window."""
+    df = registry.QUERIES["v08_heaps_law"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    assert pi.has_partial_aggregation(df)
+
+
+def test_s18_sweep_bucketed_join_tiny_cumsum(spark, sf_dir):
+    """Pair generation must be the cell-keyed equi-join (no all-pairs); the
+    cumulative window runs over the O(20)-row histogram only."""
+    df = registry.QUERIES["s18_threshold_sweep"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(df)
+
+
+def test_e18_mad_partitioned_aggregates_not_windows(spark, sf_dir):
+    df = registry.QUERIES["e18_mad_anomalies"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    assert pi.has_partial_aggregation(df)
