@@ -433,6 +433,12 @@ def main() -> None:
         "m12_audio_downsample",
         "t15_ngram_novelty",
         "j05_nearest_event_join",
+        "p17_leakage_free_split",
+        "q29_dominant_suppliers",
+        "v08_heaps_law",
+        "s18_threshold_sweep",
+        "e18_mad_anomalies",
+        "m13_image_contrast_stretch",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:
