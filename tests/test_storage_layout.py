@@ -72,3 +72,50 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     n = back.count()
     expected = e.where(F.col("day") == "2024-01-02").count()
     assert n == expected > 0
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Backfill correctness: re-computing ONE day of a day-partitioned table
+    with partitionOverwriteMode=dynamic must replace exactly that partition
+    — other days' rows survive untouched — and a day-filtered read after
+    the backfill still prunes to one partition directory. This is the
+    maintenance pattern for fixing a bad day at 100 TB without rewriting
+    the table."""
+    from spark_streaming_logservice_spark.plans import inspect as pi
+
+    out = str(tmp_path / "events_by_day")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    e.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    days = [r["day"] for r in e.select("day").distinct().orderBy("day").collect()]
+    target, other = days[0], days[1]
+    before_other = (
+        spark.read.parquet(out).where(F.col("day") == other).count()
+    )
+
+    # backfill: day-0 recomputed with a corrected value column
+    fixed = e.where(F.col("day") == F.lit(target)).withColumn(
+        "value", F.col("value") * 0.0
+    )
+    fixed.write.partitionBy("day").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(out)
+
+    after = spark.read.parquet(out)
+    assert after.where(F.col("day") == other).count() == before_other, (
+        "untouched partitions must survive a dynamic overwrite"
+    )
+    assert (
+        after.where(F.col("day") == F.lit(target))
+        .agg(F.sum(F.abs(F.col("value"))))
+        .first()[0]
+        == 0.0
+    ), "backfilled partition must carry the recomputed rows"
+
+    pruned = after.where(F.col("day") == F.lit(target)).select("event_id")
+    filters = pi.partition_filters(pruned)
+    assert filters and any("day" in f for f in filters), (
+        f"day filter must prune partitions, got {filters}"
+    )
