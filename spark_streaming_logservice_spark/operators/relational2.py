@@ -818,3 +818,39 @@ def q29_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dominated"), F.asc("s_name"))
         .limit(25)
     )
+
+
+# --- q30: customer order-count distribution (TPC-H Q13 shape) ---------------
+# The two-level aggregation with a NULL-preserving outer join: how many
+# customers placed exactly k orders, INCLUDING k = 0 — the histogram the
+# anti-join (q22) can't produce. Level 1 groups the outer join by customer
+# (count(o_orderkey) ignores the null-extended rows, so zero-order
+# customers count 0); level 2 groups by that count. Both shuffles shrink
+# monotonically (customers, then O(distinct counts) rows).
+
+@query(
+    "q30_order_count_distribution",
+    oracle="""
+    SELECT c_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_orders
+    ORDER BY n_customers DESC, c_orders DESC
+    """,
+)
+def q30_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_orders"))
+    )
+    return (
+        per_cust.groupBy("c_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("c_orders"))
+    )

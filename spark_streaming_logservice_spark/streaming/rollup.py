@@ -182,3 +182,41 @@ def read_rollup(spark: SparkSession, table_dir: str,
         .agg(F.sum("n_events").alias("n_events"), F.sum("n_errors").alias("n_errors"))
         .orderBy("resolution", "bucket")
     )
+
+
+def read_rollup_gap_filled(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Serve the maintained minute base as a DENSE minute series with LOCF:
+    every minute between the table's first and last bucket, zero-filled
+    counts plus the last non-empty minute's error rate carried forward —
+    the l23 gap-fill shape applied to the incrementally-maintained store
+    (dashboards want dense series; the store only keeps observed minutes).
+    Grid size is bounded by the covered time range, independent of how many
+    rows ever streamed in."""
+    from pyspark.sql.window import Window
+
+    base = spark.read.schema(_SCHEMA).parquet(os.path.join(table_dir, "data"))
+    span = base.agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        F.explode(F.expr("sequence(b0, b1, interval 1 minute)")).alias("bucket")
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rate = F.when(
+        F.col("n_events").isNotNull() & (F.col("n_events") > 0),
+        F.col("n_errors").cast("double") / F.col("n_events"),
+    )
+    return (
+        grid.join(base, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+            F.col("n_events").isNull().alias("is_gap"),
+            F.last(rate, ignorenulls=True).over(w).alias("filled_error_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -538,3 +538,10 @@ def test_e18_mad_partitioned_aggregates_not_windows(spark, sf_dir):
     df = registry.QUERIES["e18_mad_anomalies"](spark, sf_dir)
     assert pi.global_window_count(df) == 0
     assert pi.has_partial_aggregation(df)
+
+
+def test_q30_histogram_two_level_agg_no_cartesian(spark, sf_dir):
+    df = registry.QUERIES["q30_order_count_distribution"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(df)

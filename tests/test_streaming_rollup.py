@@ -129,3 +129,31 @@ def test_rollup_replay_after_swap_before_marker_is_noop(spark, tmp_path):
     R.merge_partials(table, R.minute_partials(events), batch_id=5)
     again = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
     assert again == once
+
+
+def test_gap_filled_read_densifies_and_carries_rate(spark, tmp_path):
+    """Serving view over the maintained base: missing minutes appear with
+    zero counts and the last observed error rate carried forward."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.streaming import rollup as RU
+
+    table = str(tmp_path / "rt")
+    batch = spark.createDataFrame(
+        [
+            ("2024-03-01 10:00:10", "error"),
+            ("2024-03-01 10:00:40", "click"),
+            # minute 10:01 and 10:02 silent
+            ("2024-03-01 10:03:05", "click"),
+        ],
+        "ts STRING, event_type STRING",
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type")
+    RU.merge_partials(table, RU.minute_partials(batch), batch_id=0)
+
+    rows = {str(r["bucket"]): r for r in RU.read_rollup_gap_filled(spark, table).collect()}
+    assert len(rows) == 4, "grid must densify to every covered minute"
+    assert rows["2024-03-01 10:01:00"]["is_gap"] is True
+    assert rows["2024-03-01 10:01:00"]["n_events"] == 0
+    # LOCF: the silent minutes carry 10:00's 1/2 error rate
+    assert rows["2024-03-01 10:02:00"]["filled_error_rate"] == 0.5
+    assert rows["2024-03-01 10:03:00"]["filled_error_rate"] == 0.0
