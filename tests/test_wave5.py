@@ -106,8 +106,17 @@ def test_driver_sample_prefix_is_stalest_first():
     names = list(entry.queries())
     prefix, rest = names[:50], names[50:]
     never = [q for q in names if latest.get(q, 0) == 0]
-    missing = [q for q in never if q not in prefix]
-    assert not missing, f"never-driver-green queries outside the 50-prefix: {missing}"
+    if len(never) <= 50:
+        missing = [q for q in never if q not in prefix]
+        assert not missing, (
+            f"never-driver-green queries outside the 50-prefix: {missing}"
+        )
+    else:
+        # more never-green queries than driver slots (a big build wave):
+        # every slot must go to one of them; the rest queue for next round
+        assert all(latest.get(q, 0) == 0 for q in prefix), (
+            "with >50 never-green queries the whole prefix must be never-green"
+        )
     if prefix and rest:
         max_in = max(latest.get(q, 0) for q in prefix)
         min_out = min(latest.get(q, 0) for q in rest)
