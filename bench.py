@@ -439,6 +439,8 @@ def main() -> None:
         "s18_threshold_sweep",
         "e18_mad_anomalies",
         "m13_image_contrast_stretch",
+        "q30_order_count_distribution",
+        "l24_dynamic_session_window",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

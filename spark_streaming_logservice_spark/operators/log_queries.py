@@ -936,3 +936,61 @@ def l23_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+# --- l24: dynamic-gap session windows ---------------------------------------
+# Spark 4's session_window accepts a PER-EVENT gap expression (a purchase
+# holds the session open for 60 min, anything else 30) — the
+# engagement-aware sessionization the fixed-gap l11 can't express. Native
+# semantics: each event contributes [ts, ts+gap); overlapping intervals
+# merge. The oracle states the same thing as interval merging: a session
+# breaks when ts exceeds the running max of previous interval ends (the
+# running max matters — with variable gaps an EARLIER event can hold the
+# session open longer than the latest one; lag(ts) alone is wrong).
+# Same 100 TB shape as l11: one user-keyed shuffle, state bounded per key.
+
+@query(
+    "l24_dynamic_session_window",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events WHERE user_id < 5
+    ), m AS (
+      SELECT user_id, ts,
+             max(ts + gap) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS max_prev_end
+      FROM ev
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN max_prev_end IS NULL OR ts > max_prev_end
+                  THEN 1 ELSE 0 END AS new_session
+      FROM m
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def l24_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native dynamic-gap session_window pinned against the SQL
+    interval-merge definition."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -545,3 +545,13 @@ def test_q30_histogram_two_level_agg_no_cartesian(spark, sf_dir):
     plan = pi.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert pi.has_partial_aggregation(df)
+
+
+def test_l24_dynamic_session_single_user_shuffle(spark, sf_dir):
+    """Dynamic-gap session_window must stay one user-keyed aggregation —
+    no join, no global window; the user filter reaches the scan."""
+    df = registry.QUERIES["l24_dynamic_session_window"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "Join" not in plan
+    assert pi.global_window_count(df) == 0
+    assert pi.has_pushed_filters(df)
