@@ -220,3 +220,20 @@ def read_rollup_gap_filled(spark: SparkSession, table_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def expire_rollup(table_dir: str, older_than, spark: SparkSession) -> int:
+    """Retention maintenance: drop base-table buckets older than the cut,
+    through the SAME two-phase swap as a merge (an interrupted expiry heals
+    identically). Returns the number of buckets dropped. At scale this is a
+    metadata-cheap rewrite of an O(minutes-of-history) table — never the
+    corpus."""
+    data, _ = _recover_swap(table_dir, None)
+    if not os.path.exists(data):
+        return 0
+    base = spark.read.schema(_SCHEMA).parquet(data)
+    kept = base.where(F.col("bucket") >= F.lit(older_than))
+    dropped = base.count() - kept.count()
+    if dropped:
+        _commit_swap(table_dir, kept, None)
+    return dropped
