@@ -441,6 +441,8 @@ def main() -> None:
         "m13_image_contrast_stretch",
         "q30_order_count_distribution",
         "l24_dynamic_session_window",
+        "s19_lsh_recall_at_k",
+        "e19_interevent_gaps",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

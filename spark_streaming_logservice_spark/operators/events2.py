@@ -1080,3 +1080,62 @@ def e18_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- e19: inter-event time distribution -------------------------------------
+# Arrival-process profiling: per event type, the distribution of per-user
+# gaps between consecutive events on a log10 scale (arrivals are
+# heavy-tailed; linear bins waste resolution) plus the exact median gap.
+# One user-keyed window for the lag (bounded per task), then a
+# (type, decade)-keyed wordcount agg and a type-partitioned exact median —
+# nothing global, nothing corpus-windowed.
+
+@query(
+    "e19_interevent_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ), ok AS (
+      SELECT event_type, gap_us,
+             CAST(floor(log10(gap_us / 1000000.0)) AS INTEGER) AS decade
+      FROM gaps WHERE gap_us > 0
+    )
+    SELECT event_type, decade,
+           count(*) AS n_gaps,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)
+                 / 1000000.0, 4) AS median_gap_s
+    FROM ok
+    GROUP BY event_type, decade
+    ORDER BY event_type, decade
+    """,
+)
+def e19_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us") > 0)
+    ok = gaps.select(
+        "event_type",
+        "gap_us",
+        F.floor(F.log10(F.col("gap_us") / 1000000.0)).cast("int").alias(
+            "decade"
+        ),
+    )
+    return (
+        ok.groupBy("event_type", "decade")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.expr("percentile(gap_us, 0.5)") / 1000000.0, 4
+            ).alias("median_gap_s"),
+        )
+        .orderBy("event_type", "decade")
+    )

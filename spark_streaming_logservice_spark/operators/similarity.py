@@ -858,3 +858,116 @@ def s18_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sim_lo")
     )
+
+
+# --- s19: LSH recall@k against exact top-k ----------------------------------
+# The quality metric for s02's single-table LSH: how much of the TRUE top-k
+# does the bucketed search return? Unlike s06's structural invariant
+# (IVF neighbors ⊆ true top-10), both sides here are SQL-expressible, so
+# the oracle replays the exact ranks, the bucketed ranks AND the
+# intersection — recall itself is hash-checked. Per query: cell occupancy
+# (candidate count), hits, recall@k. One brute pass over the broadcast
+# query set + the same cell-keyed candidate join s02 runs.
+
+@query(
+    "s19_lsh_recall_at_k",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), {_DUCK_PARAMS}, cells AS (
+      SELECT vec_id, emb, {_DUCK_CELL} AS cell FROM e, params
+    ), exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6)
+                          DESC, b.vec_id
+               ) AS rk
+        FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id
+      ) WHERE rk <= {TOP_K}
+    ), cand AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS score
+      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERY}
+    ), ann AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, n_id) AS rk
+        FROM cand
+      ) WHERE rk <= {TOP_K}
+    ), occ AS (
+      SELECT q_id, count(*) AS n_candidates FROM cand GROUP BY q_id
+    ), hits AS (
+      SELECT a.q_id, count(*) AS n_hits
+      FROM ann a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id
+      GROUP BY a.q_id
+    )
+    SELECT q.vec_id AS q_id,
+           coalesce(o.n_candidates, 0) AS n_candidates,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE), 4)
+             AS recall_at_k
+    FROM (SELECT vec_id FROM e WHERE vec_id < {N_QUERY}) q
+    LEFT JOIN occ o ON o.q_id = q.vec_id
+    LEFT JOIN hits h ON h.q_id = q.vec_id
+    ORDER BY q_id
+    """,
+)
+def s19_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.where(F.col("vec_id") < N_QUERY)
+    exact = cosine_topk(
+        e.select("vec_id", F.col("emb").alias("embedding")),
+        q.select("vec_id", F.col("emb").alias("embedding")),
+        k=TOP_K,
+    ).select("q_id", "n_id")
+    planes, _ = _corpus_stats(e, cache_key=sf_dir)
+    cells = e.withColumn("cell", _cell_expr(planes)).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    a = cells.where(F.col("vec_id") < N_QUERY).alias("a")
+    b = cells.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("b.vec_id").alias("n_id"),
+        F.round(
+            _dot(F.col("a.emb"), F.col("b.emb"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    ann = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+    occ = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        ann.join(exact, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("q_id"))
+        .join(occ, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / float(TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )

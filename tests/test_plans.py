@@ -555,3 +555,18 @@ def test_l24_dynamic_session_single_user_shuffle(spark, sf_dir):
     assert "Join" not in plan
     assert pi.global_window_count(df) == 0
     assert pi.has_pushed_filters(df)
+
+
+def test_s19_recall_no_all_pairs_on_ann_side(spark, sf_dir):
+    """The ANN side must stay cell-keyed; the only corpus-wide pairing is
+    the broadcast-queries brute side (N_QUERY rows, not all-pairs)."""
+    df = registry.QUERIES["s19_lsh_recall_at_k"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(df)
+
+
+def test_e19_gaps_user_partitioned_lag(spark, sf_dir):
+    df = registry.QUERIES["e19_interevent_gaps"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    assert pi.has_partial_aggregation(df)
