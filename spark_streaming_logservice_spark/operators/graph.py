@@ -426,9 +426,13 @@ def khop_frontiers(
     distance h. ``edges_undirected``: (node, nbr) with both directions
     present; ``seeds``: (node)."""
     ed = edges_undirected.persist()
-    visited = seeds.select("node").distinct().localCheckpoint(eager=True)
-    frontier = visited
-    counts = [(0, visited.count())]
+    seeds_ck = seeds.select("node").distinct().localCheckpoint(eager=True)
+    frontier = seeds_ck
+    counts = [(0, seeds_ck.count())]
+    # visited = union of checkpointed frontiers: every leaf is already a
+    # pinned RDD, so the union needs no checkpoint of its own — lineage
+    # stays O(hops) scans and each hop saves one blocking materialization
+    visited = seeds_ck
     for h in range(1, hops + 1):
         frontier = (
             ed.join(frontier, "node")
@@ -438,7 +442,7 @@ def khop_frontiers(
             .localCheckpoint(eager=True)
         )
         counts.append((h, frontier.count()))
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        visited = visited.unionAll(frontier)
     ed.unpersist()
     spark = edges_undirected.sparkSession
     return spark.createDataFrame(counts, "hop INT, n_nodes BIGINT")
