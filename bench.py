@@ -443,6 +443,7 @@ def main() -> None:
         "l24_dynamic_session_window",
         "s19_lsh_recall_at_k",
         "e19_interevent_gaps",
+        "e20_slo_burn_rate",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

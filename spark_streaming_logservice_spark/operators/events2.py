@@ -1139,3 +1139,78 @@ def e19_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decade")
     )
+
+
+# --- e20: multi-window SLO burn rate ----------------------------------------
+# The SRE alerting classic (Google SRE workbook ch.5): page when the error
+# budget burns fast on BOTH a long and a short window — the long window
+# filters blips, the short one guarantees the page clears quickly once the
+# incident ends. Budget here: 2% errors; burn = window error rate / budget.
+# Shape: ONE corpus rollup to 5-minute grain, hour and peak-5m both derive
+# from it (the e07 hierarchy discipline); everything after is O(hours).
+
+SLO_BUDGET = 0.02
+BURN_THRESHOLD = 3.0
+
+
+@query(
+    "e20_slo_burn_rate",
+    oracle=f"""
+    WITH m5 AS (
+      SELECT date_trunc('hour', ts)
+               + INTERVAL 5 MINUTE * CAST(floor(minute(ts) / 5) AS INTEGER)
+               AS bucket,
+             count(*) AS n,
+             count(*) FILTER (WHERE event_type = 'error') AS n_err
+      FROM events GROUP BY 1
+    ), hourly AS (
+      SELECT date_trunc('hour', bucket) AS hour,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(n_err) AS BIGINT) AS n_err,
+             max(CASE WHEN n > 0 THEN CAST(n_err AS DOUBLE) / n END)
+               AS peak_5m_rate
+      FROM m5 GROUP BY 1
+    )
+    SELECT hour,
+           round(CAST(n_err AS DOUBLE) / n / {SLO_BUDGET}, 4) AS burn_1h,
+           round(peak_5m_rate / {SLO_BUDGET}, 4) AS peak_burn_5m,
+           (CAST(n_err AS DOUBLE) / n / {SLO_BUDGET} > {BURN_THRESHOLD}
+            AND peak_5m_rate / {SLO_BUDGET} > {BURN_THRESHOLD}) AS page
+    FROM hourly
+    ORDER BY hour
+    """,
+)
+def e20_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m5 = e.groupBy(
+        F.expr(
+            "date_trunc('hour', ts) + make_interval(0,0,0,0,0,"
+            "5 * cast(floor(minute(ts) / 5) as int), 0)"
+        )
+        .cast("timestamp_ntz")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    hourly = m5.groupBy(
+        F.date_trunc("hour", "bucket").cast("timestamp_ntz").alias("hour")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_err").alias("n_err"),
+        F.max(
+            F.when(
+                F.col("n") > 0, F.col("n_err").cast("double") / F.col("n")
+            )
+        ).alias("peak_5m_rate"),
+    )
+    burn_1h = F.col("n_err").cast("double") / F.col("n") / SLO_BUDGET
+    peak_5m = F.col("peak_5m_rate") / SLO_BUDGET
+    return hourly.select(
+        "hour",
+        F.round(burn_1h, 4).alias("burn_1h"),
+        F.round(peak_5m, 4).alias("peak_burn_5m"),
+        ((burn_1h > BURN_THRESHOLD) & (peak_5m > BURN_THRESHOLD)).alias(
+            "page"
+        ),
+    ).orderBy("hour")

@@ -570,3 +570,11 @@ def test_e19_gaps_user_partitioned_lag(spark, sf_dir):
     df = registry.QUERIES["e19_interevent_gaps"](spark, sf_dir)
     assert pi.global_window_count(df) == 0
     assert pi.has_partial_aggregation(df)
+
+
+def test_e20_burn_hierarchy_single_corpus_rollup(spark, sf_dir):
+    """Hour and peak-5m both derive from the 5-minute base — one corpus
+    aggregation, then O(hours) work; no global window."""
+    df = registry.QUERIES["e20_slo_burn_rate"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    assert pi.has_partial_aggregation(df)
