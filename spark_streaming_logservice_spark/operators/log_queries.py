@@ -876,13 +876,25 @@ def l22_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of corpus row count, so at 100 TB the fill stage costs the same as at
 # sf0.01. The LOCF window partitions by event_type (bounded rows per task;
 # never the v04-class partition-less WindowExec).
+#
+# The carried value goes through EXACT integer arithmetic end-to-end:
+# per-row micro-units floor(value·10⁶ + ½), a BIGINT sum (associative —
+# double sums depend on partition merge order, and at sf0.1 three hourly
+# means landed on round(4) boundaries where the last ulp flipped the
+# digit), and the 4-dp rounding itself as an integer division
+# (m + 50n) // (100n): engines also disagree on rounding EXACT .5 doubles
+# (Spark rounds the decimal string, DuckDB the binary value), so the round
+# must never see one.
 
 @query(
     "l23_hourly_gap_fill",
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
-             count(*) AS n_events, avg(value) AS avg_value
+             count(*) AS n_events,
+             CAST((sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   + 50 * count(*)) // (100 * count(*)) AS DOUBLE)
+               / 10000.0 AS avg_value
       FROM events GROUP BY 1, 2
     ), span AS (
       SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
@@ -893,9 +905,9 @@ def l22_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.event_type, g.h,
            coalesce(hr.n_events, 0) AS n_events,
            (hr.n_events IS NULL) AS is_gap,
-           round(last_value(hr.avg_value IGNORE NULLS) OVER (
+           last_value(hr.avg_value IGNORE NULLS) OVER (
              PARTITION BY g.event_type ORDER BY g.h
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS filled_value
     FROM grid g LEFT JOIN hourly hr
       ON hr.event_type = g.event_type AND hr.h = g.h
@@ -904,12 +916,20 @@ def l22_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l23_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
+    n = F.count(F.lit(1))
     hourly = e.groupBy(
         "event_type",
         F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"),
     ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.avg("value").alias("avg_value"),
+        n.alias("n_events"),
+        (
+            F.expr(
+                "(sum(cast(floor(value * 1000000 + 0.5) as bigint))"
+                " + 50 * count(1)) div (100 * count(1))"
+            ).cast("double")
+            / 10000.0
+        ).alias("avg_value"),
     )
     span = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
@@ -930,9 +950,9 @@ def l23_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h",
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
             F.col("n_events").isNull().alias("is_gap"),
-            F.round(
-                F.last("avg_value", ignorenulls=True).over(w), 4
-            ).alias("filled_value"),
+            F.last("avg_value", ignorenulls=True)
+            .over(w)
+            .alias("filled_value"),
         )
         .orderBy("event_type", "h")
     )
