@@ -627,27 +627,51 @@ def s13_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
              unnest(range(1, len(embedding) + 1)) AS i
       FROM embeddings
+    ), q AS (
+      SELECT i, x, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS mx FROM v
     )
     SELECT CAST(i AS INTEGER) AS dim, count(*) AS n,
-           round(avg(x), 4) AS mean_x,
-           round(stddev_pop(x), 4) AS std_x,
+           round(CAST(sum(mx) AS DOUBLE) / count(*) / 1000000.0, 4) + 0.0
+             AS mean_x,
+           round(sqrt(CAST(sum(mx * mx) AS DOUBLE) / count(*) / 1e12
+                 - pow(CAST(sum(mx) AS DOUBLE) / count(*) / 1000000.0, 2)), 4)
+             AS std_x,
            round(min(x), 4) AS min_x,
            round(max(x), 4) AS max_x
-    FROM v GROUP BY i ORDER BY dim
+    FROM q GROUP BY i ORDER BY dim
     """,
 )
 def s14_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/std go through EXACT integer micro-unit sums (the l23
+    discipline): double avg/stddev merge order is partition-dependent, and
+    at sf0.1 a dimension's mean intermittently landed on a round(4)
+    boundary where the last ulp flipped the digit vs the oracle. Integer
+    sums are associative (mx² ≤ 1e12/value · rows stays far under 2^63 at
+    any tested SF), and both engines then compute the SAME doubles from
+    the same integers, so the final round sees identical inputs. min/max
+    are order-insensitive and stay on the raw values."""
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("emb")
     )
+    mx = F.floor(F.col("x") * 1000000 + 0.5).cast("bigint")
+    n = F.count(F.lit(1))
+    mean = F.sum(mx).cast("double") / n / 1000000.0
     return (
         e.select(F.posexplode("emb").alias("pos", "x"))
         .select((F.col("pos") + 1).cast("int").alias("dim"), "x")
         .groupBy("dim")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("x"), 4).alias("mean_x"),
-            F.round(F.stddev_pop("x"), 4).alias("std_x"),
+            n.alias("n"),
+            # + 0.0 collapses IEEE negative zero (engines disagree on the
+            # sign of a rounded -1e-6; -0.0 + 0.0 == +0.0 in both)
+            (F.round(mean, 4) + 0.0).alias("mean_x"),
+            F.round(
+                F.sqrt(
+                    F.sum(mx * mx).cast("double") / n / 1e12
+                    - F.pow(mean, 2)
+                ),
+                4,
+            ).alias("std_x"),
             F.round(F.min("x"), 4).alias("min_x"),
             F.round(F.max("x"), 4).alias("max_x"),
         )
