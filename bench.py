@@ -444,6 +444,8 @@ def main() -> None:
         "s19_lsh_recall_at_k",
         "e19_interevent_gaps",
         "e20_slo_burn_rate",
+        "q31_revenue_concentration",
+        "p18_dataset_card",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

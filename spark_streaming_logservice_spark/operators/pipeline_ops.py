@@ -1423,3 +1423,113 @@ def _register_p17() -> None:
 
 
 _register_p17()
+
+
+# --- p18: dataset card (per-source release report) ---------------------------
+# The summary block a dataset release ships: volume, token mass, language
+# mix, duplication, and quality-gate pass rate per source — every number a
+# consumer checks before mixing the source into a run. One tokenizing scan
+# feeds the token/quality columns; duplication joins the corpus-wide digest
+# counts (d01's relation) back doc-keyed; everything aggregated is a count
+# or an integer sum, so the card is bit-deterministic at any partitioning.
+
+CARD_MIN_TOKENS = 5
+CARD_MAX_TOKENS = 5000
+
+
+@query(
+    "p18_dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS n_tokens,
+             md5(text) AS digest
+      FROM documents
+    ), dupes AS (
+      SELECT digest, count(*) AS dn FROM base GROUP BY digest
+    ), langs AS (
+      SELECT source, lang, count(*) AS ln,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS lrk
+      FROM base GROUP BY source, lang
+    )
+    SELECT b.source,
+           count(*) AS n_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT b.lang) AS n_langs,
+           any_value((SELECT lang FROM langs l
+                      WHERE l.source = b.source AND l.lrk = 1))
+             AS majority_lang,
+           count(*) FILTER (WHERE d.dn > 1) AS n_duplicated,
+           round(count(*) FILTER (WHERE d.dn > 1)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_rate,
+           count(*) FILTER (WHERE b.n_tokens BETWEEN {CARD_MIN_TOKENS}
+                            AND {CARD_MAX_TOKENS}) AS n_quality_pass,
+           round(count(*) FILTER (WHERE b.n_tokens BETWEEN {CARD_MIN_TOKENS}
+                 AND {CARD_MAX_TOKENS}) / CAST(count(*) AS DOUBLE), 4)
+             AS quality_pass_rate
+    FROM base b JOIN dupes d ON d.digest = b.digest
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def p18_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    dupes = base.groupBy("digest").agg(F.count(F.lit(1)).alias("dn"))
+    lw = Window.partitionBy("source").orderBy(F.desc("ln"), F.asc("lang"))
+    majority = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("ln"))
+        .withColumn("lrk", F.row_number().over(lw))
+        .where(F.col("lrk") == 1)
+        .select("source", F.col("lang").alias("majority_lang"))
+    )
+    quality = F.col("n_tokens").between(CARD_MIN_TOKENS, CARD_MAX_TOKENS)
+    return (
+        base.join(dupes, "digest")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.when(F.col("dn") > 1, 1)).alias("n_duplicated"),
+            F.round(
+                F.count(F.when(F.col("dn") > 1, 1))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_rate"),
+            F.count(F.when(quality, 1)).alias("n_quality_pass"),
+            F.round(
+                F.count(F.when(quality, 1))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("quality_pass_rate"),
+        )
+        .join(F.broadcast(majority), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            "majority_lang",
+            "n_duplicated",
+            "dup_rate",
+            "n_quality_pass",
+            "quality_pass_rate",
+        )
+        .orderBy("source")
+    )

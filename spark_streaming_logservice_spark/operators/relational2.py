@@ -854,3 +854,81 @@ def q30_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy(F.desc("n_customers"), F.desc("c_orders"))
     )
+
+
+# --- q31: revenue concentration (Pareto share + Gini) ------------------------
+# "How concentrated is revenue across customers?" — top-decile share and
+# the Gini coefficient, the two standard concentration statistics. The
+# global rank over customers uses the two-pass range-partitioned
+# `distributed_row_number` (never a partition-less window), and EVERY sum
+# runs in exact integer cents (l_extendedprice carries 2 decimals): the
+# Gini numerator Σ rank·xᵢ reaches ~1e16 where double merge-order noise
+# exceeds the round(4) resolution — integers are associative, so the
+# statistic is bit-stable under any execution order.
+#
+# Gini = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over x sorted ascending, i = 1..n.
+
+@query(
+    "q31_revenue_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM cust
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(CAST(sum(CASE WHEN i > n - n // 10 THEN cents ELSE 0 END)
+                      AS DOUBLE) / any_value(total), 4) AS top_decile_share,
+           round(2.0 * CAST(sum(i * cents) AS DOUBLE)
+                 / (CAST(any_value(n) AS DOUBLE) * any_value(total))
+                 - (any_value(n) + 1.0) / any_value(n), 4) AS gini
+    FROM ranked
+    """,
+)
+def q31_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_logservice_spark.operators.pipeline_ops import (
+        distributed_row_number,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cents_row = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    cust = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(cents_row).alias("cents"))
+    )
+    ranked = distributed_row_number(
+        cust, sort_cols=[F.col("cents"), F.col("o_custkey")], out="i"
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    joined = ranked.join(F.broadcast(totals))
+    top_cut = F.col("n") - F.expr("n div 10")
+    return joined.agg(
+        F.any_value("n").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("i") > top_cut, F.col("cents")).otherwise(0))
+            .cast("double")
+            / F.any_value("total"),
+            4,
+        ).alias("top_decile_share"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("cents")).cast("double")
+            / (F.any_value("n").cast("double") * F.any_value("total"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            4,
+        ).alias("gini"),
+    )

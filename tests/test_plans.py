@@ -578,3 +578,25 @@ def test_e20_burn_hierarchy_single_corpus_rollup(spark, sf_dir):
     df = registry.QUERIES["e20_slo_burn_rate"](spark, sf_dir)
     assert pi.global_window_count(df) == 0
     assert pi.has_partial_aggregation(df)
+
+
+def test_q31_concentration_two_pass_rank_no_global_sort(spark, sf_dir):
+    """The Gini rank must come from the range-partitioned two-pass path
+    (pinned-RDD node present), not a partition-less window; dims broadcast
+    in the customer rollup."""
+    import re
+
+    df = registry.QUERIES["q31_revenue_concentration"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert pi.global_window_count(df) == 0
+    assert "Scan ExistingRDD" in plan
+    assert pi.has_partial_aggregation(df)
+
+
+def test_p18_card_single_corpus_tokenization(spark, sf_dir):
+    """One tokenizing scan feeds tokens/quality/digest; the majority-lang
+    relation is O(sources×langs) and broadcasts."""
+    df = registry.QUERIES["p18_dataset_card"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(df)
