@@ -446,6 +446,7 @@ def main() -> None:
         "e20_slo_burn_rate",
         "q31_revenue_concentration",
         "p18_dataset_card",
+        "e21_cohort_ltv",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -1214,3 +1214,88 @@ def e20_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "page"
         ),
     ).orderBy("hour")
+
+
+# --- e21: cohort LTV curve ---------------------------------------------------
+# The revenue companion to e05's retention counts: for each signup-week
+# cohort, cumulative purchase value per week-of-life — the curve a
+# growth team reads payback periods from. Revenue runs in EXACT integer
+# cents (the q31 discipline: purchase values quantized row-locally,
+# BIGINT sums are associative, so the curve is bit-stable at any
+# partitioning). Shapes: one user-keyed min-agg (cohort key), one
+# (cohort, age)-keyed rollup, then the running sum is a cohort-partitioned
+# window over O(weeks) rows per cohort.
+
+@query(
+    "e21_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), purchases AS (
+      SELECT e.user_id,
+             f.cohort,
+             CAST(date_diff('day', f.cohort,
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS INTEGER) AS week_age,
+             CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ), weekly AS (
+      SELECT cohort, week_age,
+             count(*) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM purchases GROUP BY cohort, week_age
+    )
+    SELECT cohort, week_age, n_purchases,
+           round(cents / 100.0, 2) AS week_value,
+           round(CAST(sum(cents) OVER (
+             PARTITION BY cohort ORDER BY week_age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0, 2) AS cum_value
+    FROM weekly
+    ORDER BY cohort, week_age
+    """,
+)
+def e21_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_age"),
+            cents.alias("cents"),
+        )
+    )
+    weekly = purchases.groupBy("cohort", "week_age").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort",
+        "week_age",
+        "n_purchases",
+        F.round(F.col("cents") / 100.0, 2).alias("week_value"),
+        F.round(F.sum("cents").over(w).cast("double") / 100.0, 2).alias(
+            "cum_value"
+        ),
+    ).orderBy("cohort", "week_age")

@@ -600,3 +600,9 @@ def test_p18_card_single_corpus_tokenization(spark, sf_dir):
     plan = pi.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert pi.has_partial_aggregation(df)
+
+
+def test_e21_ltv_cohort_partitioned_running_sum(spark, sf_dir):
+    df = registry.QUERIES["e21_cohort_ltv"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    assert pi.has_partial_aggregation(df)
