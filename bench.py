@@ -447,6 +447,8 @@ def main() -> None:
         "q31_revenue_concentration",
         "p18_dataset_card",
         "e21_cohort_ltv",
+        "q32_ship_latency_percentiles",
+        "m14_video_keyframes",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -871,3 +871,63 @@ def m13_image_contrast_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "m14_video_keyframes",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 24 + 1 AS n_frames
+      FROM documents ORDER BY doc_id LIMIT 40
+    ), kf AS (
+      SELECT doc_id, n_frames,
+             unnest(range(0, (n_frames + 4) // 5)) * 5 AS kf_idx
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(kf_idx AS INTEGER) AS kf_idx,
+           CAST((doc_id * 17 + 60 * (kf_idx // 5)) % 251 AS DOUBLE) AS kf_luma
+    FROM kf
+    ORDER BY doc_id, kf_idx
+    """,
+)
+def m14_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction: the first frame of every detected scene (frame 0
+    plus each |Δ mean luma| >= 30 cut) with its decoded luma — the frames a
+    vision pipeline actually embeds, chosen by CONTENT, not a fixed stride
+    (m04's every-Nth sampling). Runs the same real frame walker as m08;
+    per-frame features cross the shuffle, pixels never leave the decode
+    stage. The oracle regenerates keyframe positions AND their luma in
+    closed form — an off-by-one in the cut lag or a wrong plane read shifts
+    either and fails the hash."""
+    from pyspark.sql.window import Window as W
+
+    from spark_streaming_logservice_spark.functions import media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    blobs = d.mapInPandas(encode_y4m_scene_batches, schema=ENCODE_Y4M_SCHEMA)
+    frames = media.sample_frame_features(blobs, every_n=1)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.select(
+        "doc_id",
+        "frame_idx",
+        "y_mean",
+        (
+            F.lag("y_mean").over(w).isNull()
+            | (F.abs(F.col("y_mean") - F.lag("y_mean").over(w)) >= 30)
+        ).alias("is_keyframe"),
+    )
+    return (
+        flagged.where(F.col("is_keyframe"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("kf_idx"),
+            F.col("y_mean").cast("double").alias("kf_luma"),
+        )
+        .orderBy("doc_id", "kf_idx")
+    )

@@ -932,3 +932,55 @@ def q31_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+# --- q32: order→ship latency percentiles by priority ------------------------
+# The fulfillment-SLA question: how long after an order is placed does each
+# line ship, by order priority? Latency lands in whole days (both engines
+# compute identical integers), and the exact interpolated percentiles run
+# per priority group — a partitioned aggregate over integer inputs, so the
+# result is deterministic at any partitioning (no float-sum merge order
+# anywhere). One fact shuffle on the join key, one on the priority group.
+
+@query(
+    "q32_ship_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS days
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY days), 4) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY days), 4) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY days), 4) AS p99,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q32_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(days, 0.99)"), 4).alias("p99"),
+            F.max("days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -606,3 +606,15 @@ def test_e21_ltv_cohort_partitioned_running_sum(spark, sf_dir):
     df = registry.QUERIES["e21_cohort_ltv"](spark, sf_dir)
     assert pi.global_window_count(df) == 0
     assert pi.has_partial_aggregation(df)
+
+
+def test_q32_latency_percentiles_partitioned(spark, sf_dir):
+    df = registry.QUERIES["q32_ship_latency_percentiles"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_m14_keyframes_doc_partitioned_lag(spark, sf_dir):
+    df = registry.QUERIES["m14_video_keyframes"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0
