@@ -449,6 +449,7 @@ def main() -> None:
         "e21_cohort_ltv",
         "q32_ship_latency_percentiles",
         "m14_video_keyframes",
+        "d18_cluster_size_histogram",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

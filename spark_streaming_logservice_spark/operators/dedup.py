@@ -1108,3 +1108,57 @@ def d17_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist"))
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "d18_cluster_size_histogram",
+    oracle=_duckdb_cluster_sql(
+        """
+    , csizes AS (
+      SELECT cluster_id, count(*) AS sz FROM assign GROUP BY cluster_id
+    ), corpus AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), clustered AS (
+      SELECT count(*) AS n_clustered FROM assign
+    )
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs_in
+    FROM csizes GROUP BY sz
+    UNION ALL
+    SELECT 1, c.n_docs - cl.n_clustered, c.n_docs - cl.n_clustered
+    FROM corpus c, clustered cl
+    ORDER BY cluster_size, n_clusters
+    """
+    ),
+)
+def d18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-structure report: how big are the near-dup clusters?
+    (Many size-2 clusters = boilerplate pairs; a giant cluster = template
+    spam — the histogram is what a curation run inspects before choosing
+    collapse policy.) Singletons (docs in no cluster) appear as the size-1
+    row computed by the two-scalar identity corpus − clustered, not by
+    materializing singleton rows. Reuses the pinned d08 chain; everything
+    after is O(clusters)."""
+    d = load_table(spark, sf_dir, "documents")
+    assign = neardup_clusters(d).localCheckpoint(eager=True)
+    sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+    hist = hist.select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs_in"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_clustered = assign.agg(F.count(F.lit(1)).alias("n_clustered"))
+    singles = (
+        n_docs.join(F.broadcast(n_clustered))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_docs") - F.col("n_clustered")).alias("n_clusters"),
+            (F.col("n_docs") - F.col("n_clustered"))
+            .cast("bigint")
+            .alias("n_docs_in"),
+        )
+    )
+    return hist.unionByName(singles).orderBy("cluster_size", "n_clusters")

@@ -618,3 +618,13 @@ def test_q32_latency_percentiles_partitioned(spark, sf_dir):
 def test_m14_keyframes_doc_partitioned_lag(spark, sf_dir):
     df = registry.QUERIES["m14_video_keyframes"](spark, sf_dir)
     assert pi.global_window_count(df) == 0
+
+
+def test_d18_histogram_reuses_pinned_chain(spark, sf_dir):
+    import re
+
+    df = registry.QUERIES["d18_cluster_size_histogram"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "Scan ExistingRDD" in plan, "cluster chain must be pinned"
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) <= 1, "corpus scanned at most once after the pin"
