@@ -640,10 +640,14 @@ def e11_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Classic customer segmentation: per-user Recency (days since last
 # purchase), Frequency (purchase count), Monetary (purchase value), each
 # quartiled, then segment counts. Shape: ONE user-keyed aggregate over the
-# corpus; the ntile windows run over the O(users) relation (the e06
-# tiny-window pattern — a corpus-sized global window would be the
-# v04-class scale bug, this is not that). Quartile ties: ntile needs a
-# total order, so every ORDER BY carries user_id.
+# corpus, then THREE range-partitioned global ranks (distributed_row_number
+# — two-pass: range shuffle + broadcast prefix offsets) over the O(users)
+# relation. A partition-less ntile(4) window would squeeze hundreds of
+# millions of users through one task at 100× scale — the v04-class bug —
+# so each quartile is computed as the exact ntile bucket of the global
+# rank: with n rows, the first n%4 buckets hold n//4+1 rows, the rest
+# n//4. Quartile ties: the rank needs a total order, so every sort carries
+# user_id (unique), which keeps the bucketing deterministic.
 
 @query(
     "e12_rfm_segments",
@@ -674,7 +678,9 @@ def e11_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e12_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from spark_streaming_logservice_spark.operators.pipeline_ops import (
+        distributed_row_number,
+    )
 
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
@@ -697,11 +703,36 @@ def e12_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = per_user.select(
+    ranked = distributed_row_number(
+        per_user, [F.asc("recency_days"), F.asc("user_id")], out="ri"
+    )
+    ranked = distributed_row_number(
+        ranked, [F.desc("frequency"), F.asc("user_id")], out="fi"
+    )
+    ranked = distributed_row_number(
+        ranked, [F.desc("monetary"), F.asc("user_id")], out="mi"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("nn"))
+
+    def ntile4(i):
+        # exact ntile(4) bucket of 1-based rank i over nn rows: the first
+        # nn%4 buckets hold nn//4+1 rows each, the remaining ones nn//4.
+        n, base, rem = F.col("nn"), F.floor(F.col("nn") / 4), F.col("nn") % 4
+        head = rem * (base + 1)
+        return (
+            F.when(F.col(i) <= head, F.ceil(F.col(i) / (base + 1)))
+            .otherwise(
+                rem
+                + F.ceil((F.col(i) - head) / F.greatest(base, F.lit(1)))
+            )
+            .cast("int")
+        )
+
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
         "user_id",
-        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m"),
+        ntile4("ri").alias("r"),
+        ntile4("fi").alias("f"),
+        ntile4("mi").alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")

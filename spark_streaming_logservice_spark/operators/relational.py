@@ -11,8 +11,11 @@ Here the same surface is expressed Spark-first over the star schema, each with
 a DuckDB oracle.
 
 Scale notes: every query is declarative DataFrame code — Catalyst handles
-pushdown/pruning; dimension joins broadcast (64 MiB threshold covers
-region/nation/customer/supplier/part far beyond sf0.1); fact-side aggregates
+pushdown/pruning. Broadcast hints are written ONLY on relations whose size is
+independent of SF (nation/region, 1-row scalar aggregates); customer /
+supplier / part grow linearly with SF, so their join strategy is left to the
+64 MiB autoBroadcastJoinThreshold + AQE — broadcast at test scale, shuffle at
+100 TB, never a forced OOM. Fact-side aggregates
 are partial (map-side combine) before the shuffle. Sums of 2-decimal doubles
 are rounded back to cents so partial-aggregation order never shows up in the
 value hash.
@@ -130,7 +133,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            # customer is O(SF) — no forced broadcast; AQE + the 64 MiB
+            # threshold pick broadcast at small SF and shuffle at 100 TB.
+            c.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -179,9 +184,11 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # customer/supplier scale with SF — only fixed-size nation/region are
+        # hinted; AQE decides for the SF-scaling sides.
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -234,7 +241,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))  # O(SF): AQE's call
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -336,7 +343,7 @@ def q13_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))  # O(SF): AQE's call
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select(

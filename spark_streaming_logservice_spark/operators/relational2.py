@@ -2,8 +2,10 @@
 disjunctive predicates, set operations, analytic windows, pivot — rounding
 out the §2.4 surface with the TPC-H-shaped patterns the star schema supports.
 
-Same scale discipline as relational.py: broadcast dims, partial aggregation,
-filters expressed declaratively so they reach the scans.
+Same scale discipline as relational.py: broadcast hints only on fixed-size
+relations (nation/region, 1-row scalars) — SF-scaling customer/supplier/part
+joins are AQE's call — partial aggregation, filters expressed declaratively so
+they reach the scans.
 """
 
 from __future__ import annotations
@@ -90,9 +92,11 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier/customer are O(SF) — no forced broadcast (AQE's call);
+        # only the 25-row nation roles are hinted.
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
@@ -136,7 +140,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))  # O(SF): AQE's call
         .agg(
             F.round(
                 100.0
@@ -177,7 +181,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))  # O(SF): AQE's call
         .select(
             "c_custkey",
             "c_name",
@@ -206,7 +210,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = l.join(p, F.col("p_partkey") == F.col("l_partkey"))  # O(SF): AQE's call
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 15))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 25))
@@ -308,7 +312,9 @@ def q21_customer_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        # c is filtered to <20 keys (bounded at any SF) but carries no hint —
+        # a 20-row side is a trivially automatic broadcast for AQE anyway.
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -392,8 +398,10 @@ def q23_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3's share of ASIA's ECONOMY-part revenue per
-    year. One fact-fact shuffle (lineitem⋈orders); every dimension —
-    customer, both nation roles, region, supplier, part — broadcasts."""
+    year. One fact-fact shuffle (lineitem⋈orders); fixed-size dims (both
+    nation roles, region) carry broadcast hints, while the SF-scaling dims
+    (customer, supplier, part) are left to AQE — broadcast at test scale,
+    shuffle at 100 TB."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -411,13 +419,15 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     df = (
+        # customer/supplier/part scale with SF — hints only on the fixed-size
+        # nation roles + region; AQE broadcasts the rest at test scale.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             vol.alias("volume"),
@@ -478,8 +488,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("l_quantity") * F.col("p_retailprice") * 0.8
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)  # part/supplier O(SF): AQE's call
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -516,7 +526,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)  # O(SF): AQE's call
         .join(avg_q, F.col("l_partkey") == F.col("ap_key"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -574,10 +584,11 @@ def q24_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFram
     )
     w = Window.partitionBy("partkey").orderBy(F.asc("unit_price"), F.asc("suppkey"))
     return (
-        offers.join(F.broadcast(euro), F.col("suppkey") == F.col("s_suppkey"))
+        # euro (≈supplier/5) and part are O(SF) — no forced broadcast.
+        offers.join(euro, F.col("suppkey") == F.col("s_suppkey"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(p, F.col("partkey") == p.p_partkey)
         .select("partkey", "suppkey", "unit_price")
         .orderBy(F.desc("unit_price"), F.asc("partkey"))
         .limit(40)
@@ -628,7 +639,7 @@ def q26_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_revenue").alias("m"))
     return (
-        rev.join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        rev.join(s, F.col("s_suppkey") == F.col("supplier_no"))  # O(SF): AQE
         .crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("m"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -752,7 +763,7 @@ def q28_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # O(SF): AQE
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -813,7 +824,7 @@ def q29_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        dom.join(F.broadcast(s), dom["l_suppkey"] == s["s_suppkey"])
+        dom.join(s, dom["l_suppkey"] == s["s_suppkey"])  # O(SF): AQE's call
         .select("s_name", "n_dominated", "max_share")
         .orderBy(F.desc("n_dominated"), F.asc("s_name"))
         .limit(25)

@@ -39,6 +39,48 @@ def test_q05_broadcasts_all_dims(spark, sf_dir):
     assert pi.uses_broadcast_join(df)
 
 
+# Broadcast-hint budget for the relational battery: a forced F.broadcast()
+# overrides both the 64 MiB threshold and AQE, so it is only legal on
+# relations whose size does NOT grow with SF — nation (25 rows), region
+# (5 rows), and 1-row scalar aggregates. customer/supplier/part scale
+# linearly with SF (~3.5 GB customer at sf100, far worse at 100 TB) and must
+# never be hint-forced; at test scale the threshold still broadcasts them
+# automatically (uses_broadcast_join stays true), at 100 TB AQE falls back
+# to a shuffle join instead of an OOM.
+@pytest.mark.parametrize(
+    "name,max_hints",
+    [
+        ("q03_shipping_priority", 0),   # no fixed-size dim in the query
+        ("q05_local_supplier_volume", 2),  # nation + filtered region
+        ("q07_volume_shipping", 2),     # two nation roles
+        ("q08_market_share", 3),        # nation x2 + region
+        ("q10_returned_items", 1),      # nation
+        ("q13_top_orders_per_customer", 0),
+        ("q18_large_volume_customers", 0),
+        ("q21_customer_order_deltas", 0),
+        ("q09_product_profit", 1),      # nation
+        ("q14_promo_revenue", 0),
+        ("q17_small_quantity_revenue", 0),
+        ("q19_disjunctive_predicates", 0),
+        ("q24_cheapest_supplier_per_part", 2),  # nation + region inside euro
+        ("q26_top_supplier_revenue", 1),  # 1-row max scalar
+        ("q28_waiting_suppliers", 0),
+        ("q29_dominant_suppliers", 0),
+    ],
+)
+def test_relational_no_forced_broadcast_on_sf_scaling_dims(
+    spark, sf_dir, name, max_hints
+):
+    df = registry.QUERIES[name](spark, sf_dir)
+    n = pi.broadcast_hint_count(df)
+    assert n <= max_hints, (
+        f"{name}: {n} broadcast hints > {max_hints} allowed — a hint was "
+        "placed on an SF-scaling relation (customer/supplier/part)"
+    )
+    # the dims must STILL broadcast at test SF via the auto threshold
+    assert pi.uses_broadcast_join(df), f"{name}: expected auto broadcast at test SF"
+
+
 def test_l08_selective_filter_pushdown(spark, sf_dir):
     df = registry.QUERIES["l08_projection_cast"](spark, sf_dir)
     assert pi.has_pushed_filters(df), "event_type/value filters must push down"
@@ -117,6 +159,14 @@ def test_q08_single_fact_shuffle_all_dims_broadcast(spark, sf_dir):
     plan = pi.formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 5, plan[:3000]
     assert pi.has_pushed_filters(df)
+
+
+def test_e12_rfm_no_global_window(spark, sf_dir):
+    """RFM quartiles must come from the range-partitioned two-pass rank —
+    three partition-less ntile(4) windows would push the O(users) relation
+    through ONE task at 100× scale."""
+    df = registry.QUERIES["e12_rfm_segments"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0, pi.formatted_plan(df)[:3000]
 
 
 def test_q17_no_cartesian_or_nested_loop(spark, sf_dir):
