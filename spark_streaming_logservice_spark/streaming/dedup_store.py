@@ -13,11 +13,16 @@ shape is an external digest table:
       4. forward only the novel rows to the downstream writer,
       5. append the novel digests to the table (atomic rename + marker).
 
-Scale: the digest table is O(corpus) rows of 16-byte keys — at 100 TB it is
-parquet bucketed by digest, so the per-batch anti-join shuffles only the new
-batch (the table side is pre-partitioned); here it is a plain parquet dir
-(one file per batch; compact with ``sources/maintenance.py`` patterns when
-file count grows). The batch never collects to the driver.
+Scale: the digest table is O(corpus) rows of 16-byte keys, append-only (one
+parquet dir per batch; compact with ``sources/maintenance.py`` patterns when
+file count grows). The anti-join NEVER shuffles the store: the batch's
+digest set (micro-batch-sized, ~16 bytes/row) broadcasts into a map-only
+semi-join that streams the store once and returns only the hits (≤ batch
+size), and the batch then anti-joins against the broadcast hits — per batch
+the store is one sequential scan, zero shuffle, zero rewrite, which is the
+shape that survives a years-long store. The batch never collects to the
+driver, and the novel set is computed ONCE per batch (cached across the
+forward and the digest append, released after).
 
 Crash contract (mirrors the logstore sink's stage-then-publish protocol,
 ``sources/logstore.py``): the downstream ``forward`` MUST itself be
@@ -56,18 +61,29 @@ def dedup_against_store(
     batch_df: DataFrame, digest_dir: str, text_col: str, id_col: str
 ) -> DataFrame:
     """The batch's novel rows: within-batch collapse (keep the lowest id per
-    digest), then an anti-join on the persistent digest table."""
+    digest — one batch-keyed shuffle via a partitioned row_number), then an
+    anti-join on the persistent digest table arranged so the STORE side is
+    a single map-only scan: hits = store ⋉ broadcast(batch digests), then
+    batch ⋉̸ broadcast(hits). Both broadcast sides are micro-batch-sized."""
+    from pyspark.sql.window import Window
+
     spark = batch_df.sparkSession
     digested = batch_df.withColumn("__digest", F.md5(F.col(text_col)))
     # within-batch: keep the lowest id per digest (deterministic winner)
-    keeper = digested.groupBy("__digest").agg(F.min(id_col).alias(id_col))
-    fresh = digested.join(keeper, ["__digest", id_col], "left_semi")
+    w = Window.partitionBy("__digest").orderBy(F.asc(id_col))
+    fresh = (
+        digested.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     files = _store_files(digest_dir)
     if not files:
         return fresh
     seen = spark.read.schema(DIGEST_SCHEMA).parquet(*files)
+    probe = fresh.select(F.col("__digest").alias("digest"))
+    hits = seen.join(F.broadcast(probe), "digest", "left_semi")
     return fresh.join(
-        seen, fresh["__digest"] == seen["digest"], "left_anti"
+        F.broadcast(hits), fresh["__digest"] == hits["digest"], "left_anti"
     )
 
 
@@ -96,19 +112,26 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
         if os.path.exists(marker):
             return
         novel = dedup_against_store(batch_df, digest_dir, text_col, id_col)
-        # novel is re-computed below for the digest write; materializing the
-        # forward first keeps the crash ordering (forward -> digests).
-        forward(novel.drop("__digest"), batch_id)
-        final = os.path.join(digest_dir, f"{namespace}-batch-{batch_id}.parquet")
-        if not os.path.exists(final):
-            staging = os.path.join(
-                digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
+        # one computation per batch: cache novel across the forward and the
+        # digest append (the forward's first action materializes it), then
+        # release. Crash ordering stays forward -> digests.
+        novel.persist()
+        try:
+            forward(novel.drop("__digest"), batch_id)
+            final = os.path.join(
+                digest_dir, f"{namespace}-batch-{batch_id}.parquet"
             )
-            novel.select(F.col("__digest").alias("digest")).write.mode(
-                "overwrite"
-            ).parquet(staging)
-            os.rename(staging, final)
-        with open(marker, "w") as f:
-            f.write("ok")
+            if not os.path.exists(final):
+                staging = os.path.join(
+                    digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
+                )
+                novel.select(F.col("__digest").alias("digest")).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(staging)
+                os.rename(staging, final)
+            with open(marker, "w") as f:
+                f.write("ok")
+        finally:
+            novel.unpersist()
 
     return apply

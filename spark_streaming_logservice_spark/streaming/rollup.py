@@ -9,6 +9,13 @@ pattern on Structured Streaming.
 Scale/correctness posture:
 - The per-batch aggregate is the only corpus-sized work; the merge
   re-aggregates base ∪ delta, both rollup-sized (O(minutes-of-history)).
+- The store is CALENDAR-SHARDED (``table/parts/<yyyy-MM>/data``): a merge
+  reads and republishes only the partitions the batch's minutes fall in,
+  so a years-long store never becomes a per-batch full rewrite, and
+  retention (expire_rollup) drops whole shards as directory deletes.
+  All dirty shards are written in ONE Spark job (partitionBy staging) and
+  published per-shard atomically, each with its own batch marker — a
+  crash mid-publish converges shard-by-shard on replay.
 - The table swap is two-phase (write ``.tmp`` dir, atomic rename), with
   TWO explicit crash-window recoveries: (a) a crash between
   ``rename(data, old)`` and ``rename(tmp, data)`` leaves no data dir — the
@@ -28,8 +35,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_logservice_spark.streaming.queries import (
@@ -37,6 +45,7 @@ from spark_streaming_logservice_spark.streaming.queries import (
 )
 
 _SCHEMA = "bucket TIMESTAMP_NTZ, n_events BIGINT, n_errors BIGINT"
+_PART = "__part"
 
 
 def minute_partials(df: DataFrame, time_col: str = "ts",
@@ -53,6 +62,15 @@ def minute_partials(df: DataFrame, time_col: str = "ts",
     )
 
 
+def _combiners(sum_cols: list[str], aggs: dict[str, str] | None):
+    return [
+        (F.min(c) if (aggs or {}).get(c) == "min"
+         else F.max(c) if (aggs or {}).get(c) == "max"
+         else F.sum(c)).alias(c)
+        for c in sum_cols
+    ]
+
+
 def merge_additive(
     table_dir: str,
     delta: DataFrame,
@@ -61,6 +79,8 @@ def merge_additive(
     schema: str,
     batch_id: int | None = None,
     aggs: dict[str, str] | None = None,
+    partition_expr: Column | None = None,
+    partition_bounds=None,
 ) -> None:
     """Generic decomposable-partial merge: base ∪ delta → re-aggregate →
     atomic swap. Default combiner per value column is ``sum`` (the rollup's
@@ -71,11 +91,37 @@ def merge_additive(
     inputs are table-sized, never corpus-sized. ``rename(tmp, data)`` is
     the commit point.
 
+    ``partition_expr`` (a Column over the key columns, e.g.
+    ``date_format(bucket, 'yyyy-MM-dd')`` for day shards) switches the
+    store to a SHARDED layout — ``table_dir/parts/<value>/data`` — where a
+    merge reads and republishes ONLY the shards the delta touches. This is
+    what keeps a years-long store from becoming a full single-task rewrite
+    on every batch: untouched history is never read, never rewritten. The
+    merged output for all dirty shards is produced by ONE Spark job
+    (partitionBy write to a staging root) and published shard-by-shard via
+    the same two-phase rename; each shard carries its own
+    ``_batch_meta.json``, so a crash mid-publish replays as per-shard
+    no-ops for the shards that committed and fresh merges for the rest —
+    per-shard convergence instead of all-or-nothing.
+
+    ``partition_bounds`` (sharded layout only): a zero-arg callable
+    returning a SUPERSET of the delta's shard values — e.g. the calendar
+    months between the raw batch's min/max timestamp, one cheap min/max
+    aggregate instead of a distinct+cache job over the delta. Candidates
+    with no delta rows produce no staging output and are skipped at
+    publish, so over-approximation costs nothing but a filter.
+
     Crash recovery (see module docstring): an interrupted swap is healed by
     restoring ``.old`` when the data dir is missing, and with ``batch_id``
     set a replay of an already-committed batch returns without merging
     (``_batch_meta.json`` inside the committed version names its producer;
     the leading underscore keeps the parquet reader from touching it)."""
+    if partition_expr is not None:
+        _merge_sharded(
+            table_dir, delta, key_cols, sum_cols, schema, batch_id, aggs,
+            partition_expr, partition_bounds,
+        )
+        return
     data, done = _recover_swap(table_dir, batch_id)
     if done:
         return
@@ -84,16 +130,147 @@ def merge_additive(
         merged = (
             base.unionByName(delta)
             .groupBy(*key_cols)
-            .agg(*[
-                (F.min(c) if (aggs or {}).get(c) == "min"
-                 else F.max(c) if (aggs or {}).get(c) == "max"
-                 else F.sum(c)).alias(c)
-                for c in sum_cols
-            ])
+            .agg(*_combiners(sum_cols, aggs))
         )
     else:
         merged = delta
     _commit_swap(table_dir, merged, batch_id)
+
+
+def _shard_root(table_dir: str) -> str:
+    return os.path.join(table_dir, "parts")
+
+
+def _shard_dirs(table_dir: str) -> list[str]:
+    root = _shard_root(table_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d) for d in os.listdir(root) if not d.startswith("_")
+    )
+
+
+def store_data_dirs(table_dir: str) -> list[str]:
+    """Readable data dirs of a store in either layout (single or sharded).
+    A shard torn between ``rename(data, old)`` and ``rename(tmp, data)`` is
+    served from its ``.old`` (read-only heal — the next merge restores it
+    durably)."""
+    dirs = []
+    for shard in _shard_dirs(table_dir):
+        data = os.path.join(shard, "data")
+        if os.path.exists(data):
+            dirs.append(data)
+        elif os.path.exists(data + ".old"):
+            dirs.append(data + ".old")
+    single = os.path.join(table_dir, "data")
+    if not dirs and os.path.exists(single):
+        dirs.append(single)
+    return dirs
+
+
+def read_store(spark: SparkSession, table_dir: str, schema: str) -> DataFrame:
+    """The store's current contents under either layout (empty if absent)."""
+    dirs = store_data_dirs(table_dir)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def _merge_sharded(
+    table_dir: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    schema: str,
+    batch_id: int | None,
+    aggs: dict[str, str] | None,
+    partition_expr: Column,
+    partition_bounds=None,
+) -> None:
+    spark = delta.sparkSession
+    root = _shard_root(table_dir)
+    os.makedirs(root, exist_ok=True)
+    # sweep staging orphans from crashed publishes (never renamed = never
+    # happened — same recovery rule as the logstore sink)
+    for d in os.listdir(root):
+        if d.startswith("_staging"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    tagged = delta.withColumn(_PART, partition_expr.cast("string"))
+    cached = partition_bounds is None
+    if cached:
+        tagged.persist()
+    try:
+        if partition_bounds is not None:
+            dirty = sorted(set(partition_bounds()))
+        else:
+            dirty = sorted(
+                r[0] for r in tagged.select(_PART).distinct().collect()
+            )
+        if not dirty:
+            return
+        # shards this batch already committed to (crash between shard
+        # publish and the foreachBatch marker) — skip their re-merge
+        todo = []
+        for pv in dirty:
+            data, done = _recover_swap(os.path.join(root, pv), batch_id)
+            if not done:
+                todo.append(pv)
+        if not todo:
+            return
+        bases = [
+            os.path.join(root, pv, "data")
+            for pv in todo
+            if os.path.exists(os.path.join(root, pv, "data"))
+        ]
+        fresh = tagged.where(F.col(_PART).isin(todo))
+        if bases:
+            base = (
+                spark.read.schema(schema)
+                .parquet(*bases)
+                .withColumn(_PART, partition_expr.cast("string"))
+            )
+            merged = (
+                base.unionByName(fresh)
+                .groupBy(_PART, *key_cols)
+                .agg(*_combiners(sum_cols, aggs))
+            )
+        else:
+            merged = fresh
+        # ONE Spark job writes every dirty shard's new version. Single-shard
+        # batches (the common case for a time-local stream) skip the dynamic
+        # partition committer entirely: plain coalesced write, one rename.
+        staging = os.path.join(root, f"_staging-{uuid.uuid4().hex}")
+        if len(todo) == 1:
+            merged.drop(_PART).coalesce(1).write.mode("overwrite").parquet(
+                staging
+            )
+            srcs = {todo[0]: staging}
+        else:
+            merged.repartition(len(todo), F.col(_PART)).write.mode(
+                "overwrite"
+            ).partitionBy(_PART).parquet(staging)
+            srcs = {pv: os.path.join(staging, f"{_PART}={pv}") for pv in todo}
+        # publish shard-by-shard: two-phase rename, commit point per shard
+        for pv in todo:
+            src = srcs[pv]
+            if not os.path.exists(src):  # empty shard output (over-approx
+                continue                 # candidate with no delta rows)
+            if batch_id is not None:
+                with open(os.path.join(src, "_batch_meta.json"), "w") as f:
+                    json.dump({"batch_id": batch_id}, f)
+            data = os.path.join(root, pv, "data")
+            old = data + ".old"
+            os.makedirs(os.path.join(root, pv), exist_ok=True)
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(data):
+                os.rename(data, old)
+            os.rename(src, data)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        if cached:
+            tagged.unpersist()
 
 
 def _recover_swap(table_dir: str, batch_id: int | None) -> tuple[str, bool]:
@@ -138,9 +315,24 @@ def _commit_swap(table_dir: str, merged: DataFrame, batch_id: int | None) -> Non
 
 
 def merge_partials(
-    table_dir: str, delta: DataFrame, batch_id: int | None = None
+    table_dir: str,
+    delta: DataFrame,
+    batch_id: int | None = None,
+    shard_fmt: str = "yyyy-MM",
+    partition_bounds=None,
 ) -> None:
-    """Rollup-specific face of :func:`merge_additive` (minute buckets)."""
+    """Rollup-specific face of :func:`merge_additive` (minute buckets),
+    time-sharded: a batch touches only the calendar partitions its minutes
+    fall in, so a years-long store never becomes a per-batch full rewrite.
+
+    Shard granularity: MONTH by default. A month of minute buckets is
+    ~44k rows ≈ 1 MB — bounded regardless of corpus size (the scale
+    variable of this store is history length, not data volume), one
+    right-sized parquet file per shard. Day shards (``yyyy-MM-dd``) are
+    available via ``shard_fmt`` but measured 3.5× slower at sf0.1: 30×
+    more footer reads + publish renames per batch for 1.4k-row files —
+    the classic small-file problem. Retention keeps day precision either
+    way (expire_rollup row-filters the boundary shard)."""
     merge_additive(
         table_dir,
         delta,
@@ -148,15 +340,44 @@ def merge_partials(
         sum_cols=["n_events", "n_errors"],
         schema=_SCHEMA,
         batch_id=batch_id,
+        partition_expr=F.date_format("bucket", shard_fmt),
+        partition_bounds=partition_bounds,
     )
 
 
-def incremental_rollup_writer(table_dir: str):
+def _month_span(lo, hi) -> list[str]:
+    """Calendar months (yyyy-MM) covering [lo, hi] inclusive."""
+    if lo is None or hi is None:
+        return []
+    out, y, m = [], lo.year, lo.month
+    while (y, m) <= (hi.year, hi.month):
+        out.append(f"{y:04d}-{m:02d}")
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    return out
+
+
+def incremental_rollup_writer(table_dir: str, time_col: str = "ts"):
     """foreachBatch function maintaining the minute-grain base table under
-    ``table_dir`` with batchId-idempotent replay."""
+    ``table_dir`` with batchId-idempotent replay. Dirty-shard detection is
+    a min/max over the RAW batch timestamps (map-side partials, no
+    shuffle) — cheaper than a distinct over the aggregated delta, and a
+    safe over-approximation of the touched months."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        merge_partials(table_dir, minute_partials(batch_df), batch_id=batch_id)
+        def bounds() -> list[str]:
+            row = batch_df.agg(
+                F.min(time_col).alias("a"), F.max(time_col).alias("b")
+            ).first()
+            return _month_span(row["a"], row["b"])
+
+        merge_partials(
+            table_dir,
+            minute_partials(batch_df, time_col=time_col),
+            batch_id=batch_id,
+            partition_bounds=bounds,
+        )
 
     return idempotent_foreach_batch(write, os.path.join(table_dir, "_markers"))
 
@@ -165,7 +386,7 @@ def read_rollup(spark: SparkSession, table_dir: str,
                 levels: tuple[str, ...] = ("hour", "day")) -> DataFrame:
     """Serve the coarser levels from the maintained base table (same
     explode-to-levels shape as batch e07)."""
-    base = spark.read.schema(_SCHEMA).parquet(os.path.join(table_dir, "data"))
+    base = read_store(spark, table_dir, _SCHEMA)
     structs = [
         F.struct(
             F.lit(lv).alias("resolution"),
@@ -194,7 +415,7 @@ def read_rollup_gap_filled(spark: SparkSession, table_dir: str) -> DataFrame:
     rows ever streamed in."""
     from pyspark.sql.window import Window
 
-    base = spark.read.schema(_SCHEMA).parquet(os.path.join(table_dir, "data"))
+    base = read_store(spark, table_dir, _SCHEMA)
     span = base.agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
     )
@@ -223,11 +444,35 @@ def read_rollup_gap_filled(spark: SparkSession, table_dir: str) -> DataFrame:
 
 
 def expire_rollup(table_dir: str, older_than, spark: SparkSession) -> int:
-    """Retention maintenance: drop base-table buckets older than the cut,
-    through the SAME two-phase swap as a merge (an interrupted expiry heals
-    identically). Returns the number of buckets dropped. At scale this is a
-    metadata-cheap rewrite of an O(minutes-of-history) table — never the
-    corpus."""
+    """Retention maintenance: drop base-table buckets older than the cut.
+    Sharded layout: shards wholly before the cut are DELETED as directories
+    (metadata-only — no rows read or rewritten, which is the point of
+    calendar sharding for retention); only the boundary shard is
+    row-filtered through the same two-phase swap as a merge, so retention
+    keeps full bucket precision at any shard granularity. Returns the
+    number of buckets dropped. Legacy single-dir stores fall back to the
+    whole-table filter+swap."""
+    cut = str(older_than)[:10]  # yyyy-MM-dd of the retention boundary
+    shards = _shard_dirs(table_dir)
+    if shards:
+        dropped = 0
+        for shard in shards:
+            name = os.path.basename(shard)  # yyyy-MM or yyyy-MM-dd
+            edge = cut[: len(name)]
+            data, _ = _recover_swap(shard, None)
+            if not os.path.exists(data):
+                continue
+            if name < edge:
+                dropped += spark.read.schema(_SCHEMA).parquet(data).count()
+                shutil.rmtree(shard, ignore_errors=True)
+            elif name == edge:
+                base = spark.read.schema(_SCHEMA).parquet(data)
+                kept = base.where(F.col("bucket") >= F.lit(older_than))
+                n = base.count() - kept.count()
+                if n:
+                    _commit_swap(shard, kept, None)
+                    dropped += n
+        return dropped
     data, _ = _recover_swap(table_dir, None)
     if not os.path.exists(data):
         return 0

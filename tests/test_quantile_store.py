@@ -99,9 +99,9 @@ def test_expire_rollup_drops_only_old_buckets(spark, tmp_path):
     cut = datetime.datetime(2024, 3, 2)
     dropped = RU.expire_rollup(table, cut, spark)
     assert dropped == 2
-    left = spark.read.schema(
-        "bucket TIMESTAMP_NTZ, n_events BIGINT, n_errors BIGINT"
-    ).parquet(table + "/data")
+    left = RU.read_store(
+        spark, table, "bucket TIMESTAMP_NTZ, n_events BIGINT, n_errors BIGINT"
+    )
     assert left.count() == 1
     assert str(left.first()["bucket"]).startswith("2024-03-02")
     # idempotent: second expiry drops nothing

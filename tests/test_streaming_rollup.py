@@ -109,8 +109,9 @@ def test_rollup_recovers_interrupted_swap(spark, tmp_path):
     writer = R.incremental_rollup_writer(table)
     writer(events, 0)
     total = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
-    # simulate the torn swap: data renamed away, replacement never landed
-    data = os.path.join(table, "data")
+    # simulate the torn swap inside the (single) month shard: data renamed
+    # away, replacement never landed
+    data = os.path.join(table, "parts", "2024-01", "data")
     os.rename(data, data + ".old")
     writer(events, 1)
     after = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
