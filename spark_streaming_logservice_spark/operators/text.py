@@ -34,6 +34,19 @@ def _toks() -> Column:
     return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
 
 
+def spread_rowlocal(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the core count ahead of a heavy row-local
+    stage: a single parquet file scans as ONE partition on local[n], so
+    interpreted token/ngram lambdas otherwise run near-sequentially
+    (measured: v02's pair explode 9.0 s single-task at sf0.1 on local[32]).
+    Used ONLY on paths whose aggregates are partition-order-insensitive
+    (integer sums/counts, min/max, row-local projections) — double-sum
+    aggregates (t10/t11/t13/t14 logprob/entropy/KL) deliberately keep the
+    single-mapper scan so partial-merge order stays deterministic against
+    the DuckDB oracle."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # --- t01: per-document stats (token count, length, stopword ratio) ---------
 
 @query(
@@ -57,7 +70,7 @@ def _toks() -> Column:
     """,
 )
 def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(_toks()).alias("token"))
     return (
         toks.groupBy("doc_id")
@@ -102,7 +115,7 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     n_chars = F.length("text")
     n_punct = n_chars - F.length(
         F.regexp_replace(F.col("text"), r"[.,!]", "")
@@ -144,7 +157,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     return (
         d.select(
             "doc_id",
@@ -173,7 +186,7 @@ def t03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     norm = F.array_sort(
         F.array_distinct(
             F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
@@ -279,7 +292,7 @@ def t06_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction stays a pure higher-order expression — no shuffle at all for
     that column. At 100 TB the join keys are doc_id (already the corpus
     partitioning), and nothing but (doc_id, fraction) rows shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     toks = _toks()
 
     def grams(n: int) -> Column:
@@ -889,7 +902,9 @@ def t14_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t15_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source novelty: share of each doc's distinct trigrams whose
     first corpus appearance (min doc_id) is that doc itself."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = spread_rowlocal(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     tk = d.select(
         "doc_id",
         "source",

@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from spark_streaming_logservice_spark.operators.pipeline_ops import (
     distributed_row_number,
 )
+from spark_streaming_logservice_spark.operators.text import spread_rowlocal
 from spark_streaming_logservice_spark.registry import query
 from spark_streaming_logservice_spark.tables import load_table
 
@@ -89,7 +90,9 @@ def bpe_pair_counts(docs: DataFrame, n: int = TOP_PAIRS) -> DataFrame:
     """,
 )
 def v01_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return vocab_topk(load_table(spark, sf_dir, "documents").select("text"))
+    return vocab_topk(
+        spread_rowlocal(load_table(spark, sf_dir, "documents").select("text"))
+    )
 
 
 @query(
@@ -112,7 +115,9 @@ def v01_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v02_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_pair_counts(load_table(spark, sf_dir, "documents").select("text"))
+    return bpe_pair_counts(
+        spread_rowlocal(load_table(spark, sf_dir, "documents").select("text"))
+    )
 
 
 # --- v03: TF-IDF top terms per document ------------------------------------
@@ -160,7 +165,9 @@ def v03_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides are aggregates, co-partitioned by the join key); N arrives as a
     1-row broadcast. The per-doc rank filter compiles to WindowGroupLimit,
     so only k rows per doc survive to the final shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_rowlocal(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     tok = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

@@ -158,3 +158,82 @@ def test_gap_filled_read_densifies_and_carries_rate(spark, tmp_path):
     # LOCF: the silent minutes carry 10:00's 1/2 error rate
     assert rows["2024-03-01 10:02:00"]["filled_error_rate"] == 0.5
     assert rows["2024-03-01 10:03:00"]["filled_error_rate"] == 0.0
+
+
+def _batch(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, "ts STRING, event_type STRING").select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type"
+    )
+
+
+def test_merge_touches_only_dirty_shards(spark, tmp_path):
+    """The whole point of the sharded layout: a batch landing in March must
+    not read or republish January's shard — January's data dir (files,
+    mtimes, batch meta) stays bit-identical."""
+    import json
+
+    table = str(tmp_path / "rollup")
+    R.merge_partials(
+        table, R.minute_partials(_batch(spark, [("2024-01-05 10:00:10", "click")])),
+        batch_id=0,
+    )
+    jan = os.path.join(table, "parts", "2024-01", "data")
+    before = {
+        f: (os.path.getmtime(os.path.join(jan, f)), os.path.getsize(os.path.join(jan, f)))
+        for f in sorted(os.listdir(jan))
+    }
+    with open(os.path.join(jan, "_batch_meta.json")) as f:
+        assert json.load(f)["batch_id"] == 0
+
+    R.merge_partials(
+        table, R.minute_partials(_batch(spark, [("2024-03-09 11:00:10", "error")])),
+        batch_id=1,
+    )
+    after = {
+        f: (os.path.getmtime(os.path.join(jan, f)), os.path.getsize(os.path.join(jan, f)))
+        for f in sorted(os.listdir(jan))
+    }
+    assert before == after, "January shard was republished by a March batch"
+    assert os.path.isdir(os.path.join(table, "parts", "2024-03", "data"))
+    # both shards serve
+    total = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    assert total == 4  # 1 event x (hour+day) levels x 2 shards
+
+
+def test_multi_shard_batch_publishes_each_shard_atomically(spark, tmp_path):
+    """A batch spanning two months publishes both shards with per-shard
+    batch meta; replaying the same batch_id is a per-shard no-op."""
+    import json
+
+    table = str(tmp_path / "rollup")
+    rows = [("2024-01-05 10:00:10", "click"), ("2024-02-06 10:00:10", "error")]
+    R.merge_partials(table, R.minute_partials(_batch(spark, rows)), batch_id=3)
+    for month in ("2024-01", "2024-02"):
+        meta = os.path.join(table, "parts", month, "data", "_batch_meta.json")
+        with open(meta) as f:
+            assert json.load(f)["batch_id"] == 3
+    once = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    R.merge_partials(table, R.minute_partials(_batch(spark, rows)), batch_id=3)
+    again = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    assert once == again == 4
+
+
+def test_expire_drops_whole_shard_without_reading_boundary(spark, tmp_path):
+    """Retention deletes pre-cut shards as directories and row-filters only
+    the boundary shard."""
+    import datetime
+
+    table = str(tmp_path / "rollup")
+    rows = [
+        ("2024-01-05 10:00:10", "click"),
+        ("2024-02-06 10:00:10", "click"),
+        ("2024-02-20 10:00:10", "click"),
+    ]
+    R.merge_partials(table, R.minute_partials(_batch(spark, rows)), batch_id=0)
+    dropped = R.expire_rollup(table, datetime.datetime(2024, 2, 10), spark)
+    assert dropped == 2  # all of January + the pre-cut February bucket
+    assert not os.path.exists(os.path.join(table, "parts", "2024-01"))
+    left = R.read_rollup(spark, table).collect()
+    assert all(str(r["bucket"]) >= "2024-02-10" for r in left)
