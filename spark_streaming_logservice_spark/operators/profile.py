@@ -98,9 +98,15 @@ def _register() -> None:
 
     @query("t12_column_profile", oracle=oracle)
     def t12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spark_streaming_logservice_spark.operators.text import (
+            spread_rowlocal,
+        )
         from spark_streaming_logservice_spark.tables import load_table
 
-        ev = load_table(spark, sf_dir, "events").select(*_COLS)
+        # every aggregate here is order-insensitive (counts, exact
+        # distincts, min/max), so the xN Expand is safe to parallelize
+        # beyond the single-file scan partition
+        ev = spread_rowlocal(load_table(spark, sf_dir, "events").select(*_COLS))
         return profile_columns(ev, _COLS).orderBy("col_name")
 
 

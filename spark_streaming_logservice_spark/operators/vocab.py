@@ -423,7 +423,9 @@ def _register_v06() -> None:
     def v06_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Pair statistics after two executed BPE merge rounds; the merged
         tokens ('x_y') surface in the final top-10 wherever frequent."""
-        d = load_table(spark, sf_dir, "documents").select(
+        d = spread_rowlocal(
+            load_table(spark, sf_dir, "documents")
+        ).select(
             "doc_id",
             F.filter(
                 F.split(F.lower(F.col("text")), " "), lambda t: t != ""
