@@ -1162,3 +1162,85 @@ def d18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.unionByName(singles).orderBy("cluster_size", "n_clusters")
+
+
+# --- d19: cross-source duplicate matrix --------------------------------------
+# Provenance question every multi-source corpus build asks: which sources
+# copy from which? Duplicates are matched on the CANONICAL-FORM fingerprint
+# (t04's md5 of the sorted distinct lowercase token bag — catches
+# reorderings and repetition variants, not just byte-identical copies) and
+# reported as duplicate-PAIR counts per unordered source pair (diagonal =
+# within-source duplication). Scale shape: NO pair self-join — per digest,
+# count docs per source (one digest-keyed shuffle with partial agg), then
+# pair counts come from count algebra: within a source C(n,2), across
+# sources n_a * n_b, summed over digests. The only join is the per-digest
+# source-count relation with itself keyed ON THE DIGEST, where each side
+# holds at most |sources| rows per digest — fan-out bounded by the (tiny,
+# fixed) source count, never by duplicate-group size, so a million-copy
+# boilerplate digest costs |sources|^2 rows, not 1e12 pairs. All counts
+# integer — deterministic at any partitioning.
+
+@query(
+    "d19_cross_source_dup_matrix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+                 list_filter(string_split(lower(text), ' '), t -> t <> ''))),
+               ' ')) AS dg
+      FROM documents
+    ), per AS (
+      SELECT dg, source, count(*) AS n FROM d GROUP BY dg, source
+    ), within AS (
+      SELECT source AS src_a, source AS src_b,
+             sum(n * (n - 1) // 2) AS pairs
+      FROM per GROUP BY source
+    ), across AS (
+      SELECT a.source AS src_a, b.source AS src_b, sum(a.n * b.n) AS pairs
+      FROM per a JOIN per b ON a.dg = b.dg AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(pairs AS BIGINT) AS n_dup_pairs
+    FROM (SELECT * FROM within WHERE pairs > 0
+          UNION ALL SELECT * FROM across)
+    ORDER BY n_dup_pairs DESC, src_a, src_b
+    """,
+)
+def d19_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+                    )
+                )
+            ),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("source", fp.alias("dg"))
+    per = d.groupBy("dg", "source").agg(F.count(F.lit(1)).alias("n"))
+    within = (
+        per.groupBy("source")
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("pairs"))
+        .where(F.col("pairs") > 0)
+        .select(
+            F.col("source").alias("src_a"),
+            F.col("source").alias("src_b"),
+            "pairs",
+        )
+    )
+    a = per.select("dg", F.col("source").alias("src_a"), F.col("n").alias("na"))
+    b = per.select("dg", F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    across = (
+        a.join(b, "dg")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("pairs"))
+    )
+    return (
+        within.unionByName(across)
+        .select("src_a", "src_b", F.col("pairs").alias("n_dup_pairs"))
+        .orderBy(F.desc("n_dup_pairs"), F.asc("src_a"), F.asc("src_b"))
+    )

@@ -104,7 +104,12 @@ def test_codegen_active(spark, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["d04_minhash_lsh_pairs", "d02_ngram_jaccard", "d13_containment_pairs"],
+    [
+        "d04_minhash_lsh_pairs",
+        "d02_ngram_jaccard",
+        "d13_containment_pairs",
+        "d19_cross_source_dup_matrix",
+    ],
 )
 def test_dedup_never_forces_per_doc_broadcast(spark, sf_dir, name):
     """The per-document ``sizes``/``band_ok`` relations are O(corpus) rows at
@@ -115,6 +120,17 @@ def test_dedup_never_forces_per_doc_broadcast(spark, sf_dir, name):
     assert pi.broadcast_hint_count(df) == 0, (
         f"{name} must not force-broadcast per-document relations"
     )
+
+
+def test_d19_pair_counts_from_aggregates_not_raw_self_join(spark, sf_dir):
+    """d19's pair counts come from count algebra over the per-(digest,
+    source) aggregate — the only join is between two aggregates on the
+    digest (fan-out ≤ |sources| per key), never a raw-document self-join
+    and never a cartesian."""
+    df = registry.QUERIES["d19_cross_source_dup_matrix"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(df)
 
 
 def test_j02_range_join_is_hash_not_nested_loop(spark, sf_dir):
