@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from spark_streaming_logservice_spark.registry import query
 from spark_streaming_logservice_spark.tables import load_table
+from spark_streaming_logservice_spark.operators.text import spread_rowlocal
 
 N_MINHASH = 8
 
@@ -58,7 +59,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     computation expressible as pure built-in expressions (JVM codegen, no
     Python) and bit-reproducible in any engine with md5.
     """
-    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    # single-file scans are ONE partition on local[n]; the k keyed md5s per
+    # token are the hot row-local stage, and min() is order-insensitive
+    toks = spread_rowlocal(df).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
         for i in range(k)
@@ -127,7 +132,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     sh = (
         d.select("doc_id", F.explode(_shingles3()).alias("shingle"))
         .distinct()
@@ -311,7 +316,7 @@ def lsh_pair_overlap(d: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    toks = spread_rowlocal(d).select("doc_id", F.explode(_tokens()).alias("token"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     fa = toks.alias("fa")
     fb = toks.alias("fb")
@@ -494,7 +499,7 @@ def d07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark shingle set is tiny by construction, so it broadcasts and the
     check is one map-side semi-join over the training shingles — at 100 TB
     the corpus streams once, nothing shuffles but the per-doc hit counts."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", F.explode(_shingles3()).alias("shingle")
     ).distinct()
