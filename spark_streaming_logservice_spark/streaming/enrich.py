@@ -30,9 +30,12 @@ def enrich_with_snapshot(
 ) -> DataFrame:
     """Left-join a (batch) event relation with the current snapshot's
     per-user state; broadcast the snapshot (O(keys) rows)."""
+    from spark_streaming_logservice_spark.streaming.rollup import (
+        store_data_dirs,
+    )
+
     spark = batch_df.sparkSession
-    data = os.path.join(snapshot_dir, "data")
-    if not os.path.exists(data):
+    if not store_data_dirs(snapshot_dir):
         return batch_df.select(
             "*",
             F.lit(None).cast("string").alias("profile_type"),

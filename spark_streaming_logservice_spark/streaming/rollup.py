@@ -81,6 +81,7 @@ def merge_additive(
     aggs: dict[str, str] | None = None,
     partition_expr: Column | None = None,
     partition_bounds=None,
+    combiner=None,
 ) -> None:
     """Generic decomposable-partial merge: base ∪ delta → re-aggregate →
     atomic swap. Default combiner per value column is ``sum`` (the rollup's
@@ -119,7 +120,7 @@ def merge_additive(
     if partition_expr is not None:
         _merge_sharded(
             table_dir, delta, key_cols, sum_cols, schema, batch_id, aggs,
-            partition_expr, partition_bounds,
+            partition_expr, partition_bounds, combiner,
         )
         return
     data, done = _recover_swap(table_dir, batch_id)
@@ -186,6 +187,7 @@ def _merge_sharded(
     aggs: dict[str, str] | None,
     partition_expr: Column,
     partition_bounds=None,
+    combiner=None,
 ) -> None:
     spark = delta.sparkSession
     root = _shard_root(table_dir)
@@ -230,13 +232,20 @@ def _merge_sharded(
                 .parquet(*bases)
                 .withColumn(_PART, partition_expr.cast("string"))
             )
-            merged = (
-                base.unionByName(fresh)
-                .groupBy(_PART, *key_cols)
-                .agg(*_combiners(sum_cols, aggs))
-            )
+            both = base.unionByName(fresh)
+            if combiner is not None:
+                # caller-supplied reducer (e.g. the upsert store's
+                # latest-wins window) — must preserve every column incl.
+                # the shard tag; the shard value is key-determined, so a
+                # key-partitioned reducer keeps rows in their shard
+                merged = combiner(both)
+            else:
+                merged = (
+                    both.groupBy(_PART, *key_cols)
+                    .agg(*_combiners(sum_cols, aggs))
+                )
         else:
-            merged = fresh
+            merged = fresh if combiner is None else combiner(fresh)
         # ONE Spark job writes every dirty shard's new version. Single-shard
         # batches (the common case for a time-local stream) skip the dynamic
         # partition committer entirely: plain coalesced write, one rename.

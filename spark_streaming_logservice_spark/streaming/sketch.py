@@ -14,6 +14,11 @@ to "top-k / frequency over an infinite stream" — state is O(d×w) forever,
 while exact per-key streaming counts grow with the key space. Estimates
 from the maintained table are identical to a batch sketch over the full
 history (sums commute), which is exactly what the test pins.
+
+Unlike the rollup (O(history), day-sharded) and the upsert/first-seen
+stores (O(keys), hash-sharded), this store is NOT sharded — it is
+FIXED-size (d×w cells) by construction, so the single-dir whole-table
+swap is already a bounded, constant-cost publish at any corpus size.
 """
 
 from __future__ import annotations

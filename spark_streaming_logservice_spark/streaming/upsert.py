@@ -12,7 +12,15 @@ stores (streaming/rollup._recover_swap/_commit_swap).
 
 Out-of-order batches are handled by VALUE, not arrival: a late batch whose
 rows carry older (ts, tiebreak) keys never overwrites a newer snapshot row —
-the argmax does the right thing without any watermark."""
+the argmax does the right thing without any watermark.
+
+Scale layout: the snapshot is O(active keys) — hundreds of millions of
+rows for a user-profile store at 100 TB — so a per-batch full rewrite is
+the same hazard the rollup store's day shards fix. The snapshot is
+KEY-HASH-SHARDED (``table/parts/<crc32(key) % N>/data``) through the same
+machinery: a merge reads and republishes only the buckets the batch's keys
+hash into (skewed/localized update patterns touch few buckets), each
+bucket swapped atomically with its own batch marker."""
 
 from __future__ import annotations
 
@@ -26,9 +34,11 @@ from spark_streaming_logservice_spark.streaming.queries import (
     idempotent_foreach_batch,
 )
 from spark_streaming_logservice_spark.streaming.rollup import (
-    _commit_swap,
-    _recover_swap,
+    merge_additive,
+    read_store,
 )
+
+N_BUCKETS = 16
 
 _SCHEMA = (
     "user_id BIGINT, event_id BIGINT, event_type STRING,"
@@ -59,18 +69,21 @@ def merge_latest(
     schema: str,
     batch_id: int | None = None,
 ) -> None:
-    """base ∪ delta → argmax per key by (ts, tiebreak) → atomic swap.
-    Both inputs are snapshot-sized (O(keys)), never corpus-sized."""
-    data, done = _recover_swap(table_dir, batch_id)
-    if done:
-        return
-    if os.path.exists(data):
-        base = delta.sparkSession.read.schema(schema).parquet(data)
-        both = base.unionByName(delta)
-    else:
-        both = delta
-    merged = latest_partials(both, key=key, ts=ts, tiebreak=tiebreak)
-    _commit_swap(table_dir, merged, batch_id)
+    """base ∪ delta → argmax per key by (ts, tiebreak) → atomic swap of the
+    touched key-hash buckets only. Both inputs are bucket-sized, never
+    corpus-sized; untouched buckets are neither read nor rewritten."""
+    merge_additive(
+        table_dir,
+        delta,
+        key_cols=[key],
+        sum_cols=[],
+        schema=schema,
+        batch_id=batch_id,
+        partition_expr=F.crc32(F.col(key).cast("string")) % N_BUCKETS,
+        combiner=lambda both: latest_partials(
+            both, key=key, ts=ts, tiebreak=tiebreak
+        ),
+    )
 
 
 def incremental_upsert_writer(table_dir: str):
@@ -93,4 +106,4 @@ def incremental_upsert_writer(table_dir: str):
 
 
 def read_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
-    return spark.read.schema(_SCHEMA).parquet(os.path.join(table_dir, "data"))
+    return read_store(spark, table_dir, _SCHEMA)

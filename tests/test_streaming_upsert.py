@@ -122,9 +122,52 @@ def test_interrupted_swap_heals(spark, tmp_path):
         )
 
     writer(batch([(1, 1, "signup", 1.0, "2024-03-01 08:00:00")]), 0)
-    data = os.path.join(table, "data")
+    import zlib
+
+    bucket = zlib.crc32(b"1") % UP.N_BUCKETS  # user 1's key-hash shard
+    data = os.path.join(table, "parts", str(bucket), "data")
     # simulate the mid-swap crash: data renamed away, tmp never published
     os.rename(data, data + ".old")
     writer(batch([(2, 2, "signup", 2.0, "2024-03-01 09:00:00")]), 1)
     got = _snap_dict(spark, table)
     assert set(got) == {1, 2}, "user 1's history must survive the healed swap"
+
+
+def test_upsert_merge_touches_only_dirty_buckets(spark, tmp_path):
+    """A batch whose keys hash into one bucket must not read or republish
+    the other buckets — their data dirs stay bit-identical."""
+    import zlib
+
+    table = str(tmp_path / "snap")
+    writer = UP.incremental_upsert_writer(table)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id LONG, event_id LONG, event_type STRING,"
+            " value DOUBLE, ts STRING",
+        ).select(
+            "user_id", "event_id", "event_type", "value",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+
+    # two users in provably different buckets
+    u1 = 1
+    b1 = zlib.crc32(str(u1).encode()) % UP.N_BUCKETS
+    u2 = next(
+        u for u in range(2, 100)
+        if zlib.crc32(str(u).encode()) % UP.N_BUCKETS != b1
+    )
+    writer(batch([(u1, 1, "signup", 1.0, "2024-03-01 08:00:00")]), 0)
+    d1 = os.path.join(table, "parts", str(b1), "data")
+    before = {
+        f: (os.path.getmtime(os.path.join(d1, f)), os.path.getsize(os.path.join(d1, f)))
+        for f in sorted(os.listdir(d1))
+    }
+    writer(batch([(u2, 2, "click", 2.0, "2024-03-01 09:00:00")]), 1)
+    after = {
+        f: (os.path.getmtime(os.path.join(d1, f)), os.path.getsize(os.path.join(d1, f)))
+        for f in sorted(os.listdir(d1))
+    }
+    assert before == after, "clean bucket republished by an unrelated batch"
+    assert set(_snap_dict(spark, table)) == {u1, u2}
