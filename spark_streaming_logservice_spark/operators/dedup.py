@@ -61,7 +61,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     # single-file scans are ONE partition on local[n]; the k keyed md5s per
     # token are the hot row-local stage, and min() is order-insensitive
-    toks = spread_rowlocal(df).select(
+    toks = spread_rowlocal(df, key=id_col).select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("token")
     )
     aggs = [
@@ -316,7 +316,9 @@ def lsh_pair_overlap(d: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    toks = spread_rowlocal(d).select("doc_id", F.explode(_tokens()).alias("token"))
+    toks = spread_rowlocal(d, key="doc_id").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     fa = toks.alias("fa")
     fb = toks.alias("fb")

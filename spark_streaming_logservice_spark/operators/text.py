@@ -34,17 +34,25 @@ def _toks() -> Column:
     return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
 
 
-def spread_rowlocal(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the core count ahead of a heavy row-local
-    stage: a single parquet file scans as ONE partition on local[n], so
-    interpreted token/ngram lambdas otherwise run near-sequentially
-    (measured: v02's pair explode 9.0 s single-task at sf0.1 on local[32]).
-    Used ONLY on paths whose aggregates are partition-order-insensitive
-    (integer sums/counts, min/max, row-local projections) — double-sum
-    aggregates (t10/t11/t13/t14 logprob/entropy/KL) deliberately keep the
-    single-mapper scan so partial-merge order stays deterministic against
-    the DuckDB oracle."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+def spread_rowlocal(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition to the core count ahead of a heavy row-local stage: a
+    single parquet file scans as ONE partition on local[n], so interpreted
+    token/ngram lambdas otherwise run near-sequentially (measured: v02's
+    pair explode 9.0 s single-task at sf0.1 on local[32]).
+
+    ``key=None`` (round-robin) is safe where every downstream aggregate is
+    partition-order-insensitive — integer sums/counts, min/max, row-local
+    projections — or runs over an exact integer relation whose own shuffle
+    fixes the topology (t13's entropy, t14's KL).
+
+    ``key="doc_id"`` (hash) additionally keeps each document's rows in ONE
+    partition, so a per-doc FLOAT aggregate (t10/t11's avg log-prob, fed
+    through broadcast model joins that preserve partitioning) still merges
+    from a single partial — deterministic against the DuckDB oracle — and
+    a following groupBy on the key reuses the partitioning (ClusteredDistribution
+    is satisfied by any hash partition count: no second exchange)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, key) if key else df.repartition(par)
 
 
 # --- t01: per-document stats (token count, length, stopword ratio) ---------
@@ -70,7 +78,7 @@ def spread_rowlocal(df: DataFrame) -> DataFrame:
     """,
 )
 def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"), key="doc_id")
     toks = d.select("doc_id", F.explode(_toks()).alias("token"))
     return (
         toks.groupBy("doc_id")
@@ -626,7 +634,7 @@ def t09_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"), key="doc_id")
     tok = d.select(
         "doc_id",
         F.explode(
@@ -692,7 +700,7 @@ def t11_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence(1, n-1) DESCENDS when n-1 < 1, so the index list is guarded to
     an empty array for sub-2-token docs — both engines then drop those docs
     identically (no bigrams, inner join)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"), key="doc_id")
     arr = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     docs = d.select("doc_id", arr.alias("arr"))
     idx = F.when(
@@ -758,7 +766,7 @@ def t11_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t13_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     tf = (
         d.select("doc_id", F.explode(_toks()).alias("token"))
         .groupBy("doc_id", "token")
@@ -824,7 +832,7 @@ def t13_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t14_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     st = (
         d.select("source", F.explode(_toks()).alias("token"))
         .groupBy("source", "token")
