@@ -545,6 +545,19 @@ def main() -> None:
                         "corpus; ~4.5x time on 10x rows + 21x dup "
                         "structure."
                     ),
+                    "g02_triangle_count": (
+                        "expected: degree-oriented wedge enumeration is "
+                        "O(E^1.5) — the optimal exact-triangle bound — so "
+                        "10x edges implies up to ~31.6x wedges; measured "
+                        "growth stays well under that."
+                    ),
+                    "q25_salted_skew_join": (
+                        "by design: the salted join replicates the dim "
+                        "side n_salt(=8)x to spread a hot key, so its "
+                        "shuffle volume is deliberately 8x a plain join's "
+                        "at every scale — the price of skew immunity the "
+                        "query demonstrates (oracle = the plain join)."
+                    ),
                 },
             }
         except Exception as ex:  # scale section is best-effort, never fatal
