@@ -50,8 +50,15 @@ def spread_rowlocal(df: DataFrame, key: str | None = None) -> DataFrame:
     through broadcast model joins that preserve partitioning) still merges
     from a single partial — deterministic against the DuckDB oracle — and
     a following groupBy on the key reuses the partitioning (ClusteredDistribution
-    is satisfied by any hash partition count: no second exchange)."""
+    is satisfied by any hash partition count: no second exchange).
+
+    At 100 TB the scan already has thousands of partitions, so this is a
+    NO-OP there (shuffling the raw corpus just to rebalance would be pure
+    waste) — the repartition fires only when the source is under-parallel
+    for the session's core count, i.e. the small-file local case."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
     return df.repartition(par, key) if key else df.repartition(par)
 
 
