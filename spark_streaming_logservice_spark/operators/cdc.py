@@ -243,3 +243,91 @@ def c04_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- c05: temporal (SCD-2) dimension join -----------------------------------
+# The time-travel warehouse join c01's intervals exist FOR: each fact event
+# enriched with the dimension version valid AT ITS OWN timestamp (not the
+# current snapshot, not a fixed as-of cut). Spark-first shape: NO interval
+# join and NO per-row subquery — dimension changes and facts interleave in
+# ONE user-keyed window ordered by (ts, dim-first, id), and
+# last_value(ignorenulls) carries the in-effect version onto every fact
+# row (the j01/e09 as-of trick). One corpus shuffle, state bounded per
+# task; ties at the same timestamp resolve dim-before-fact then by the
+# unique event_id, so the join is deterministic. The report aggregates in
+# integer cents so the hash is partition-order-stable.
+
+@query(
+    "c05_scd2_temporal_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_id, ts, value, 1 AS is_dim,
+             CAST(NULL AS VARCHAR) AS fact_type
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      UNION ALL
+      SELECT user_id, event_id, ts, CAST(NULL AS DOUBLE), 0, event_type
+      FROM events WHERE event_type IN ('click', 'error', 'view')
+    ), carried AS (
+      SELECT *,
+             last_value(CASE WHEN is_dim = 1 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, is_dim DESC, event_id
+                     ROWS UNBOUNDED PRECEDING) AS dim_value
+      FROM u
+    )
+    SELECT fact_type,
+           (dim_value IS NOT NULL) AS dim_known,
+           count(*) AS n_events,
+           CAST(coalesce(sum(CAST(floor(dim_value * 100 + 0.5) AS BIGINT)), 0)
+                AS BIGINT) AS dim_value_cents,
+           CAST(sum(event_id) AS BIGINT) AS event_checksum
+    FROM carried
+    WHERE is_dim = 0
+    GROUP BY fact_type, dim_known
+    ORDER BY fact_type, dim_known
+    """,
+)
+def c05_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dim = e.where(F.col("event_type").isin(*_UPDATE_TYPES)).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("string").alias("fact_type"),
+    )
+    fact = e.where(F.col("event_type").isin("click", "error", "view")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_dim"),
+        F.col("event_type").alias("fact_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_dim"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = dim.unionByName(fact).withColumn(
+        "dim_value",
+        F.last(
+            F.when(F.col("is_dim") == 1, F.col("value")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.where(F.col("is_dim") == 0)
+        .groupBy(
+            "fact_type", F.col("dim_value").isNotNull().alias("dim_known")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.floor(F.col("dim_value") * 100 + 0.5).cast("bigint")),
+                F.lit(0),
+            ).cast("bigint").alias("dim_value_cents"),
+            F.sum("event_id").cast("bigint").alias("event_checksum"),
+        )
+        .orderBy("fact_type", "dim_known")
+    )

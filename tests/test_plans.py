@@ -122,6 +122,20 @@ def test_dedup_never_forces_per_doc_broadcast(spark, sf_dir, name):
     )
 
 
+def test_c05_temporal_join_is_one_window_no_join(spark, sf_dir):
+    """The SCD-2 temporal enrichment must be the carry-forward window —
+    zero join operators, one user-keyed shuffle for the window (+1 for the
+    final tiny-aggregate orderBy), never an interval join or per-row
+    subquery."""
+    df = registry.QUERIES["c05_scd2_temporal_join"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct"):
+        assert op not in plan, f"unexpected {op} in c05 plan"
+    assert pi.global_window_count(df) == 0
+    assert pi.exchange_count(df) <= 3, pi.formatted_plan(df)[:2000]
+
+
 def test_d19_pair_counts_from_aggregates_not_raw_self_join(spark, sf_dir):
     """d19's pair counts come from count algebra over the per-(digest,
     source) aggregate — the only join is between two aggregates on the
