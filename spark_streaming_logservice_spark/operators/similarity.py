@@ -995,3 +995,126 @@ def s19_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --- s20: int8-quantized retrieval with exact rerank -------------------------
+# The standard SQ8 serving layout (faiss IndexScalarQuantizer + refine):
+# stage 1 scores candidates on 8-bit codes — an INTEGER dot product
+# (exact, engine-identical) descaled by the two per-vector scales — and
+# keeps a shortlist; stage 2 pays full-precision cosine only for the
+# shortlist. 100 TB shape: the corpus streams once as codes (8x smaller
+# than floats — the point of SQ8), queries broadcast, the rerank touches
+# O(queries x shortlist) rows. Here the float vectors ride along in the
+# same projection for simplicity; a disk-resident serving layout would
+# join them back for the shortlist only (the s15 Hamming rerank does
+# exactly that join-back).
+
+SQ8_SHORTLIST = 20
+
+
+@query(
+    "s20_sq8_rerank",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+      FROM base
+    ), q8 AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
+      FROM scaled
+    ), cand AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round((CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                         x -> x[1] * x[2])) AS DOUBLE) * a.scale) * b.scale,
+                   6) AS approx,
+             a.emb AS q_emb, b.emb AS n_emb
+      FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERY}
+    ), short AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY approx DESC, n_id) AS srk
+      FROM cand
+    ), reranked AS (
+      SELECT q_id, n_id, approx,
+             round(list_sum(list_transform(list_zip(q_emb, n_emb),
+                                           x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(q_emb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(n_emb, x -> x * x)))),
+                   6) AS cosine
+      FROM short WHERE srk <= {SQ8_SHORTLIST}
+    )
+    SELECT q_id, n_id, approx, cosine,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, n_id) AS INTEGER) AS rk
+    FROM reranked
+    QUALIFY rk <= {TOP_K}
+    ORDER BY q_id, rk
+    """,
+)
+def s20_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scale = (
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x)))
+        / F.lit(127.0)
+    )
+    q8 = e.select("vec_id", "emb", scale.alias("scale")).select(
+        "vec_id",
+        "emb",
+        "scale",
+        F.transform(
+            F.col("emb"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ).alias("q"),
+    )
+    qs = q8.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("scale").alias("q_scale"),
+        F.col("q").alias("q_q"),
+    )
+    cs = q8.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("scale").alias("n_scale"),
+        F.col("q").alias("n_q"),
+    )
+    dot8 = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("n_q"), lambda x, y: x * y),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(qs)
+        .crossJoin(cs)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                (dot8.cast("double") * F.col("q_scale")) * F.col("n_scale"), 6
+            ).alias("approx"),
+            "q_emb",
+            "n_emb",
+        )
+    )
+    sw = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("n_id"))
+    short = cand.withColumn("srk", F.row_number().over(sw)).where(
+        F.col("srk") <= SQ8_SHORTLIST
+    )
+    cosine = F.round(
+        _dot(F.col("q_emb"), F.col("n_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
+        6,
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        short.select("q_id", "n_id", "approx", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("q_id", "rk")
+    )
