@@ -463,6 +463,10 @@ def main() -> None:
         "q32_ship_latency_percentiles",
         "m14_video_keyframes",
         "d18_cluster_size_histogram",
+        # round 7
+        "d19_cross_source_dup_matrix",
+        "c05_scd2_temporal_join",
+        "s20_sq8_rerank",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:
