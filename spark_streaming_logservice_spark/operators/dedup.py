@@ -1171,6 +1171,25 @@ def d18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.unionByName(singles).orderBy("cluster_size", "n_clusters")
 
 
+def canonical_fingerprint(text_col: str = "text") -> Column:
+    """t04's canonical-form digest: md5 of the sorted distinct lowercase
+    token bag — matches reorderings and repetition variants, not just
+    byte-identical copies. Row-local, codegen-only."""
+    return F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), " "),
+                        lambda t: t != "",
+                    )
+                )
+            ),
+        )
+    )
+
+
 # --- d19: cross-source duplicate matrix --------------------------------------
 # Provenance question every multi-source corpus build asks: which sources
 # copy from which? Duplicates are matched on the CANONICAL-FORM fingerprint
@@ -1214,19 +1233,9 @@ def d18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d19_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = F.md5(
-        F.concat_ws(
-            " ",
-            F.array_sort(
-                F.array_distinct(
-                    F.filter(
-                        F.split(F.lower(F.col("text")), " "), lambda t: t != ""
-                    )
-                )
-            ),
-        )
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", canonical_fingerprint().alias("dg")
     )
-    d = load_table(spark, sf_dir, "documents").select("source", fp.alias("dg"))
     per = d.groupBy("dg", "source").agg(F.count(F.lit(1)).alias("n"))
     within = (
         per.groupBy("source")
