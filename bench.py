@@ -467,6 +467,7 @@ def main() -> None:
         "d19_cross_source_dup_matrix",
         "c05_scd2_temporal_join",
         "s20_sq8_rerank",
+        "p19_curriculum_order",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

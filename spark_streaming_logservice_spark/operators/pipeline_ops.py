@@ -1533,3 +1533,70 @@ def p18_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- p19: curriculum ordering (difficulty-ranked shard packing) --------------
+# Curriculum learning wants training shards ordered easy-to-hard: rank the
+# corpus by a difficulty key (t02's quality score, descending = easiest
+# first, doc_id tiebreak) and pack consecutive ranks into fixed-size
+# shards. The global rank is the two-pass range-partitioned
+# distributed_row_number — NEVER a partition-less window (O(corpus) rows
+# through one task at 100 TB). The report aggregates per shard with
+# integer 4-dp quality units, so the hash is partition-order-stable.
+
+P19_SHARD_DOCS = 256
+
+
+def _register_p19() -> None:
+    from spark_streaming_logservice_spark.operators.text import QUALITY_SQL
+
+    oracle = f"""
+    WITH q AS (
+      SELECT doc_id, {QUALITY_SQL} AS quality FROM documents
+    ), r AS (
+      SELECT doc_id, quality,
+             row_number() OVER (ORDER BY quality DESC, doc_id) AS rk
+      FROM q
+    )
+    SELECT CAST((rk - 1) // {P19_SHARD_DOCS} AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(min(rk) AS BIGINT) AS first_rank,
+           CAST(max(rk) AS BIGINT) AS last_rank,
+           CAST(sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS q_sum_4dp
+    FROM r
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+    @query("p19_curriculum_order", oracle=oracle)
+    def p19_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spark_streaming_logservice_spark.operators.text import (
+            quality_expr,
+            spread_rowlocal,
+        )
+
+        d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+        scored = d.select("doc_id", quality_expr().alias("quality"))
+        ranked = distributed_row_number(
+            scored, [F.desc("quality"), F.asc("doc_id")], out="rk"
+        )
+        return (
+            ranked.groupBy(
+                F.floor((F.col("rk") - 1) / P19_SHARD_DOCS)
+                .cast("int")
+                .alias("shard")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("rk").alias("first_rank"),
+                F.max("rk").alias("last_rank"),
+                F.sum(
+                    F.floor(F.col("quality") * 10000 + 0.5).cast("bigint")
+                ).alias("q_sum_4dp"),
+            )
+            .orderBy("shard")
+        )
+
+
+_register_p19()

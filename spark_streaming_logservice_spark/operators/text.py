@@ -104,6 +104,40 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """t02's composite quality score (length/punctuation/stopword mix) as a
+    reusable row-local expression — also the curriculum difficulty key
+    (p19)."""
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,!]", "")
+    )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return (
+        F.least(n_chars.cast("double") / 500, F.lit(1.0)) * 0.5
+        + (1 - n_punct.cast("double") / F.greatest(n_chars, F.lit(1))) * 0.3
+        + F.least(
+            n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)) * 5, F.lit(1.0)
+        )
+        * 0.2
+    )
+
+
+# DuckDB mirror of quality_expr, used by the t02 and p19 oracles.
+QUALITY_SQL = (
+    "least(CAST(length(text) AS DOUBLE) / 500, 1.0) * 0.5"
+    " + (1 - CAST(length(text) - length(replace(replace(replace(text, '.', ''),"
+    " ',', ''), '!', '')) AS DOUBLE)"
+    " / greatest(length(text), 1)) * 0.3"
+    " + least(CAST(len(list_filter(string_split(text, ' '),"
+    f" t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)"
+    " / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)"
+    " * 5, 1.0) * 0.2"
+)
+
+
 # --- t02: quality score (length/punctuation/stopword composite) ------------
 
 @query(
@@ -132,20 +166,9 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
     n_chars = F.length("text")
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.col("text"), r"[.,!]", "")
-    )
     toks = _toks()
     n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    quality = (
-        F.least(n_chars.cast("double") / 500, F.lit(1.0)) * 0.5
-        + (1 - n_punct.cast("double") / F.greatest(n_chars, F.lit(1))) * 0.3
-        + F.least(
-            n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)) * 5, F.lit(1.0)
-        )
-        * 0.2
-    )
+    quality = quality_expr()
     return (
         d.select(
             "doc_id",

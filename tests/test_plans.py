@@ -122,6 +122,13 @@ def test_dedup_never_forces_per_doc_broadcast(spark, sf_dir, name):
     )
 
 
+def test_p19_curriculum_rank_is_distributed(spark, sf_dir):
+    """The curriculum rank must come from the range-partitioned two-pass
+    rank, not a partition-less row_number over the corpus."""
+    df = registry.QUERIES["p19_curriculum_order"](spark, sf_dir)
+    assert pi.global_window_count(df) == 0, pi.formatted_plan(df)[:2000]
+
+
 def test_c05_temporal_join_is_one_window_no_join(spark, sf_dir):
     """The SCD-2 temporal enrichment must be the carry-forward window —
     zero join operators, one user-keyed shuffle for the window (+1 for the
