@@ -468,6 +468,7 @@ def main() -> None:
         "c05_scd2_temporal_join",
         "s20_sq8_rerank",
         "p19_curriculum_order",
+        "d20_quality_collapse",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

@@ -1260,3 +1260,81 @@ def d19_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_a", "src_b", F.col("pairs").alias("n_dup_pairs"))
         .orderBy(F.desc("n_dup_pairs"), F.asc("src_a"), F.asc("src_b"))
     )
+
+
+# --- d20: quality-aware near-dup collapse report -----------------------------
+# Collapse POLICY, not just clustering: production dedup keeps the BEST
+# document per near-dup cluster (highest quality score), not the lowest
+# id — boilerplate-ridden copies drop, the cleanest variant survives. Per
+# source: how many docs survive the collapse. Scale shape: reuses the
+# pinned d08 LSH+CC chain (per-round localCheckpoint, bucket-capped
+# candidates); the keeper rank is a CLUSTER-partitioned window over the
+# O(clustered docs) assignment — never the corpus, never partition-less;
+# quality is row-local and the keeper choice is a comparison (argmax),
+# not a float sum, so it is deterministic at any partitioning.
+
+def _register_d20() -> None:
+    from spark_streaming_logservice_spark.operators.text import (
+        QUALITY_SQL,
+        quality_expr,
+    )
+
+    tail = f"""
+    , q AS (
+      SELECT doc_id, source, {QUALITY_SQL} AS quality FROM documents
+    ), ranked AS (
+      SELECT a.doc_id,
+             row_number() OVER (PARTITION BY a.cluster_id
+                                ORDER BY q.quality DESC, a.doc_id) AS krk
+      FROM assign a JOIN q ON q.doc_id = a.doc_id
+    )
+    SELECT q.source,
+           count(*) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN r.krk > 1 THEN 1 END), 0) AS BIGINT)
+             AS n_dropped,
+           round(1.0 - CAST(coalesce(sum(CASE WHEN r.krk > 1 THEN 1 END), 0)
+                            AS DOUBLE) / count(*), 4) AS retention_rate
+    FROM q LEFT JOIN ranked r ON r.doc_id = q.doc_id
+    GROUP BY q.source
+    ORDER BY q.source
+    """
+
+    @query("d20_quality_collapse", oracle=_duckdb_cluster_sql(tail))
+    def d20_quality_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        d = load_table(spark, sf_dir, "documents")
+        # pin the LSH+CC chain so the cluster assignment computes ONCE
+        # (d18's lesson — unpinned, every consumer re-runs the pipeline)
+        assign = neardup_clusters(d).localCheckpoint(eager=True)
+        q = d.select("doc_id", "source", quality_expr().alias("quality"))
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("quality"), F.asc("doc_id")
+        )
+        ranked = (
+            assign.join(q, "doc_id")
+            .withColumn("krk", F.row_number().over(w))
+            .select("doc_id", "krk")
+        )
+        return (
+            q.join(ranked, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.when(F.col("krk") > 1, 1)), F.lit(0)
+                ).cast("bigint").alias("n_dropped"),
+                F.round(
+                    1.0
+                    - F.coalesce(
+                        F.sum(F.when(F.col("krk") > 1, 1)), F.lit(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("retention_rate"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_d20()

@@ -109,6 +109,7 @@ def test_codegen_active(spark, sf_dir, name):
         "d02_ngram_jaccard",
         "d13_containment_pairs",
         "d19_cross_source_dup_matrix",
+        "d20_quality_collapse",
     ],
 )
 def test_dedup_never_forces_per_doc_broadcast(spark, sf_dir, name):
