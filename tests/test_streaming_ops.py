@@ -366,3 +366,33 @@ def test_rate_walk_progress_with_inverse_time_interleaving(tmp_path):
         if seen >= 2:
             break
     assert seen == 2, "walk stalled on inverse time/seq interleaving"
+
+
+def test_e12_ntile_formula_matches_native_ntile(spark):
+    """e12's closed-form ntile(4) bucket (over the distributed rank) must
+    equal Spark's native ntile(4) for EVERY population size 1..40 — the
+    boundary arithmetic (first n%4 buckets one row larger) is exactly where
+    an off-by-one would corrupt quartiles silently."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = spark.range(1, 41).select(F.col("id").alias("n")).join(
+        spark.range(1, 41).select(F.col("id").alias("i")), F.col("i") <= F.col("n")
+    )
+    native = F.ntile(4).over(
+        Window.partitionBy("n").orderBy("i")
+    )
+    base = F.floor(F.col("n") / 4)
+    rem = F.col("n") % 4
+    head = rem * (base + 1)
+    formula = (
+        F.when(F.col("i") <= head, F.ceil(F.col("i") / (base + 1)))
+        .otherwise(rem + F.ceil((F.col("i") - head) / F.greatest(base, F.lit(1))))
+        .cast("int")
+    )
+    bad = (
+        rows.select("n", "i", native.alias("nt"), formula.alias("fm"))
+        .where(F.col("nt") != F.col("fm"))
+        .count()
+    )
+    assert bad == 0
