@@ -237,3 +237,32 @@ def test_expire_drops_whole_shard_without_reading_boundary(spark, tmp_path):
     assert not os.path.exists(os.path.join(table, "parts", "2024-01"))
     left = R.read_rollup(spark, table).collect()
     assert all(str(r["bucket"]) >= "2024-02-10" for r in left)
+
+
+def test_partial_multi_shard_publish_converges_on_replay(spark, tmp_path):
+    """A crash BETWEEN two shard publishes of one batch: shard A committed
+    (its _batch_meta names the batch), shard B torn mid-swap (pre-batch
+    data stranded as .old, no data dir). Replaying the batch must skip A
+    (per-shard meta) and merge B exactly once — per-shard convergence."""
+    import shutil
+
+    table = str(tmp_path / "rollup")
+    jan = [("2024-01-05 10:00:10", "click")]
+    feb = [("2024-02-06 10:00:10", "error")]
+    R.merge_partials(table, R.minute_partials(_batch(spark, jan + feb)), batch_id=0)
+    feb_dir = os.path.join(table, "parts", "2024-02")
+    pre = str(tmp_path / "feb-pre")
+    shutil.copytree(os.path.join(feb_dir, "data"), pre)
+
+    # batch 1 touches both shards; then simulate the partial crash: Jan
+    # committed, Feb torn back to its pre-batch state as .old
+    rows1 = [("2024-01-05 10:07:10", "click"), ("2024-02-06 10:09:10", "click")]
+    R.merge_partials(table, R.minute_partials(_batch(spark, rows1)), batch_id=1)
+    shutil.rmtree(os.path.join(feb_dir, "data"))
+    shutil.copytree(pre, os.path.join(feb_dir, "data.old"))
+
+    # replay of batch 1: Jan is a per-shard no-op, Feb heals + merges once
+    R.merge_partials(table, R.minute_partials(_batch(spark, rows1)), batch_id=1)
+    total = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    # 4 distinct minutes x (hour+day) levels, each 1 event
+    assert total == 8
