@@ -253,6 +253,13 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         "batches": n_batches,
         "sec": round(dt, 3),
         "rows_per_sec": round(n_events / dt, 1),
+        "note": (
+            "sharded-store publish (r7): ~15% slower at this 1-month toy "
+            "history than the monolithic swap it replaced (extra dirty-"
+            "shard probe + per-shard rename) — the price of bounded "
+            "publish; at years-long history the monolithic rewrite is "
+            "O(history) per batch while this stays O(touched shards)"
+        ),
     }
 
     # documents is 5k rows at sf0.1 — 1.25k-row micro-batches measure
@@ -286,6 +293,13 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         "batches": n_batches,
         "sec": round(dt, 3),
         "rows_per_sec": round(n_docs / dt, 1),
+        "note": (
+            "input replicated to ~100k unique rows (r7) so batches carry "
+            "the same volume as the rollup bench — the r1-r6 figure "
+            "(~2.4k rows/s on 1.25k-row batches) measured Spark's fixed "
+            "per-job latency, not the operator; the store itself is "
+            "append-only with a map-only broadcast-probe anti-join"
+        ),
     }
     return out
 
