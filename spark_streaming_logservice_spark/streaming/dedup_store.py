@@ -135,3 +135,35 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
             novel.unpersist()
 
     return apply
+
+
+def compact_digest_store(spark, digest_dir: str) -> int:
+    """Small-file maintenance for the append-only digest store: merge every
+    published batch dir into ONE compacted dir (same recovery rule as the
+    rest of the store — staging is invisible until renamed). Returns the
+    number of source dirs retired.
+
+    Crash contract: the compacted dir is renamed into place BEFORE the
+    covered dirs are deleted, so a crash mid-cleanup leaves some digests
+    present twice — harmless for dedup (an anti-join is idempotent in the
+    probe side; duplicate store digests change nothing) and healed by the
+    next compaction. Batch ``.done`` markers are untouched, so replays of
+    compacted batches still short-circuit."""
+    files = _store_files(digest_dir)
+    if len(files) <= 1:
+        return 0
+    staging = os.path.join(digest_dir, f"_staging-compact-{uuid.uuid4().hex}")
+    (
+        spark.read.schema(DIGEST_SCHEMA)
+        .parquet(*files)
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    final = os.path.join(
+        digest_dir, f"compacted-{uuid.uuid4().hex[:8]}.parquet"
+    )
+    os.rename(staging, final)
+    for f in files:
+        shutil.rmtree(f, ignore_errors=True)
+    return len(files)

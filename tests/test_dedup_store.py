@@ -118,3 +118,41 @@ def test_orphaned_staging_swept_on_next_apply(spark, store):
     apply(_batch(spark, [(2, "bb")]), 1)
     assert not os.path.exists(orphan)
     assert forwarded[-1] == (1, [(2, "bb")])
+
+
+def test_compaction_preserves_dedup_and_replay(spark, tmp_path):
+    """Compacting the digest store must not change what is deduplicated,
+    and batch replays after compaction stay no-ops (markers survive)."""
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        _store_files,
+        compact_digest_store,
+        dedup_on_ingest,
+    )
+
+    digest_dir = str(tmp_path / "dg")
+    seen = []
+    ingest = dedup_on_ingest(
+        lambda df, bid: seen.append(
+            sorted(r["doc_id"] for r in df.select("doc_id").collect())
+        ),
+        digest_dir,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    ingest(batch([(1, "aa"), (2, "bb")]), 0)
+    ingest(batch([(3, "aa"), (4, "cc")]), 1)  # 3 is a dup of 1
+    assert seen == [[1, 2], [4]]
+    assert len(_store_files(digest_dir)) == 2
+
+    retired = compact_digest_store(spark, digest_dir)
+    assert retired == 2
+    assert len(_store_files(digest_dir)) == 1
+
+    # dedup against the compacted store still filters known digests
+    ingest(batch([(5, "bb"), (6, "dd")]), 2)
+    assert seen[-1] == [6]
+    # replay of a pre-compaction batch is still a marker no-op
+    ingest(batch([(1, "aa"), (2, "bb")]), 0)
+    assert seen[-1] == [6], "replayed batch must not re-forward"
