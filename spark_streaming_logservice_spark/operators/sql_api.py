@@ -141,12 +141,17 @@ ORDER BY o_custkey, run_total
 # the revenue inside that band — the frame clause ROWS can't express.
 # Deterministic: the frame is defined by VALUES, so peer order doesn't
 # matter; count/sum over the band are exact.
+# A RANGE frame needs a TOTAL order, so this window is inherently
+# partition-less — the scale guard is the predicate: o_custkey < 150 bounds
+# the windowed relation by KEY RANGE (~150 customers' orders at ANY scale
+# factor), unlike a modulo slice whose row count would grow with SF and
+# eventually funnel millions of rows through one task.
 SQL08 = """
 SELECT o_orderkey, o_totalprice,
        count(*) OVER band AS n_in_band,
        round(sum(o_totalprice) OVER band, 2) AS band_revenue
 FROM orders
-WHERE o_custkey % 200 = 11
+WHERE o_custkey < 150
 WINDOW band AS (ORDER BY o_totalprice
                 RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
 ORDER BY o_totalprice, o_orderkey

@@ -716,3 +716,38 @@ def test_d18_histogram_reuses_pinned_chain(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, "cluster chain must be pinned"
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) <= 1, "corpus scanned at most once after the pin"
+
+
+# Global-window allowlist: every query whose plan contains a partition-less
+# Window operator must be on this list, and each entry's windowed relation
+# must be bounded independent of corpus size (the e06 tiny-aggregate
+# pattern). Anything else is the v04-class scale bug: the whole relation
+# through ONE task at 100 TB.
+GLOBAL_WINDOW_OK = {
+    "e13_cumulative_reach",      # running sum over O(days)
+    "e16_changepoint_detection", # running sums over O(days)
+    "e17_growth_accounting",     # lag over O(weeks)
+    "p16_mixture_schedule",      # schedule over O(sources x steps)
+    "q27_monthly_growth",        # lag over O(months)
+    "s18_threshold_sweep",       # rank over O(thresholds)
+    "sql08_range_frame",         # RANGE frame demo over a KEY-BOUNDED slice
+    "v01_vocab_topk",            # rank over the post-limit 100-row head
+    "v02_bpe_pair_counts",       # rank over the post-limit 50-row head
+    "v05_zipf_slope",            # regression over the 100-row head
+    "v06_bpe_merge_rounds",      # rank over the post-limit 10-row head
+}
+
+
+def test_every_global_window_is_on_the_bounded_allowlist(spark, sf_dir):
+    hits = {}
+    for name in sorted(registry.QUERIES):
+        df = registry.QUERIES[name](spark, sf_dir)
+        n = pi.global_window_count(df)
+        if n > 0:
+            hits[name] = n
+    unapproved = set(hits) - GLOBAL_WINDOW_OK
+    assert not unapproved, (
+        f"partition-less Window in {sorted(unapproved)} — either rewrite "
+        "onto distributed_row_number / a partitioned window, or prove the "
+        "windowed relation is corpus-size-independent and allowlist it"
+    )
