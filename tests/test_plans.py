@@ -738,16 +738,50 @@ GLOBAL_WINDOW_OK = {
 }
 
 
-def test_every_global_window_is_on_the_bounded_allowlist(spark, sf_dir):
-    hits = {}
+# BroadcastNestedLoopJoin allowlist: every BNLJ in the surface is a
+# crossJoin with a BROADCAST side that is bounded by construction — a 1-row
+# scalar aggregate (totals/max/anchor: the decorrelated scalar-subquery
+# shape), a fixed query set (N_QUERY rows), or a k-row centroid/threshold
+# table. A BNLJ against a corpus-sized side would be quadratic; any new
+# entry here needs that boundedness argument.
+BNLJ_OK = {
+    "c04_snapshot_asof", "d18_cluster_size_histogram",
+    "e08_conversion_funnel_7d", "e11_ab_test_lift", "e12_rfm_segments",
+    "g02_triangle_count", "l22_equidepth_histogram",
+    "m09_image_ahash_neardup", "p11_neyman_allocation",
+    "p13_temperature_mixture", "p14_group_split", "p17_leakage_free_split",
+    "q11_semi_anti_join", "q20_set_operations", "q22_balance_no_orders",
+    "q31_revenue_concentration", "s01_cosine_topk", "s05_ann_ivf",
+    "s06_ann_ivf_recall", "s11_semdedup", "s12_semdedup_report",
+    "s16_mips_topk", "s17_cosine_range_search", "s19_lsh_recall_at_k",
+    "s20_sq8_rerank", "t10_unigram_logprob", "t14_source_divergence",
+    "v03_tfidf_top_terms", "v04_vocab_coverage", "v07_bm25_scoring",
+    "v08_heaps_law",
+}
+
+
+def test_plan_hazard_sweep_over_every_query(spark, sf_dir):
+    """ONE pass over all registered query plans pinning three invariants:
+    (1) no CartesianProduct anywhere — every cross join broadcasts;
+    (2) every partition-less Window is on the bounded allowlist;
+    (3) every BroadcastNestedLoopJoin is on the bounded-side allowlist."""
+    cartesian, bad_windows, bad_bnlj = [], [], []
     for name in sorted(registry.QUERIES):
         df = registry.QUERIES[name](spark, sf_dir)
-        n = pi.global_window_count(df)
-        if n > 0:
-            hits[name] = n
-    unapproved = set(hits) - GLOBAL_WINDOW_OK
-    assert not unapproved, (
-        f"partition-less Window in {sorted(unapproved)} — either rewrite "
-        "onto distributed_row_number / a partitioned window, or prove the "
+        plan = pi.formatted_plan(df)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if pi.global_window_count(df) > 0 and name not in GLOBAL_WINDOW_OK:
+            bad_windows.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            bad_bnlj.append(name)
+    assert not cartesian, f"CartesianProduct in {cartesian}"
+    assert not bad_windows, (
+        f"partition-less Window in {bad_windows} — rewrite onto "
+        "distributed_row_number / a partitioned window, or prove the "
         "windowed relation is corpus-size-independent and allowlist it"
+    )
+    assert not bad_bnlj, (
+        f"BroadcastNestedLoopJoin in {bad_bnlj} — prove the broadcast side "
+        "is bounded by construction and allowlist it"
     )
