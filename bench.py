@@ -483,6 +483,7 @@ def main() -> None:
         "s20_sq8_rerank",
         "p19_curriculum_order",
         "d20_quality_collapse",
+        "v09_tokenizer_fertility",
     ]
     extras: dict[str, float] = {}
     for name in extra_names:

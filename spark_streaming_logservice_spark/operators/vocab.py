@@ -663,3 +663,74 @@ def v08_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_coef"),
         F.round(F.regr_r2(F.col("ly"), F.col("lx")), 4).alias("r2"),
     )
+
+
+# --- v09: tokenizer fertility / compression by source ------------------------
+# Tokenizer-efficiency report: how many characters and whitespace words does
+# one BPE-regex token cover, per source? Fertility (BPE tokens per word) and
+# compression (chars per BPE token) are the two numbers a tokenizer eval
+# tracks — a source with low compression (code, tables) costs more context
+# budget per byte. Row-local token counting (t03's regex + the whitespace
+# split) feeds one source-keyed aggregate of INTEGER sums; the two ratios
+# derive from exact integers, so the report is deterministic at any
+# partitioning. One corpus scan, one tiny shuffle.
+
+def _register_v09() -> None:
+    from spark_streaming_logservice_spark.operators.text import (
+        TOKEN_RE,
+        spread_rowlocal,
+    )
+
+    oracle = f"""
+    WITH per AS (
+      SELECT source,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 4)
+             AS chars_per_token,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 4) AS fertility
+    FROM per
+    GROUP BY source
+    ORDER BY source
+    """
+
+    @query("v09_tokenizer_fertility", oracle=oracle)
+    def v09_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+        per = d.select(
+            "source",
+            F.length("text").alias("n_chars"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+            ).alias("n_bpe"),
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("n_words"),
+        )
+        return (
+            per.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+                F.sum("n_words").cast("bigint").alias("total_words"),
+                F.round(
+                    F.sum("n_chars").cast("double") / F.sum("n_bpe"), 4
+                ).alias("chars_per_token"),
+                F.round(
+                    F.sum("n_bpe").cast("double") / F.sum("n_words"), 4
+                ).alias("fertility"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_v09()
