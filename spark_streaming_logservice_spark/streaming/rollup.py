@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -46,6 +47,19 @@ from spark_streaming_logservice_spark.streaming.queries import (
 
 _SCHEMA = "bucket TIMESTAMP_NTZ, n_events BIGINT, n_errors BIGINT"
 _PART = "__part"
+
+# Optional span-timing hook (bench instrumentation): set to a dict and
+# _merge_sharded accumulates wall-clock seconds per phase into it —
+# ``probe`` (dirty-shard detection), ``write`` (the one merged-output
+# Spark job), ``publish`` (marker + renames). Never set in production use.
+TIMINGS: dict | None = None
+
+
+def _span(key: str, t0: float) -> None:
+    import time as _t
+
+    if TIMINGS is not None:
+        TIMINGS[key] = TIMINGS.get(key, 0.0) + (_t.perf_counter() - t0)
 
 
 def minute_partials(df: DataFrame, time_col: str = "ts",
@@ -142,6 +156,60 @@ def _shard_root(table_dir: str) -> str:
     return os.path.join(table_dir, "parts")
 
 
+# Shard directory names must round-trip through the filesystem verbatim:
+# Spark's partitioned write escapes anything outside this set (space, ':',
+# '%' → '%XX'; NULL → __HIVE_DEFAULT_PARTITION__), which would desync the
+# publish loop's expected paths from what the staging write produced and
+# silently drop that shard's delta (ADVICE r7). Reject instead of lose.
+_SAFE_PART = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _check_part_value(pv) -> str:
+    if pv is None or not _SAFE_PART.match(str(pv)):
+        raise ValueError(
+            f"unsafe shard partition value {pv!r}: partition_expr must "
+            "yield non-null strings matching [A-Za-z0-9._-]+ (anything "
+            "else is filesystem-escaped by the partitioned write, "
+            "desyncing staging paths from the publish loop)"
+        )
+    return str(pv)
+
+
+def _migrate_legacy(spark: SparkSession, table_dir: str, schema: str,
+                    partition_expr: Column) -> None:
+    """One-time fold of a pre-sharding single-dir store (``table_dir/data``)
+    into the shard layout (ADVICE r7: without this, the first sharded merge
+    would write only ``parts/<shard>`` and ``store_data_dirs`` would then
+    permanently hide the legacy dir — silent loss of all prior state).
+
+    Crash-safe and idempotent: the legacy dir is the source of truth until
+    the final rmtree, so a re-run after a partial publish re-derives
+    identical shard contents and skips the shards that already landed."""
+    data, _ = _recover_swap(table_dir, None)  # heal a torn legacy swap
+    if not os.path.exists(data):
+        return
+    root = _shard_root(table_dir)
+    base = (
+        spark.read.schema(schema)
+        .parquet(data)
+        .withColumn(_PART, partition_expr.cast("string"))
+    )
+    staging = os.path.join(root, f"_staging-migrate-{uuid.uuid4().hex}")
+    base.write.mode("overwrite").partitionBy(_PART).parquet(staging)
+    for d in os.listdir(staging):
+        if not d.startswith(f"{_PART}="):
+            continue
+        pv = _check_part_value(d.split("=", 1)[1])
+        dst = os.path.join(root, pv, "data")
+        if os.path.exists(dst):  # published by a crashed earlier migration
+            continue             # (legacy unchanged since → same content)
+        os.makedirs(os.path.join(root, pv), exist_ok=True)
+        os.rename(os.path.join(staging, d), dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(data, ignore_errors=True)  # commit: legacy gone
+    shutil.rmtree(data + ".old", ignore_errors=True)
+
+
 def _shard_dirs(table_dir: str) -> list[str]:
     root = _shard_root(table_dir)
     if not os.path.isdir(root):
@@ -197,18 +265,29 @@ def _merge_sharded(
     for d in os.listdir(root):
         if d.startswith("_staging"):
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # fold a pre-sharding single-dir store into the shard layout before the
+    # first sharded merge can shadow it (ADVICE r7)
+    if os.path.exists(os.path.join(table_dir, "data")) or os.path.exists(
+        os.path.join(table_dir, "data.old")
+    ):
+        _migrate_legacy(spark, table_dir, schema, partition_expr)
+
+    import time as _t
 
     tagged = delta.withColumn(_PART, partition_expr.cast("string"))
     cached = partition_bounds is None
     if cached:
         tagged.persist()
     try:
+        t0 = _t.perf_counter()
         if partition_bounds is not None:
             dirty = sorted(set(partition_bounds()))
         else:
             dirty = sorted(
                 r[0] for r in tagged.select(_PART).distinct().collect()
             )
+        dirty = [_check_part_value(pv) for pv in dirty]
+        _span("probe", t0)
         if not dirty:
             return
         # shards this batch already committed to (crash between shard
@@ -250,6 +329,7 @@ def _merge_sharded(
         # batches (the common case for a time-local stream) skip the dynamic
         # partition committer entirely: plain coalesced write, one rename.
         staging = os.path.join(root, f"_staging-{uuid.uuid4().hex}")
+        t0 = _t.perf_counter()
         if len(todo) == 1:
             merged.drop(_PART).coalesce(1).write.mode("overwrite").parquet(
                 staging
@@ -260,11 +340,24 @@ def _merge_sharded(
                 "overwrite"
             ).partitionBy(_PART).parquet(staging)
             srcs = {pv: os.path.join(staging, f"{_PART}={pv}") for pv in todo}
+        _span("write", t0)
+        t0 = _t.perf_counter()
         # publish shard-by-shard: two-phase rename, commit point per shard
         for pv in todo:
             src = srcs[pv]
-            if not os.path.exists(src):  # empty shard output (over-approx
-                continue                 # candidate with no delta rows)
+            if not os.path.exists(src):
+                if partition_bounds is None:
+                    # pv was COLLECTED from actual delta rows — a missing
+                    # staging dir means the partitioned write's directory
+                    # name diverged from pv (escaping) or the write lost
+                    # rows; skipping would silently drop this shard's
+                    # delta while the batch marker still commits
+                    raise RuntimeError(
+                        f"staging output missing for dirty shard {pv!r} "
+                        f"(expected {src}); refusing to publish a partial "
+                        "batch"
+                    )
+                continue  # over-approx candidate with no delta rows
             if batch_id is not None:
                 with open(os.path.join(src, "_batch_meta.json"), "w") as f:
                     json.dump({"batch_id": batch_id}, f)
@@ -277,6 +370,7 @@ def _merge_sharded(
             os.rename(src, data)
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+        _span("publish", t0)
     finally:
         if cached:
             tagged.unpersist()
@@ -452,15 +546,30 @@ def read_rollup_gap_filled(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def _footer_num_rows(data_dir: str) -> int:
+    """Row count of a shard's data dir from parquet FOOTER METADATA only —
+    no row groups decoded, no Spark job; keeps expire_rollup's
+    wholly-expired path metadata-only (ADVICE r7: the previous full
+    ``spark.read...count()`` made retention scan the entire expired
+    history just to build the return value)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(data_dir):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+    return total
+
+
 def expire_rollup(table_dir: str, older_than, spark: SparkSession) -> int:
     """Retention maintenance: drop base-table buckets older than the cut.
     Sharded layout: shards wholly before the cut are DELETED as directories
-    (metadata-only — no rows read or rewritten, which is the point of
-    calendar sharding for retention); only the boundary shard is
-    row-filtered through the same two-phase swap as a merge, so retention
-    keeps full bucket precision at any shard granularity. Returns the
-    number of buckets dropped. Legacy single-dir stores fall back to the
-    whole-table filter+swap."""
+    (their dropped-bucket count comes from parquet footer metadata — no
+    rows read or rewritten, which is the point of calendar sharding for
+    retention); only the boundary shard is row-filtered through the same
+    two-phase swap as a merge, so retention keeps full bucket precision at
+    any shard granularity. Returns the number of buckets dropped. Legacy
+    single-dir stores fall back to the whole-table filter+swap."""
     cut = str(older_than)[:10]  # yyyy-MM-dd of the retention boundary
     shards = _shard_dirs(table_dir)
     if shards:
@@ -472,7 +581,7 @@ def expire_rollup(table_dir: str, older_than, spark: SparkSession) -> int:
             if not os.path.exists(data):
                 continue
             if name < edge:
-                dropped += spark.read.schema(_SCHEMA).parquet(data).count()
+                dropped += _footer_num_rows(data)
                 shutil.rmtree(shard, ignore_errors=True)
             elif name == edge:
                 base = spark.read.schema(_SCHEMA).parquet(data)

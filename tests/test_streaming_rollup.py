@@ -266,3 +266,93 @@ def test_partial_multi_shard_publish_converges_on_replay(spark, tmp_path):
     total = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
     # 4 distinct minutes x (hour+day) levels, each 1 event
     assert total == 8
+
+
+def test_legacy_single_dir_store_migrates_into_shards(spark, tmp_path):
+    """A store created by the pre-sharding layout (table/data) must be
+    folded into the shard layout by the first sharded merge — not silently
+    shadowed (ADVICE r7: store_data_dirs hides table/data as soon as any
+    shard exists)."""
+    table = str(tmp_path / "rollup")
+    jan = _batch(spark, [("2024-01-05 10:00:10", "click")])
+    # legacy layout: merge without partition_expr writes table/data
+    R.merge_additive(
+        table, R.minute_partials(jan), key_cols=["bucket"],
+        sum_cols=["n_events", "n_errors"], schema=R._SCHEMA, batch_id=0,
+    )
+    assert os.path.isdir(os.path.join(table, "data"))
+
+    feb = _batch(spark, [("2024-02-06 10:00:10", "error")])
+    R.merge_partials(table, R.minute_partials(feb), batch_id=1)
+    # legacy dir consumed, January's history now lives in its month shard
+    assert not os.path.exists(os.path.join(table, "data"))
+    assert os.path.isdir(os.path.join(table, "parts", "2024-01", "data"))
+    total = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    assert total == 4  # 2 events x (hour+day), nothing lost
+
+    # and a further merge keeps compounding on the migrated state
+    R.merge_partials(
+        table,
+        R.minute_partials(_batch(spark, [("2024-01-05 10:00:40", "click")])),
+        batch_id=2,
+    )
+    total = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    assert total == 6
+
+
+def test_legacy_migration_is_idempotent_after_partial_crash(spark, tmp_path):
+    """Crash after the migration published one shard but before the legacy
+    dir was removed: the re-run must not double-count the published shard."""
+    table = str(tmp_path / "rollup")
+    rows = [("2024-01-05 10:00:10", "click"), ("2024-02-06 10:00:10", "click")]
+    R.merge_additive(
+        table, R.minute_partials(_batch(spark, rows)), key_cols=["bucket"],
+        sum_cols=["n_events", "n_errors"], schema=R._SCHEMA, batch_id=0,
+    )
+    # simulate the partial crash: January already landed as a shard while
+    # table/data still exists
+    R._migrate_legacy(
+        spark, table, R._SCHEMA, F.date_format("bucket", "yyyy-MM")
+    )
+    import shutil as _sh
+
+    jan = os.path.join(table, "parts", "2024-01")
+    _sh.rmtree(os.path.join(table, "parts", "2024-02"))
+    assert os.path.isdir(jan)
+    # resurrect the legacy dir (as if rmtree never ran)
+    R.merge_additive(  # rebuild legacy data dir verbatim
+        table, R.minute_partials(_batch(spark, rows)), key_cols=["bucket"],
+        sum_cols=["n_events", "n_errors"], schema=R._SCHEMA, batch_id=0,
+    )
+    R.merge_partials(
+        table,
+        R.minute_partials(_batch(spark, [("2024-03-01 00:00:10", "click")])),
+        batch_id=1,
+    )
+    total = R.read_rollup(spark, table).agg(F.sum("n_events")).collect()[0][0]
+    assert total == 6  # 3 events x (hour+day): January NOT double-counted
+
+
+def test_unsafe_partition_value_rejected(spark, tmp_path):
+    """Partition values Spark would escape in directory names (space, ':',
+    '%') or NULLs must raise instead of silently dropping the shard's
+    delta (ADVICE r7)."""
+    import pytest
+
+    table = str(tmp_path / "store")
+    delta = spark.createDataFrame(
+        [("k 1", 2)], "k STRING, n BIGINT"
+    )
+    with pytest.raises(ValueError, match="unsafe shard partition value"):
+        R.merge_additive(
+            table, delta, key_cols=["k"], sum_cols=["n"],
+            schema="k STRING, n BIGINT", batch_id=0,
+            partition_expr=F.col("k"),
+        )
+    nulls = spark.createDataFrame([(None, 2)], "k STRING, n BIGINT")
+    with pytest.raises(ValueError, match="unsafe shard partition value"):
+        R.merge_additive(
+            table, nulls, key_cols=["k"], sum_cols=["n"],
+            schema="k STRING, n BIGINT", batch_id=1,
+            partition_expr=F.col("k"),
+        )
