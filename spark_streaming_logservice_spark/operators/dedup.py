@@ -1239,7 +1239,11 @@ def d19_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = d.groupBy("dg", "source").agg(F.count(F.lit(1)).alias("n"))
     within = (
         per.groupBy("source")
-        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("pairs"))
+        # integer DIV keeps the whole sum in bigint (ADVICE r7: the former
+        # /2 double path loses exactness past 2^53, making the result
+        # partition-order dependent); n*(n-1) is always even, so DIV 2 of
+        # each term is exact
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("pairs"))
         .where(F.col("pairs") > 0)
         .select(
             F.col("source").alias("src_a"),

@@ -82,9 +82,9 @@ def read_dup_matrix(spark: SparkSession, table_dir: str) -> DataFrame:
     per = read_store(spark, table_dir, _SCHEMA)
     within = (
         per.groupBy("source")
-        .agg(
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("pairs")
-        )
+        # integer DIV, same as batch d19 (ADVICE r7): every term and every
+        # partial sum stays bigint — exact at any partitioning
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("pairs"))
         .where(F.col("pairs") > 0)
         .select(
             F.col("source").alias("src_a"),

@@ -94,3 +94,33 @@ def test_replay_is_noop_and_buckets_isolated(spark, tmp_path):
         f"buckets {dirty - {new_bucket}} republished by a batch whose "
         f"fingerprints land only in bucket {new_bucket}"
     )
+
+
+def test_streamed_matrix_equals_batch_d19_at_sf001(spark, sf_dir, tmp_path):
+    """Stream the real sf0.01 documents table in 4 micro-batches and assert
+    the served matrix equals the batch d19 result EXACTLY (VERDICT r7 item
+    6: the two paths share the count algebra by construction — this pins it
+    at corpus scale, not just on a 7-row toy)."""
+    from spark_streaming_logservice_spark import registry
+    from spark_streaming_logservice_spark.tables import load_table
+
+    registry.load_all()
+    table = str(tmp_path / "dm")
+    writer = DM.incremental_dup_matrix_writer(table)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    for b in range(4):
+        writer(docs.where(F.col("doc_id") % 4 == b), b)
+
+    served = {
+        (r["src_a"], r["src_b"]): r["n_dup_pairs"]
+        for r in DM.read_dup_matrix(spark, table).collect()
+    }
+    batch = {
+        (r["src_a"], r["src_b"]): r["n_dup_pairs"]
+        for r in registry.QUERIES["d19_cross_source_dup_matrix"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert served == batch and len(batch) > 0
