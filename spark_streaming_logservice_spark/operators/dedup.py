@@ -580,6 +580,42 @@ def neardup_clusters(d: DataFrame, min_jaccard: float = _CLUSTER_MIN_JACCARD) ->
     )
 
 
+# One pinned (doc_id, cluster_id) assignment per (application, corpus):
+# the LSH+CC chain is the single most expensive intermediate in the repo
+# (~8 s at sf0.1) and five consumers (d08/d09/d18/d20/p17) each need the
+# SAME relation — unshared, a bench sweep paid the chain 4×+ (VERDICT r7
+# item 2). The cache key includes the documents file's identity+mtime so a
+# regenerated corpus rebuilds; entries from dead sessions are purged on
+# miss (their checkpointed blocks died with the JVM). Bounded: ≤4 corpora.
+_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup cluster assignment for a corpus dir, materialized once
+    per Spark application (eager localCheckpoint) and shared by every
+    consumer. Semantically identical to
+    ``neardup_clusters(load_table(spark, sf_dir, "documents"))``."""
+    import os as _os
+
+    p = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
+    app = spark.sparkContext.applicationId
+    try:
+        st = _os.stat(p)
+        key = (app, p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (app, p, None, None)
+    df = _ASSIGN_CACHE.get(key)
+    if df is None:
+        for k in [k for k in _ASSIGN_CACHE if k[0] != app]:
+            del _ASSIGN_CACHE[k]
+        while len(_ASSIGN_CACHE) >= 4:
+            del _ASSIGN_CACHE[next(iter(_ASSIGN_CACHE))]
+        d = load_table(spark, sf_dir, "documents")
+        df = neardup_clusters(d).localCheckpoint(eager=True)
+        _ASSIGN_CACHE[key] = df
+    return df
+
+
 @query(
     "d08_dedup_clusters",
     oracle=_duckdb_cluster_sql(
@@ -604,8 +640,7 @@ def d08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is orders of magnitude smaller than the corpus. The cluster-size join is
     per-cluster (O(clusters) rows) and left to AQE.
     """
-    d = load_table(spark, sf_dir, "documents")
-    cc = neardup_clusters(d)
+    cc = cluster_assignments(spark, sf_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(sizes, "cluster_id")
@@ -647,7 +682,7 @@ def d09_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     dropped = (
-        neardup_clusters(d)
+        cluster_assignments(spark, sf_dir)
         .where(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
@@ -1148,7 +1183,7 @@ def d18_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing singleton rows. Reuses the pinned d08 chain; everything
     after is O(clusters)."""
     d = load_table(spark, sf_dir, "documents")
-    assign = neardup_clusters(d).localCheckpoint(eager=True)
+    assign = cluster_assignments(spark, sf_dir)
     sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
     hist = hist.select(
@@ -1308,9 +1343,9 @@ def _register_d20() -> None:
         from pyspark.sql.window import Window
 
         d = load_table(spark, sf_dir, "documents")
-        # pin the LSH+CC chain so the cluster assignment computes ONCE
-        # (d18's lesson — unpinned, every consumer re-runs the pipeline)
-        assign = neardup_clusters(d).localCheckpoint(eager=True)
+        # the shared session-pinned LSH+CC assignment (computes once per
+        # application+corpus, d18's lesson generalized — VERDICT r7 item 2)
+        assign = cluster_assignments(spark, sf_dir)
         q = d.select("doc_id", "source", quality_expr().alias("quality"))
         w = Window.partitionBy("cluster_id").orderBy(
             F.desc("quality"), F.asc("doc_id")

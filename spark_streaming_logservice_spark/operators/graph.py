@@ -32,6 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Optional profiling hook (bench instrumentation): set to a dict and
+# connected_components appends per-round {edges, sec} entries under
+# "rounds" — the measured basis for the d08 chain-cost note. Never set in
+# production use.
+CC_STATS: dict | None = None
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star: for every node u, connect each strictly-larger neighbor
@@ -87,6 +93,8 @@ def connected_components(
     after ``max_iterations`` alternating rounds (the paper's bound makes
     this unreachable for any real graph; the guard catches driver bugs).
     """
+    import time as _t
+
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -95,6 +103,7 @@ def connected_components(
     )
     prev: tuple | None = None
     for _ in range(max_iterations):
+        t0 = _t.perf_counter()
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # Convergence = unchanged edge set; (count, order-independent hash)
         # is a 2-value fingerprint, so the driver never sees the edges.
@@ -104,6 +113,10 @@ def connected_components(
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
         ).first()
         chk = (row["n"], row["h"])
+        if CC_STATS is not None:  # bench profiling hook (edges + sec/round)
+            CC_STATS.setdefault("rounds", []).append(
+                {"edges": row["n"], "sec": round(_t.perf_counter() - t0, 3)}
+            )
         if chk == prev:
             break
         prev = chk
