@@ -1002,12 +1002,12 @@ def s19_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stage 1 scores candidates on 8-bit codes — an INTEGER dot product
 # (exact, engine-identical) descaled by the two per-vector scales — and
 # keeps a shortlist; stage 2 pays full-precision cosine only for the
-# shortlist. 100 TB shape: the corpus streams once as codes (8x smaller
-# than floats — the point of SQ8), queries broadcast, the rerank touches
-# O(queries x shortlist) rows. Here the float vectors ride along in the
-# same projection for simplicity; a disk-resident serving layout would
-# join them back for the shortlist only (the s15 Hamming rerank does
-# exactly that join-back).
+# shortlist. 100 TB shape: the corpus streams once as (id, codes, scale)
+# — 8x smaller than floats, which is the point of SQ8 — queries
+# broadcast, and NO float-array column crosses the candidate exchange
+# (plan-asserted, tests/test_plans.py); the full-precision vectors are
+# joined back only for the O(queries x shortlist) reranked rows via a
+# broadcast of the shortlist against the float table.
 
 SQ8_SHORTLIST = 20
 
@@ -1071,15 +1071,16 @@ def s20_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
         ).alias("q"),
     )
+    # Candidate stage carries (id, codes, scale) ONLY — emb is projected
+    # away before anything shuffles, so the exchange feeding the shortlist
+    # window moves int codes, never the 8x-larger float arrays.
     qs = q8.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
         F.col("scale").alias("q_scale"),
         F.col("q").alias("q_q"),
     )
     cs = q8.select(
         F.col("vec_id").alias("n_id"),
-        F.col("emb").alias("n_emb"),
         F.col("scale").alias("n_scale"),
         F.col("q").alias("n_q"),
     )
@@ -1098,14 +1099,25 @@ def s20_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (dot8.cast("double") * F.col("q_scale")) * F.col("n_scale"), 6
             ).alias("approx"),
-            "q_emb",
-            "n_emb",
         )
     )
     sw = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("n_id"))
-    short = cand.withColumn("srk", F.row_number().over(sw)).where(
-        F.col("srk") <= SQ8_SHORTLIST
+    short = (
+        cand.withColumn("srk", F.row_number().over(sw))
+        .where(F.col("srk") <= SQ8_SHORTLIST)
+        .select("q_id", "n_id", "approx")
     )
+    # Join the full-precision vectors back for the <= queries x 20
+    # shortlist rows only: broadcast the tiny shortlist against the float
+    # table (streamed side = one cold-storage scan of emb, matching rows
+    # survive), then broadcast the N_QUERY query vectors onto the result.
+    with_n = e.join(
+        F.broadcast(short), e["vec_id"] == short["n_id"]
+    ).select("q_id", "n_id", "approx", F.col("emb").alias("n_emb"))
+    q_emb = e.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    with_q = with_n.join(F.broadcast(q_emb), "q_id")
     cosine = F.round(
         _dot(F.col("q_emb"), F.col("n_emb"))
         / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
@@ -1113,7 +1125,7 @@ def s20_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
-        short.select("q_id", "n_id", "approx", cosine.alias("cosine"))
+        with_q.select("q_id", "n_id", "approx", cosine.alias("cosine"))
         .withColumn("rk", F.row_number().over(rw))
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")

@@ -71,6 +71,37 @@ def exchange_count(df: DataFrame) -> int:
     )
 
 
+def hash_exchange_inputs(df: DataFrame) -> list[str]:
+    """The ``Input [n]: [...]`` line of every shuffle Exchange node whose
+    Arguments are hashpartitioning (broadcast exchanges excluded), in plan
+    order. Lets tests assert WHAT crosses a shuffle — e.g. that a
+    retrieve-then-rerank candidate stage moves codes, not float arrays."""
+    lines = formatted_plan(df).splitlines()
+    # formatted plans list node details as "(id) NodeName" header blocks;
+    # find Exchange blocks and pull their Input line
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        s = lines[i].strip()
+        if s.startswith("(") and ") Exchange" in s:
+            block: dict[str, str] = {}
+            j = i + 1
+            while j < len(lines):
+                t = lines[j].strip()
+                if t.startswith("(") and ") " in t[:8]:
+                    break
+                for key in ("Input", "Arguments"):
+                    if t.startswith(key):
+                        block[key] = t
+                j += 1
+            if "hashpartitioning" in block.get("Arguments", ""):
+                out.append(block.get("Input", ""))
+            i = j
+        else:
+            i += 1
+    return out
+
+
 def partition_filters(df: DataFrame) -> list[str]:
     """PartitionFilters entries on scans (non-empty → partition pruning)."""
     out = []

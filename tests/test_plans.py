@@ -232,9 +232,21 @@ def test_t07_redaction_stays_in_codegen(spark, sf_dir):
 def test_d08_clusters_no_forced_broadcast(spark, sf_dir):
     """Pair generation and the cluster-size join are per-document /
     per-cluster relations — O(corpus) rows at 100 TB; broadcasting is AQE's
-    runtime call, never a hint."""
+    runtime call, never a hint. d08 itself now reads the session-pinned
+    assignment (a checkpointed relation), so the chain-shape assertions run
+    against the RAW chain plan, not the collapsed one."""
     df = registry.QUERIES["d08_dedup_clusters"](spark, sf_dir)
     assert pi.broadcast_hint_count(df) == 0
+    from spark_streaming_logservice_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+    from spark_streaming_logservice_spark.tables import load_table
+
+    pairs = lsh_verified_pairs(load_table(spark, sf_dir, "documents"))
+    plan = pi.formatted_plan(pairs)
+    assert pi.broadcast_hint_count(pairs) == 0
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregation(pairs)
 
 
 def test_q24_window_runs_on_aggregate_not_fact(spark, sf_dir):
@@ -784,4 +796,24 @@ def test_plan_hazard_sweep_over_every_query(spark, sf_dir):
     assert not bad_bnlj, (
         f"BroadcastNestedLoopJoin in {bad_bnlj} — prove the broadcast side "
         "is bounded by construction and allowlist it"
+    )
+
+
+def test_s20_candidate_exchange_carries_codes_not_floats(spark, sf_dir):
+    """SQ8's point is that the candidate stream is 8x smaller than the
+    float corpus: the shuffle feeding the shortlist window must move only
+    (q_id, n_id, approx) — the full-precision arrays are joined back for
+    the <= queries x shortlist rows AFTER the top-k (VERDICT r7 item 3).
+    Concretely: at least one hash exchange carries no array column at all
+    (the candidate stage), and any exchange that does carry the emb arrays
+    is the rerank one, fed by the broadcast-shortlist join."""
+    df = registry.QUERIES["s20_sq8_rerank"](spark, sf_dir)
+    inputs = pi.hash_exchange_inputs(df)
+    assert inputs, "expected hash exchanges in the s20 plan"
+    no_float = [s for s in inputs if "emb" not in s]
+    with_float = [s for s in inputs if "emb" in s]
+    assert no_float, f"candidate exchange must be codes-only, got {inputs}"
+    assert len(with_float) <= 1, (
+        "only the post-shortlist rerank exchange may carry float arrays, "
+        f"got {with_float}"
     )
