@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
+import tempfile
 import time
 
 HEADLINE = [
@@ -244,21 +247,32 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
     table = os.path.join(tmp_root, "rollup-table")
     shutil.rmtree(table, ignore_errors=True)
     writer = incremental_rollup_writer(table)
+    from spark_streaming_logservice_spark.streaming import rollup as _R
+
+    _R.TIMINGS = {}
     t0 = _t.perf_counter()
     for b in range(n_batches):
         writer(events.where(F.col("event_id") % n_batches == b), b)
     dt = _t.perf_counter() - t0
+    breakdown = {k: round(v, 3) for k, v in _R.TIMINGS.items()}
+    _R.TIMINGS = None
     out["rollup"] = {
         "rows": n_events,
         "batches": n_batches,
         "sec": round(dt, 3),
         "rows_per_sec": round(n_events / dt, 1),
+        # per-phase wall-clock across all batches: probe = dirty-shard
+        # min/max bounds job over the raw batch, write = the one merged-
+        # output Spark job (base ∪ delta re-aggregate), publish = marker +
+        # renames. Measured in isolation (r8, fresh JVM, core section only)
+        # so the figure and this breakdown are trustworthy vs the r7 run,
+        # which timed this after a 110-operator sweep in the same JVM.
+        "phase_sec": breakdown,
         "note": (
-            "sharded-store publish (r7): ~15% slower at this 1-month toy "
-            "history than the monolithic swap it replaced (extra dirty-"
-            "shard probe + per-shard rename) — the price of bounded "
-            "publish; at years-long history the monolithic rewrite is "
-            "O(history) per batch while this stays O(touched shards)"
+            "sharded-store publish: each batch pays one extra bounds job "
+            "(raw-batch min/max) + per-shard renames vs the monolithic "
+            "swap — O(touched shards) per batch instead of O(history); "
+            "see phase_sec for where the time actually goes"
         ),
     }
 
@@ -304,7 +318,8 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
     return out
 
 
-def main() -> None:
+def _boot():
+    """Session + registry for one bench section (fresh per subprocess)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -313,21 +328,20 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark(app_name="logstream-bench", master=f"local[{cpus}]")
+    return spark, registry, sf_dir
 
-    # Warm the JVM + parquet footers once so per-query timings measure the
-    # engine, not session startup; also pre-builds the sr01 fixture store.
-    registry.QUERIES["q01_pricing_summary"](spark, sf_dir).count()
-    registry.QUERIES["sr01_logstore_typed_agg"](spark, sf_dir).count()
 
-    # Three timed runs per query, keep the min: steady-state engine cost, not
-    # JIT/warmup jitter (methodology recorded in the artifact as runs/agg).
-    # Two runs proved insufficient on noisy virtualized hosts — JIT warmup of
-    # a query's codegen'd stages routinely bleeds into run 2, and the min of
-    # two inflated runs reads as a phantom regression round-over-round.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+def _time_queries(spark, registry, sf_dir: str, names, runs: int) -> dict:
+    """N timed runs per query, keep the min: steady-state engine cost, not
+    JIT/warmup jitter. Two runs proved insufficient on noisy virtualized
+    hosts — JIT warmup of a query's codegen'd stages routinely bleeds into
+    run 2, and the min of two inflated runs reads as a phantom regression
+    round-over-round."""
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
+    for name in names:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -335,6 +349,24 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+    return timings
+
+
+def _section_core() -> dict:
+    """Headline queries + streaming/sink/maintenance throughput, in a JVM
+    that has run NOTHING else — the r7 verdict traced ~4× swings in the
+    stream/sink figures to measuring them after the 110-operator extras
+    sweep in the same session (GC/state perturbation), so the trustworthy
+    numbers get their own process."""
+    spark, registry, sf_dir = _boot()
+
+    # Warm the JVM + parquet footers once so per-query timings measure the
+    # engine, not session startup; also pre-builds the sr01 fixture store.
+    registry.QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+    registry.QUERIES["sr01_logstore_typed_agg"](spark, sf_dir).count()
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings = _time_queries(spark, registry, sf_dir, HEADLINE, runs)
 
     # Record the actual input sizes: the driver regenerates testdata between
     # rounds (round 5 grew documents 2.5x and embeddings 4x at the bench SF),
@@ -362,6 +394,68 @@ def main() -> None:
     }
     if data_probe:
         out["data_probe"] = data_probe
+
+    # Streaming throughput section (VERDICT r2 item 5).
+    try:
+        out["streaming"] = _streaming_bench(
+            spark, os.path.join(tempfile.gettempdir(), "spark_graft_streambench")
+        )
+    except Exception as ex:
+        out["streaming"] = {"error": f"{type(ex).__name__}: {ex}"}
+
+    # Sink write-path throughput (the reference's envelope bounds ingest,
+    # not just scan — BASELINE.md producer rows/sec has no published number,
+    # so this records ours).
+    try:
+        out["sink"] = _sink_bench(
+            spark, os.path.join(tempfile.gettempdir(), "spark_graft_sinkbench")
+        )
+    except Exception as ex:
+        out["sink"] = {"error": f"{type(ex).__name__}: {ex}"}
+
+    # Stateful-maintenance throughput (rollup merge + dedup-on-ingest).
+    try:
+        out["maintenance"] = _maintenance_bench(
+            spark,
+            os.path.join(tempfile.gettempdir(), "spark_graft_maintbench"),
+            sf_dir,
+        )
+    except Exception as ex:
+        out["maintenance"] = {"error": f"{type(ex).__name__}: {ex}"}
+    return out
+
+
+def _section_sweep() -> dict:
+    """Extras (every non-headline operator) + the 10× scale replica —
+    the long tail, isolated from the core section's JVM."""
+    spark, registry, sf_dir = _boot()
+    registry.QUERIES["q01_pricing_summary"](spark, sf_dir).count()  # warm
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    out: dict = {}
+
+    # Build the shared LSH+CC cluster assignment ONCE, cold, with per-round
+    # CC stats — the honest cost of the chain. The five consumers
+    # (d08/d09/d18/d20/p17) then time their post-chain cost against the
+    # session-pinned assignment (the serving posture a real pipeline runs:
+    # cluster once, consume many times). Disclosed here so the per-query
+    # extras numbers are read correctly.
+    from spark_streaming_logservice_spark.operators import dedup as _dd
+    from spark_streaming_logservice_spark.operators import graph as _g
+
+    _g.CC_STATS = {}
+    t0 = time.perf_counter()
+    _dd.cluster_assignments(spark, sf_dir).count()
+    out["neardup_chain"] = {
+        "build_sec": round(time.perf_counter() - t0, 3),
+        "cc_rounds": _g.CC_STATS.get("rounds", []),
+        "note": (
+            "cold one-time build of the shared near-dup assignment "
+            "(minhash -> LSH bucket join -> jaccard verify -> "
+            "large/small-star CC); d08/d09/d18/d20/p17 extras below "
+            "measure post-chain cost against this pinned relation"
+        ),
+    }
+    _g.CC_STATS = None
 
     # Round-3 operator families, reported separately so the headline set —
     # and its round-over-round total — stays comparable. One steady-state
@@ -485,22 +579,16 @@ def main() -> None:
         "d20_quality_collapse",
         "v09_tokenizer_fertility",
     ]
-    extras: dict[str, float] = {}
-    for name in extra_names:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
-        best = None
-        # Same 3-run keep-min as the headliners: the iterative trainers
-        # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run
-        # min still reported a warming run, not steady state.
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        extras[name] = round(best, 3)
+    # Same 3-run keep-min as the headliners: the iterative trainers
+    # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run
+    # min still reported a warming run, not steady state.
+    extras = _time_queries(spark, registry, sf_dir, extra_names, runs)
     out["extra_operators"] = {"queries": extras, "runs": runs, "agg": "min"}
+
+    # Scale-base headline timings measured in THIS session (2 runs, same
+    # as the replica below) so scaling_vs_base compares like with like;
+    # the core section's 3-run figures live in their own process.
+    timings = _time_queries(spark, registry, sf_dir, HEADLINE, 2)
 
     # Scale section (VERDICT r2 item 4, extended to the extras set in r6):
     # the same queries at a 10× key-consistent replica, reported with
@@ -513,8 +601,6 @@ def main() -> None:
     scale_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
     if scale_factor > 1:
         try:
-            import tempfile
-
             from spark_streaming_logservice_spark.scaledata import make_scaled
 
             scale_dir = os.path.join(
@@ -522,6 +608,17 @@ def main() -> None:
             )
             make_scaled(sf_dir, scale_dir, scale_factor)
             base_times = {**extras, **timings}
+            # cold chain build at the replica too, so the scaled d08-family
+            # numbers are post-chain like their base counterparts and the
+            # chain's own scaling curve is recorded explicitly
+            _g.CC_STATS = {}
+            t0 = time.perf_counter()
+            _dd.cluster_assignments(spark, scale_dir).count()
+            chain_10x = {
+                "build_sec": round(time.perf_counter() - t0, 3),
+                "cc_rounds": _g.CC_STATS.get("rounds", []),
+            }
+            _g.CC_STATS = None
             scaled: dict[str, float] = {}
             for name in HEADLINE + [n for n in extra_names if n in extras]:
                 if name == "sr01_logstore_typed_agg":
@@ -537,6 +634,7 @@ def main() -> None:
                 "factor": scale_factor,
                 "value": round(sum(scaled[n] for n in HEADLINE if n in scaled), 3),
                 "queries": scaled,
+                "neardup_chain": chain_10x,
                 "runs": 2,
                 "scaling_vs_base": {
                     n: round(scaled[n] / base_times[n], 2)
@@ -583,42 +681,66 @@ def main() -> None:
             }
         except Exception as ex:  # scale section is best-effort, never fatal
             out["scale"] = {"error": f"{type(ex).__name__}: {ex}"}
+    return out
 
-    # Streaming throughput section (VERDICT r2 item 5).
+
+def _run_section(section: str) -> dict:
+    """Run one bench section in its own python/JVM process and return its
+    JSON result (the isolation is the point — see _section_core)."""
+    fd, out_path = tempfile.mkstemp(suffix=f"-bench-{section}.json")
+    os.close(fd)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_OUT"] = out_path
     try:
-        import tempfile
-
-        out["streaming"] = _streaming_bench(
-            spark, os.path.join(tempfile.gettempdir(), "spark_graft_streambench")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", section],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            timeout=int(os.environ.get("SPARK_GRAFT_BENCH_SECTION_TIMEOUT", "3600")),
         )
+        if proc.returncode != 0:
+            return {"error": f"section {section} exited {proc.returncode}"}
+        with open(out_path) as f:
+            return json.load(f)
     except Exception as ex:
-        out["streaming"] = {"error": f"{type(ex).__name__}: {ex}"}
+        return {"error": f"section {section}: {type(ex).__name__}: {ex}"}
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
 
-    # Sink write-path throughput (the reference's envelope bounds ingest,
-    # not just scan — BASELINE.md producer rows/sec has no published number,
-    # so this records ours).
-    try:
-        import tempfile
 
-        out["sink"] = _sink_bench(
-            spark, os.path.join(tempfile.gettempdir(), "spark_graft_sinkbench")
-        )
-    except Exception as ex:
-        out["sink"] = {"error": f"{type(ex).__name__}: {ex}"}
+def main() -> None:
+    # Child mode: run one section, write its JSON to the path the parent
+    # chose, stay silent on stdout (the driver captures only the parent's
+    # compact line).
+    if "--section" in sys.argv:
+        section = sys.argv[sys.argv.index("--section") + 1]
+        result = _section_core() if section == "core" else _section_sweep()
+        out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(result, f)
+        else:
+            print(json.dumps(result))
+        return
 
-    # Stateful-maintenance throughput (rollup merge + dedup-on-ingest).
-    try:
-        import tempfile
-
-        out["maintenance"] = _maintenance_bench(
-            spark,
-            os.path.join(tempfile.gettempdir(), "spark_graft_maintbench"),
-            sf_dir,
-        )
-    except Exception as ex:
-        out["maintenance"] = {"error": f"{type(ex).__name__}: {ex}"}
+    # Parent mode: core first (fresh JVM, nothing before it), then the
+    # extras/scale sweep in a second process (VERDICT r7 item 8: the
+    # sweep's 110 operators × 3 runs in the same JVM perturbed the
+    # streaming/sink/maintenance figures by up to 4×).
+    out = _run_section("core")
+    if "error" in out:  # core is mandatory — surface the failure loudly
+        print(json.dumps({"metric": "headline_queries_total", **out}))
+        return
+    sweep = _run_section("sweep")
+    for k in ("extra_operators", "scale", "error"):
+        if k in sweep:
+            out[k if k != "error" else "sweep_error"] = sweep[k]
 
     prev = _prev_bench()
+    timings = out["queries"]
     if prev and isinstance(prev.get("queries"), dict):
         out["vs_prev"] = {
             name: round(timings[name] - prev["queries"][name], 3)
