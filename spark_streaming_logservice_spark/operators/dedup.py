@@ -282,16 +282,30 @@ def lsh_pair_overlap(d: DataFrame) -> DataFrame:
     Jaccard (d04), calibration (d12) and containment (d13) all derive from
     these three integers."""
     sig = minhash_signature(d)
-    bands = None
-    for band in range(N_MINHASH // 2):
-        part = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat(
-                F.col(f"mh{2 * band}"), F.lit("|"), F.col(f"mh{2 * band + 1}")
-            ).alias("bkey"),
-        )
-        bands = part if bands is None else bands.union(part)
+    # ONE row-local explode of the per-band keys — NOT a 10-way union of
+    # per-band projections: Catalyst does no common-subexpression
+    # elimination across union branches, and column pruning makes each
+    # branch's pruned signature aggregate canonically DIFFERENT, so the
+    # union form re-ran the tokenize+explode+shuffle pipeline once PER
+    # BAND per consumer (measured 2.4 s of the 4.5 s chain at sf0.1; the
+    # explode form leaves one token shuffle that ReusedExchange shares
+    # across all three bands consumers).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat(
+                    F.col(f"mh{2 * band}"),
+                    F.lit("|"),
+                    F.col(f"mh{2 * band + 1}"),
+                ).alias("bkey"),
+            )
+            for band in range(N_MINHASH // 2)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     # LSH bucket cap (matches the oracle): buckets with >50 docs carry no
     # near-dup signal but cost O(c²) pairs — at 100 TB this cap is what keeps
     # banding linear in corpus size.
