@@ -986,3 +986,121 @@ def t15_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- t16: overlapping context-window chunking --------------------------------
+# The training/RAG chunker's planning pass: split each document's token
+# stream into fixed-size windows (CHUNK_TOKENS, sized to the synthetic
+# corpus's 10-100-token docs so the report is non-degenerate; a prod run
+# would use 1024/768-class windows) advancing by CHUNK_STRIDE
+# (< CHUNK, so consecutive windows overlap by CHUNK - STRIDE tokens — the
+# standard HF return_overflowing_tokens semantics: one window if the doc
+# fits, else 1 + ceil((n_tok - CHUNK)/STRIDE) windows, last one short).
+# Reported per source: chunk counts and the token-duplication cost of the
+# overlap (total chunked tokens / raw tokens).
+#
+# 100 TB shape: everything before the O(sources) aggregate is row-local
+# integer arithmetic inside whole-stage codegen — no explode row blow-up
+# (the per-window token counts fold in-row over a sequence), one scan, one
+# partial-aggregated shuffle keyed by source. The 4-dp ratio is derived
+# from the two exact bigint sums by integer half-up division, so the
+# result is identical at any partitioning and in both engines.
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "t16_overlap_chunking",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT source, n_tok,
+             CASE WHEN n_tok <= 0 THEN 0
+                  ELSE 1 + (greatest(n_tok - {CHUNK_TOKENS}, 0)
+                            + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM d
+    ), s AS (
+      SELECT source, n_tok, n_chunks,
+             CASE WHEN n_chunks = 0 THEN 0 ELSE
+               list_sum(list_transform(range(0, CAST(n_chunks AS BIGINT)),
+                 i -> least({CHUNK_TOKENS}, n_tok - i * {CHUNK_STRIDE})))
+             END AS chunk_toks
+      FROM c
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(coalesce(sum(CASE WHEN n_chunks > 1 THEN 1 END), 0) AS BIGINT)
+             AS multi_chunk_docs,
+           CAST(sum(chunk_toks) AS BIGINT) AS total_chunk_tokens,
+           ((20000 * CAST(sum(chunk_toks) AS BIGINT)
+             + CAST(sum(n_tok) AS BIGINT))
+            // (2 * CAST(sum(n_tok) AS BIGINT))) / 10000.0 AS overlap_ratio
+    FROM s
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t16_overlap_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("source", F.size(_toks()).alias("n_tok"))
+    n_chunks = (
+        F.when(F.col("n_tok") <= 0, F.lit(0))
+        .otherwise(
+            F.lit(1)
+            + F.expr(
+                f"(greatest(n_tok - {CHUNK_TOKENS}, 0) "
+                f"+ {CHUNK_STRIDE - 1}) DIV {CHUNK_STRIDE}"
+            )
+        )
+        .cast("bigint")
+    )
+    c = base.withColumn("n_chunks", n_chunks)
+    # per-window token counts fold IN-ROW over the window-index sequence —
+    # integer, no explode; sequence() is guarded (it descends when end <
+    # start, the round-6 gotcha)
+    chunk_toks = F.when(F.col("n_chunks") <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.least(
+                F.lit(CHUNK_TOKENS), F.col("n_tok") - i * CHUNK_STRIDE
+            ),
+        )
+    )
+    s = c.withColumn("chunk_toks", chunk_toks)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.coalesce(F.sum(F.when(F.col("n_chunks") > 1, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("multi_chunk_docs"),
+            F.sum("chunk_toks").cast("bigint").alias("total_chunk_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_chunks",
+            "multi_chunk_docs",
+            "total_chunk_tokens",
+            (
+                F.expr(
+                    "(20000 * total_chunk_tokens + total_tokens) "
+                    "DIV (2 * total_tokens)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("overlap_ratio"),
+        )
+        .orderBy("source")
+    )
