@@ -204,19 +204,31 @@ def _sink_bench(spark, tmp_root: str, n_rows: int = 262_144, n_shards: int = 4) 
         .mode("append")
         .save()
     )
-    store = os.path.join(tmp_root, "sink-store")
-    shutil.rmtree(store, ignore_errors=True)
-    t0 = _t.perf_counter()
-    (
-        df.write.format("logstore")
-        .option("path", store)
-        .option("shards", str(n_shards))
-        .option("timecolumn", "t")
-        .mode("append")
-        .save()
-    )
-    dt = _t.perf_counter() - t0
-    return {"rows": n_rows, "sec": round(dt, 3), "rows_per_sec": round(n_rows / dt, 1)}
+    # Two timed writes into fresh stores, keep the faster (same 3-run
+    # keep-min rationale as the queries: a single-shot write figure moved
+    # ±20% run-to-run on /tmp I-O jitter alone).
+    dt = None
+    for i in range(2):
+        store = os.path.join(tmp_root, f"sink-store-{i}")
+        shutil.rmtree(store, ignore_errors=True)
+        t0 = _t.perf_counter()
+        (
+            df.write.format("logstore")
+            .option("path", store)
+            .option("shards", str(n_shards))
+            .option("timecolumn", "t")
+            .mode("append")
+            .save()
+        )
+        d1 = _t.perf_counter() - t0
+        dt = d1 if dt is None else min(dt, d1)
+    return {
+        "rows": n_rows,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n_rows / dt, 1),
+        "runs": 2,
+        "agg": "min",
+    }
 
 
 def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) -> dict:
@@ -578,6 +590,7 @@ def _section_sweep() -> dict:
         "p19_curriculum_order",
         "d20_quality_collapse",
         "v09_tokenizer_fertility",
+        "t16_overlap_chunking",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run
@@ -677,6 +690,54 @@ def _section_sweep() -> dict:
                         "at every scale — the price of skew immunity the "
                         "query demonstrates (oracle = the plain join)."
                     ),
+                    "s18_threshold_sweep": (
+                        "same mechanism as s03 (cell-keyed pair "
+                        "enumeration): identical replicated vectors share "
+                        "an LSH cell at any plane count, so measured "
+                        "same-cell pairs grow 1,971 (1x) -> 101,900 (10x) "
+                        "= 51.7x TRUE pair work (planes adapted 10 -> "
+                        "14); ~4.6x time on 51.7x pairs is sublinear in "
+                        "work."
+                    ),
+                    "q29_dominant_suppliers": (
+                        "linear work, saturated cores: the dominant "
+                        "(l_partkey, l_suppkey) aggregate carries "
+                        "590,973 (1x) -> 5,909,730 (10x) groups — "
+                        "exactly 10.0x — through two group-key shuffles; "
+                        "~4-5x time on 10x groups is sublinear. The 1x "
+                        "run is partially overhead-bound (0.1-0.2 s/job "
+                        "scheduling floor), which inflates the ratio vs "
+                        "scan-light peers."
+                    ),
+                    "g05_label_propagation": (
+                        "linear work, saturated cores: co-purchase edges "
+                        "grow 305,711 (1x) -> 3,057,110 (10x) — exactly "
+                        "10.0x — and the 2 propagation rounds are fixed, "
+                        "so total join volume is 10.0x for ~4-5x time "
+                        "(sublinear)."
+                    ),
+                    "l17_log_templates": (
+                        "linear work: 10x events through the row-local "
+                        "regex mask; distinct templates stay constant "
+                        "(5 at both SFs — the mask folds every id), so "
+                        "the aggregate output is flat and the ~4x time "
+                        "is the 10x scan+regex cost absorbed by idle "
+                        "cores."
+                    ),
+                    "v08_heaps_law": (
+                        "linear work: token occurrences grow 270,704 "
+                        "(1x) -> 2,707,040 (10x) — exactly 10.0x — while "
+                        "distinct types stay 31 (replica duplicates text "
+                        "verbatim), so the type shuffle is flat and the "
+                        "~4x time is the 10x explode+shuffle of token "
+                        "rows."
+                    ),
+                    "q30_order_count_distribution": (
+                        "linear work: the customer left-join-orders "
+                        "aggregate carries exactly 10x rows on both "
+                        "sides (15,000/150,000 -> 150,000/1,500,000); "
+                        "~3.5x time on 10x rows is sublinear."
+                    ),
                 },
             }
         except Exception as ex:  # scale section is best-effort, never fatal
@@ -735,7 +796,7 @@ def main() -> None:
         print(json.dumps({"metric": "headline_queries_total", **out}))
         return
     sweep = _run_section("sweep")
-    for k in ("extra_operators", "scale", "error"):
+    for k in ("extra_operators", "scale", "neardup_chain", "error"):
         if k in sweep:
             out[k if k != "error" else "sweep_error"] = sweep[k]
 
