@@ -1130,3 +1130,219 @@ def s20_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
     )
+
+
+# --- s21: MMR-diversified top-k retrieval ------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the standard
+# diversified-retrieval serving layer: greedily pick k results maximizing
+# lambda * rel(d) - (1 - lambda) * max_{s in selected} sim(d, s), so the
+# answer set trades pure similarity for coverage (near-duplicate hits
+# collapse to one representative).
+#
+# Spark-first shape: the only corpus-sized stage is the s01-style scored
+# scan that builds the per-query candidate POOL (top-MMR_POOL by cosine,
+# WindowGroupLimit); the pool (queries x 20 rows) is pinned with an eager
+# localCheckpoint and the k greedy rounds are joins/aggregates over that
+# bounded relation ONLY — per round: anti-join out the picked ids,
+# pairwise sim against the <= k selected rows, one min_by argmax per
+# query. At 100 TB the greedy cost is O(queries * pool * k), independent
+# of corpus size. Fully deterministic: cosines round to 6dp before the
+# argmax, ties break on n_id, and the identical float expressions run on
+# both engines (the DuckDB oracle replays the same greedy as k chained
+# CTEs).
+
+MMR_POOL = 20
+MMR_K = 5
+# lambda and (1 - lambda) written as literals so both engines parse the
+# exact same IEEE doubles
+_MMR_LAM = "0.7"
+_MMR_ONE_MINUS_LAM = "0.3"
+
+
+def _duck_mmr_oracle() -> str:
+    # half-up 6dp via floor(x*1e6 + 0.5)/1e6 on BOTH engines (and in the
+    # python greedy): engine-native round() disagrees with python round()
+    # on half-even vs decimal-string ties — the explicit floor formula is
+    # the same IEEE multiply/add/floor/divide everywhere.
+    sim = (
+        "floor((list_sum(list_transform(list_zip(p.n_emb, s.n_emb), "
+        "x -> x[1] * x[2])) / "
+        "(sqrt(list_sum(list_transform(p.n_emb, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(s.n_emb, x -> x * x))))) "
+        "* 1000000.0 + 0.5) / 1000000.0"
+    )
+    ctes = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS rel,
+             b.emb AS n_emb
+      FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id
+    ), pool AS (
+      SELECT q_id, n_id, rel, n_emb
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY rel DESC, n_id) AS prk
+            FROM cand)
+      WHERE prk <= {MMR_POOL}
+    ), selected1 AS (
+      SELECT q_id, n_id, rel, n_emb, 1 AS rk,
+             floor(({_MMR_LAM} * rel) * 1000000.0 + 0.5) / 1000000.0
+               AS mmr_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY rel DESC, n_id) AS rn
+            FROM pool)
+      WHERE rn = 1
+    )"""
+    ]
+    for step in range(2, MMR_K + 1):
+        prev = f"selected{step - 1}"
+        ctes.append(
+            f""", rem{step} AS (
+      SELECT p.* FROM pool p
+      LEFT JOIN {prev} s ON s.q_id = p.q_id AND s.n_id = p.n_id
+      WHERE s.n_id IS NULL
+    ), pen{step} AS (
+      SELECT p.q_id, p.n_id, max({sim}) AS maxsim
+      FROM rem{step} p JOIN {prev} s ON s.q_id = p.q_id
+      GROUP BY p.q_id, p.n_id
+    ), pick{step} AS (
+      SELECT q_id, n_id, rel, n_emb, {step} AS rk,
+             floor(score * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+      FROM (SELECT p.q_id, p.n_id, p.rel, p.n_emb,
+                   {_MMR_LAM} * p.rel - {_MMR_ONE_MINUS_LAM} * x.maxsim
+                     AS score,
+                   row_number() OVER (
+                     PARTITION BY p.q_id
+                     ORDER BY {_MMR_LAM} * p.rel
+                              - {_MMR_ONE_MINUS_LAM} * x.maxsim DESC,
+                              p.n_id) AS rn
+            FROM pool p JOIN pen{step} x
+              ON x.q_id = p.q_id AND x.n_id = p.n_id)
+      WHERE rn = 1
+    ), selected{step} AS (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{step}
+    )"""
+        )
+    ctes.append(
+        f"""
+    SELECT q_id, CAST(rk AS INTEGER) AS rk, n_id, rel, mmr_score
+    FROM selected{MMR_K}
+    ORDER BY q_id, rk
+    """
+    )
+    return "".join(ctes)
+
+
+@query("s21_mmr_diversified_topk", oracle=_duck_mmr_oracle())
+def s21_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qs = e.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+    )
+    cs = e.select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"))
+    rel = F.round(
+        _dot(F.col("q_emb"), F.col("n_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
+        6,
+    )
+    cand = (
+        F.broadcast(qs)
+        .crossJoin(cs)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", rel.alias("rel"), "n_emb")
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("n_id"))
+    pool = (
+        cand.withColumn("prk", F.row_number().over(pw))
+        .where(F.col("prk") <= MMR_POOL)
+        .drop("prk")
+    )
+    lam = float(_MMR_LAM)
+    one_minus = float(_MMR_ONE_MINUS_LAM)
+    k = MMR_K
+
+    # The greedy itself runs per query GROUP over the bounded pool — the
+    # canonical applyInPandas shape for per-group sequential algorithms:
+    # ONE shuffle of O(queries x pool) rows, one Arrow batch per group,
+    # no k-round join plan. (A first cut as k chained DataFrame rounds
+    # was hash-identical but paid ~20 tiny stages: 7.8 s vs ~1 s at
+    # sf0.1.) All float math below is sequential python-double
+    # accumulation — bit-identical to the oracle's list_sum fold.
+    def _greedy(pdf):
+        import math
+
+        import pandas as pd
+
+        def _half_up6(x):
+            return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+        out = []
+        for q_id, g in pdf.groupby("q_id"):
+            items = sorted(
+                (
+                    (float(r.rel), int(r.n_id), [float(x) for x in r.n_emb])
+                    for r in g.itertuples()
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )
+
+            def dot(a, b):
+                acc = 0.0
+                for x, y in zip(a, b):
+                    acc += x * y
+                return acc
+
+            def nrm(a):
+                acc = 0.0
+                for x in a:
+                    acc += x * x
+                return acc ** 0.5
+
+            selected = []
+            remaining = list(items)
+            for rk in range(1, k + 1):
+                if not remaining:
+                    break
+                best = None
+                for rel, n_id, emb in remaining:
+                    if selected:
+                        maxsim = max(
+                            _half_up6(
+                                dot(emb, semb) / (nrm(emb) * nrm(semb))
+                            )
+                            for _, _, semb in selected
+                        )
+                        score = lam * rel - one_minus * maxsim
+                    else:
+                        score = lam * rel
+                    key = (-score, n_id)
+                    if best is None or key < best[0]:
+                        best = (key, (rel, n_id, emb), score)
+                selected.append(best[1])
+                remaining = [t for t in remaining if t[1] != best[1][1]]
+                out.append(
+                    (
+                        int(q_id),
+                        rk,
+                        best[1][1],
+                        best[1][0],
+                        _half_up6(best[2]),
+                    )
+                )
+        return pd.DataFrame(
+            out, columns=["q_id", "rk", "n_id", "rel", "mmr_score"]
+        )
+
+    return (
+        pool.groupBy("q_id")
+        .applyInPandas(
+            _greedy,
+            "q_id BIGINT, rk INT, n_id BIGINT, rel DOUBLE, mmr_score DOUBLE",
+        )
+        .orderBy("q_id", "rk")
+    )
