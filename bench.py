@@ -327,41 +327,6 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
             "append-only with a map-only broadcast-probe anti-join"
         ),
     }
-
-    # Segment compaction (r8): merge a fragmented logstore shard's small
-    # append segments back to ~target-size files — footer-metadata planning,
-    # pyarrow concat, directory-swap commit. Pure-driver maintenance, so
-    # rows/s here is single-process pyarrow throughput.
-    from spark_streaming_logservice_spark.sources import store_backend as SB
-
-    cpath = os.path.join(tmp_root, "compact-store")
-    shutil.rmtree(cpath, ignore_errors=True)
-    n_seg, seg_rows = 64, 512
-    for b in range(n_seg):
-        SB.append_rows(
-            cpath,
-            0,
-            [
-                {
-                    "time": 1_700_000_000 + b * seg_rows + i,
-                    "topic": "t",
-                    "source": "s",
-                    "contents": {"k": str(b * seg_rows + i)},
-                    "tags": {},
-                }
-                for i in range(seg_rows)
-            ],
-        )
-    t0 = _t.perf_counter()
-    stats = SB.compact_store(cpath, target_bytes=1 << 30)
-    dt = _t.perf_counter() - t0
-    out["compaction"] = {
-        "rows": n_seg * seg_rows,
-        "files_before": stats["files_before"],
-        "files_after": stats["files_after"],
-        "sec": round(dt, 3),
-        "rows_per_sec": round(n_seg * seg_rows / dt, 1),
-    }
     return out
 
 

@@ -47,21 +47,10 @@ def list_shards(path: str) -> list[int]:
     if not os.path.isdir(path):
         raise FileNotFoundError(f"logstore path does not exist: {path}")
     out = []
-    torn = False
     for name in os.listdir(path):
         m = _SHARD_RE.match(name)
         if m and os.path.isdir(os.path.join(path, name)):
             out.append(int(m.group(1)))
-        elif name.endswith((".new", ".old")):
-            torn = True  # torn compaction swap — readers self-heal
-    if torn:
-        heal_shard_swaps(path)
-        out = [
-            int(m.group(1))
-            for name in os.listdir(path)
-            if (m := _SHARD_RE.match(name))
-            and os.path.isdir(os.path.join(path, name))
-        ]
     return sorted(out)
 
 
@@ -463,163 +452,3 @@ def discard_staged(path: str, write_id: str) -> None:
     import shutil
 
     shutil.rmtree(os.path.join(path, STAGING_DIR, write_id), ignore_errors=True)
-
-
-# ---- segment compaction (maintenance) --------------------------------------
-#
-# Every append/publish lands as ONE new parquet file per shard, so a
-# long-running store fragments into thousands of small segments — the
-# classic small-file problem: footer-sweep planning cost grows O(files),
-# and scan tasks pay per-file open overhead. compact_shard() merges small
-# segments into ~target-size files, seq order preserved and rows
-# byte-identical (readers address rows by the seq column, never by file
-# identity — read_batches/read_rows filter on footer stats).
-#
-# Commit protocol (directory swap, the rollup store's pattern): the new
-# layout is assembled in shard=N.new — untouched files HARDLINKED in
-# (zero copy), each bin concatenated into one part-compact file — then
-# shard=N -> shard=N.old, shard=N.new -> shard=N, rmtree old. Every crash
-# point is recoverable by heal_shard_swaps(), which list_shards() also
-# invokes whenever it sees a torn swap, so readers self-heal. The .new /
-# .old names never match _SHARD_RE, so a half-built layout is invisible.
-#
-# 100 TB: planning is footer metadata only; a run rewrites only the bins
-# that actually contain >= min_files small segments, and max_bins bounds
-# one run's I/O so maintenance amortizes across triggers.
-
-COMPACT_TARGET_BYTES = 64 * 1024 * 1024
-
-
-def heal_shard_swaps(path: str) -> int:
-    """Complete or roll back torn compaction swaps. Returns shards healed.
-
-    Crash matrix: shard dir present + leftover .new => discard the
-    half-built layout; shard present + .old => the swap completed but the
-    old layout wasn't swept — sweep it; shard MISSING + .new => crashed
-    between the two renames and .new is complete by construction —
-    promote it and sweep .old; shard missing + only .old => roll back."""
-    import shutil
-
-    healed = 0
-    if not os.path.isdir(path):
-        return 0
-    for name in os.listdir(path):
-        base = None
-        if name.endswith(".new"):
-            base = name[: -len(".new")]
-        elif name.endswith(".old"):
-            base = name[: -len(".old")]
-        if base is None or not _SHARD_RE.match(base):
-            continue
-        d = os.path.join(path, base)
-        new, old = d + ".new", d + ".old"
-        if os.path.isdir(d):
-            shutil.rmtree(new, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
-            healed += 1
-        elif os.path.isdir(new):
-            os.rename(new, d)
-            shutil.rmtree(old, ignore_errors=True)
-            healed += 1
-        elif os.path.isdir(old):
-            os.rename(old, d)
-            healed += 1
-    return healed
-
-
-def _plan_bins(
-    files: list[tuple[str, int, int]], target_bytes: int, min_files: int
-) -> list[list[str]]:
-    """Greedy consecutive binning of (name, seq_min, size) in seq order:
-    a bin closes when adding the next file would exceed target_bytes; only
-    bins of >= min_files are rewritten (singletons — including any file
-    already >= target — stay untouched)."""
-    bins: list[list[tuple[str, int]]] = []
-    cur: list[tuple[str, int]] = []
-    cur_bytes = 0
-    for name, _seq, size in sorted(files, key=lambda t: (t[1], t[0])):
-        if cur and cur_bytes + size > target_bytes:
-            bins.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append((name, size))
-        cur_bytes += size
-    if cur:
-        bins.append(cur)
-    return [[n for n, _ in b] for b in bins if len(b) >= min_files]
-
-
-def compact_shard(
-    path: str,
-    shard: int,
-    target_bytes: int = COMPACT_TARGET_BYTES,
-    min_files: int = 2,
-    max_bins: int | None = None,
-) -> dict:
-    """Merge a shard's small segment files into ~target_bytes files.
-    Returns {files_before, files_after, bins, bytes_rewritten}."""
-    import shutil
-
-    heal_shard_swaps(path)
-    d = shard_dir(path, shard)
-    if not os.path.isdir(d):
-        return {"files_before": 0, "files_after": 0, "bins": 0, "bytes_rewritten": 0}
-    files: list[tuple[str, int, int]] = []
-    for f in sorted(os.listdir(d)):
-        if not f.endswith(".parquet"):
-            continue
-        fp = os.path.join(d, f)
-        md = pq.ParquetFile(fp).metadata
-        seq_min = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(0).statistics
-            if st is not None and st.has_min_max:
-                seq_min = st.min if seq_min is None else min(seq_min, st.min)
-        files.append((f, seq_min if seq_min is not None else 0, os.path.getsize(fp)))
-    bins = _plan_bins(files, target_bytes, min_files)
-    if max_bins is not None:
-        bins = bins[:max_bins]
-    if not bins:
-        return {
-            "files_before": len(files),
-            "files_after": len(files),
-            "bins": 0,
-            "bytes_rewritten": 0,
-        }
-    binned = {f for b in bins for f in b}
-    new = d + ".new"
-    shutil.rmtree(new, ignore_errors=True)
-    os.makedirs(new)
-    for f, _s, _z in files:
-        if f not in binned:
-            os.link(os.path.join(d, f), os.path.join(new, f))
-    rewritten = 0
-    for b in bins:
-        tbl = pa.concat_tables(
-            [pq.read_table(os.path.join(d, f), schema=STORE_ARROW_SCHEMA) for f in b]
-        )
-        out = os.path.join(new, f"part-compact-{uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, out)
-        rewritten += os.path.getsize(out)
-    os.rename(d, d + ".old")
-    os.rename(new, d)
-    shutil.rmtree(d + ".old", ignore_errors=True)
-    _STATS_CACHE.pop((os.path.abspath(path), shard), None)
-    return {
-        "files_before": len(files),
-        "files_after": len(files) - sum(len(b) for b in bins) + len(bins),
-        "bins": len(bins),
-        "bytes_rewritten": rewritten,
-    }
-
-
-def compact_store(
-    path: str, target_bytes: int = COMPACT_TARGET_BYTES, min_files: int = 2
-) -> dict:
-    """compact_shard over every shard; per-shard stats + totals."""
-    per = {s: compact_shard(path, s, target_bytes, min_files) for s in list_shards(path)}
-    return {
-        "shards": per,
-        "files_before": sum(p["files_before"] for p in per.values()),
-        "files_after": sum(p["files_after"] for p in per.values()),
-        "bins": sum(p["bins"] for p in per.values()),
-    }
