@@ -327,6 +327,42 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
             "append-only with a map-only broadcast-probe anti-join"
         ),
     }
+
+    # Logstore segment compaction (sources/maintenance.py): merge a
+    # fragmented shard's small append segments into ~target-size files.
+    # Pure-driver pyarrow maintenance — rows/s is single-process rewrite
+    # throughput, the footer-planned maintenance cost a scheduler budgets.
+    from spark_streaming_logservice_spark.sources import maintenance as M
+    from spark_streaming_logservice_spark.sources import store_backend as SB
+
+    cpath = os.path.join(tmp_root, "compact-store")
+    shutil.rmtree(cpath, ignore_errors=True)
+    n_seg, seg_rows = 64, 512
+    for b in range(n_seg):
+        SB.append_rows(
+            cpath,
+            0,
+            [
+                {
+                    "time": 1_700_000_000 + b * seg_rows + i,
+                    "topic": "t",
+                    "source": "s",
+                    "contents": {"k": str(b * seg_rows + i)},
+                    "tags": {},
+                }
+                for i in range(seg_rows)
+            ],
+        )
+    t0 = _t.perf_counter()
+    reports = M.compact_store(cpath)
+    dt = _t.perf_counter() - t0
+    out["compaction"] = {
+        "rows": n_seg * seg_rows,
+        "files_before": sum(r["files_before"] for r in reports),
+        "files_after": sum(r["files_after"] for r in reports),
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n_seg * seg_rows / dt, 1),
+    }
     return out
 
 
