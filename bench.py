@@ -769,6 +769,14 @@ def _section_sweep() -> dict:
                         "~4x time is the 10x explode+shuffle of token "
                         "rows."
                     ),
+                    "s21_mmr_diversified_topk": (
+                        "linear work, saturated cores: the only "
+                        "corpus-sized stage is the s01-style scored scan "
+                        "(10x rows); the greedy runs over the "
+                        "corpus-independent queries x 20 pool in one "
+                        "applyInPandas stage, so ~3.7x time on 10x scan "
+                        "rows is sublinear."
+                    ),
                     "q30_order_count_distribution": (
                         "linear work: the customer left-join-orders "
                         "aggregate carries exactly 10x rows on both "
