@@ -628,6 +628,8 @@ def _section_sweep() -> dict:
         "v09_tokenizer_fertility",
         "t16_overlap_chunking",
         "s21_mmr_diversified_topk",
+        "d21_sorted_neighborhood",
+        "e22_survival_curve",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

@@ -1391,3 +1391,146 @@ def _register_d20() -> None:
 
 
 _register_d20()
+
+
+# --- d21: sorted-neighborhood dedup ------------------------------------------
+# The classic record-linkage alternative to LSH (Hernandez & Stolfo's
+# sorted-neighborhood method): sort the corpus by a blocking key — here the
+# canonical token-bag string, which places reorderings and near-variants
+# adjacently — and compare only documents within a fixed rank window w.
+# Where LSH bounds candidates probabilistically per band bucket, SNM bounds
+# them STRUCTURALLY: exactly (w-1) candidate pairs per document, whatever
+# the duplicate structure, so candidate volume is corpus-linear by
+# construction (the known trade: duplicate clusters wider than w need
+# multi-pass SNM with different keys).
+#
+# 100 TB shape: the global rank is the two-pass range-partitioned
+# distributed_row_number (no partition-less window); the neighborhood
+# self-join is an equi-join on the rank bucket (right side fans out x2 to
+# its own and previous bucket — every in-window pair lands in exactly one
+# bucket match); verification touches only the O(corpus x w) candidate
+# pairs. The 4-dp jaccard derives from exact integer counts by integer
+# half-up division — identical at any partitioning and in both engines —
+# and the >= 0.5 threshold is the exact integer test 2*inter >= union.
+
+SNM_WINDOW = 4
+
+
+@query(
+    "d21_sorted_neighborhood",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               string_split(lower(text), ' '), t -> t <> ''))) AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, array_to_string(toks, ' ') AS canon,
+             len(toks) AS n_tok
+      FROM d
+    ), r AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY canon, doc_id) AS rn
+      FROM c
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             b.rn - a.rn AS rank_gap, a.n_tok AS na, b.n_tok AS nb
+      FROM r a JOIN r b
+        ON b.rn > a.rn AND b.rn - a.rn < {SNM_WINDOW}
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM d
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, c.rank_gap, c.na, c.nb,
+             count(*) AS n_inter
+      FROM cand c
+        JOIN tok ta ON ta.doc_id = c.doc_a
+        JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY ALL
+    )
+    SELECT doc_a, doc_b, CAST(rank_gap AS INTEGER) AS rank_gap,
+           ((20000 * n_inter + (na + nb - n_inter))
+            // (2 * (na + nb - n_inter))) / 10000.0 AS jaccard
+    FROM inter
+    WHERE 2 * n_inter >= (na + nb - n_inter)
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+)
+def d21_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_logservice_spark.operators.pipeline_ops import (
+        distributed_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.array_sort(
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        )
+    )
+    base = d.select(
+        "doc_id",
+        F.concat_ws(" ", toks_arr).alias("canon"),
+        F.size(toks_arr).alias("n_tok"),
+    )
+    ranked = distributed_row_number(
+        base, [F.asc("canon"), F.asc("doc_id")], out="rn"
+    ).select("doc_id", "n_tok", "rn")
+    a_side = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_tok").alias("na"),
+        F.col("rn").alias("rn_a"),
+        F.expr(f"rn DIV {SNM_WINDOW}").alias("bkt"),
+    )
+    # right side fans out to its own and the previous bucket: a pair with
+    # gap in [1, w-1] either shares a's bucket or sits in the next one, so
+    # it matches on exactly one of the two keys — never zero, never twice
+    b_side = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_tok").alias("nb"),
+        F.col("rn").alias("rn_b"),
+        F.explode(
+            F.array(
+                F.expr(f"rn DIV {SNM_WINDOW}"),
+                F.expr(f"rn DIV {SNM_WINDOW} - 1"),
+            )
+        ).alias("bkt"),
+    )
+    cand = (
+        a_side.join(b_side, "bkt")
+        .where(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") - F.col("rn_a") < SNM_WINDOW)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rn_b") - F.col("rn_a")).cast("int").alias("rank_gap"),
+            "na",
+            "nb",
+        )
+    )
+    tok = d.select(
+        "doc_id", F.explode(toks_arr).alias("token")
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "rank_gap", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    den = F.col("na") + F.col("nb") - F.col("n_inter")
+    jac4 = (
+        F.expr(
+            "(20000 * n_inter + (na + nb - n_inter)) "
+            "DIV (2 * (na + nb - n_inter))"
+        ).cast("double")
+        / F.lit(10000.0)
+    )
+    return (
+        inter.where(2 * F.col("n_inter") >= den)
+        .select("doc_a", "doc_b", "rank_gap", jac4.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(50)
+    )

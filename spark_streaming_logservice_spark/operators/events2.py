@@ -1330,3 +1330,83 @@ def e21_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_value"
         ),
     ).orderBy("cohort", "week_age")
+
+
+# --- e22: user-lifetime survival curve ---------------------------------------
+# Kaplan-Meier product-limit estimate of user lifetime (days between a
+# user's first and last event). With no censoring the product TELESCOPES —
+# survival(k) = prod_{j<=k}(1 - c_j/r_j) = (r_k - c_k)/N, the empirical
+# survivor function — so every statistic here is an exact integer ratio:
+# no log/exp chain, no float drift, deterministic at any partitioning.
+#
+# 100 TB shape: one user-keyed aggregate (min/max date per user — the only
+# corpus shuffle, map-side combined), then everything runs on the
+# O(observed-lifetimes) histogram: the reverse-cumulative at-risk count is
+# a window over that bounded-by-calendar relation (allowlisted global
+# window, e13's class), and the 4-dp hazard/survival derive from integer
+# counts by integer half-up division.
+
+@query(
+    "e22_survival_curve",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS k
+      FROM events GROUP BY user_id
+    ), hist AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_churned FROM pu GROUP BY k
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM pu
+    ), r AS (
+      SELECT k, n_churned,
+             CAST(sum(n_churned) OVER (ORDER BY k DESC
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk
+      FROM hist
+    )
+    SELECT CAST(k AS INTEGER) AS lifetime_days, n_at_risk, n_churned,
+           ((20000 * n_churned + n_at_risk) // (2 * n_at_risk)) / 10000.0
+             AS hazard,
+           ((20000 * (n_at_risk - n_churned) + (SELECT n FROM t))
+            // (2 * (SELECT n FROM t))) / 10000.0 AS survival
+    FROM r
+    ORDER BY lifetime_days
+    """,
+)
+def e22_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))).alias("k")
+    )
+    hist = pu.groupBy("k").agg(F.count(F.lit(1)).alias("n_churned"))
+    total = pu.agg(F.count(F.lit(1)).alias("n"))
+    # bounded global window: the histogram has one row per OBSERVED
+    # lifetime — O(calendar days), corpus-size-independent
+    w = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = hist.withColumn("n_at_risk", F.sum("n_churned").over(w))
+    hazard = (
+        F.expr("(20000 * n_churned + n_at_risk) DIV (2 * n_at_risk)")
+        .cast("double")
+        / F.lit(10000.0)
+    )
+    survival = (
+        F.expr("(20000 * (n_at_risk - n_churned) + n) DIV (2 * n)")
+        .cast("double")
+        / F.lit(10000.0)
+    )
+    return (
+        r.crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("int").alias("lifetime_days"),
+            "n_at_risk",
+            "n_churned",
+            hazard.alias("hazard"),
+            survival.alias("survival"),
+        )
+        .orderBy("lifetime_days")
+    )

@@ -737,6 +737,7 @@ def test_d18_histogram_reuses_pinned_chain(spark, sf_dir):
 # through ONE task at 100 TB.
 GLOBAL_WINDOW_OK = {
     "e13_cumulative_reach",      # running sum over O(days)
+    "e22_survival_curve",        # reverse cumsum over O(observed lifetimes)
     "e16_changepoint_detection", # running sums over O(days)
     "e17_growth_accounting",     # lag over O(weeks)
     "p16_mixture_schedule",      # schedule over O(sources x steps)
@@ -759,6 +760,7 @@ GLOBAL_WINDOW_OK = {
 BNLJ_OK = {
     "c04_snapshot_asof", "d18_cluster_size_histogram",
     "e08_conversion_funnel_7d", "e11_ab_test_lift", "e12_rfm_segments",
+    "e22_survival_curve",  # 1-row total-users scalar broadcast
     "g02_triangle_count", "l22_equidepth_histogram",
     "m09_image_ahash_neardup", "p11_neyman_allocation",
     "p13_temperature_mixture", "p14_group_split", "p17_leakage_free_split",
