@@ -1599,3 +1599,116 @@ def _register_p19() -> None:
 
 
 _register_p19()
+
+
+# --- p20: corpus snapshot diff (dataset versioning report) -------------------
+# "What changed between corpus v1 and v2?" — the release-gate report every
+# versioned training-data pipeline runs before shipping a refresh. v2 is
+# derived deterministically from the documents table (docs with
+# doc_id % 11 == 0 removed, % 7 == 0 edited, % 13 == 0 re-ingested under
+# new ids), and the diff is ONE doc_id-keyed full outer join comparing
+# content digests: v1-only = removed, v2-only = added, digest mismatch =
+# changed. Per source: counts + a 4-dp churn rate from exact integers.
+#
+# 100 TB shape: two corpus scans + one full-outer shuffle join on the id
+# (both sides hash-partition once; the md5 rides the scan projection), then
+# an O(sources) partial-aggregated rollup. No row ever widens beyond
+# (id, source, digest).
+
+@query(
+    "p20_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS dg FROM documents
+    ), v2 AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+               AS dg
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source, md5(text) AS dg
+      FROM documents WHERE doc_id % 13 = 0
+    ), j AS (
+      SELECT coalesce(a.source, b.source) AS source,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN a.dg <> b.dg THEN 'changed'
+                  ELSE 'unchanged' END AS st,
+             a.doc_id AS id1
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    ), agg AS (
+      SELECT source,
+             CAST(count(id1) AS BIGINT) AS n_v1,
+             CAST(coalesce(sum(CASE WHEN st = 'added' THEN 1 END), 0)
+                  AS BIGINT) AS n_added,
+             CAST(coalesce(sum(CASE WHEN st = 'removed' THEN 1 END), 0)
+                  AS BIGINT) AS n_removed,
+             CAST(coalesce(sum(CASE WHEN st = 'changed' THEN 1 END), 0)
+                  AS BIGINT) AS n_changed,
+             CAST(coalesce(sum(CASE WHEN st = 'unchanged' THEN 1 END), 0)
+                  AS BIGINT) AS n_unchanged
+      FROM j GROUP BY source
+    )
+    SELECT source, n_v1, n_added, n_removed, n_changed, n_unchanged,
+           ((20000 * (n_added + n_removed + n_changed) + n_v1)
+            // (2 * n_v1)) / 10000.0 AS churn_rate
+    FROM agg
+    ORDER BY source
+    """,
+)
+def p20_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", "source", F.md5("text").alias("dg"))
+    edited = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    v2 = (
+        d.where(F.col("doc_id") % 11 != 0)
+        .select("doc_id", "source", F.md5(edited).alias("dg"))
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.md5("text").alias("dg"),
+            )
+        )
+    )
+    a = v1.alias("a")
+    b = v2.alias("b")
+    st = (
+        F.when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("a.dg") != F.col("b.dg"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        st.alias("st"),
+        F.col("a.doc_id").alias("id1"),
+    )
+    cnt = lambda v: F.coalesce(
+        F.sum(F.when(F.col("st") == v, 1)), F.lit(0)
+    ).cast("bigint")
+    agg = j.groupBy("source").agg(
+        F.count("id1").alias("n_v1"),
+        cnt("added").alias("n_added"),
+        cnt("removed").alias("n_removed"),
+        cnt("changed").alias("n_changed"),
+        cnt("unchanged").alias("n_unchanged"),
+    )
+    churn = (
+        F.expr(
+            "(20000 * (n_added + n_removed + n_changed) + n_v1) "
+            "DIV (2 * n_v1)"
+        ).cast("double")
+        / F.lit(10000.0)
+    )
+    return agg.select(
+        "source",
+        "n_v1",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        churn.alias("churn_rate"),
+    ).orderBy("source")
