@@ -631,6 +631,7 @@ def _section_sweep() -> dict:
         "d21_sorted_neighborhood",
         "e22_survival_curve",
         "p20_snapshot_diff",
+        "s22_multiprobe_lsh_recall",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

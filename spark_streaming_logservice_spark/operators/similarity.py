@@ -1346,3 +1346,149 @@ def s21_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rk")
     )
+
+
+# --- s22: multi-probe LSH recall ---------------------------------------------
+# The recall lever s02's single-table LSH trades away (Lv et al.'s
+# multi-probe LSH): each query probes its own cell PLUS every cell at
+# Hamming distance 1 in the plane bits — planes+1 probe keys — so a
+# near-neighbor that fell just across one hyperplane is still found
+# WITHOUT a second hash table. Reported exactly like s19 (candidates,
+# hits vs the exact s01 top-k, recall@k) so the single-probe -> multi-
+# probe recall lift is directly comparable in the same artifact.
+#
+# 100 TB shape: identical to s02's cell-keyed equi-join — the probe
+# explode multiplies only the QUERY side (queries x (planes+1) rows, tiny
+# and broadcast); the corpus still carries one cell key through one
+# shuffle-free broadcast join, and every corpus vector matches at most
+# one probe key per query (all probe cells are distinct), so candidate
+# rows stay exactly-once without a dedup pass.
+
+@query(
+    "s22_multiprobe_lsh_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), {_DUCK_PARAMS}, cells AS (
+      SELECT vec_id, emb, {_DUCK_CELL} AS cell FROM e, params
+    ), exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6)
+                          DESC, b.vec_id
+               ) AS rk
+        FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id
+      ) WHERE rk <= {TOP_K}
+    ), probes AS (
+      SELECT a.vec_id AS q_id, a.emb AS q_emb,
+             unnest(list_prepend(a.cell,
+               list_transform(range(0, planes),
+                 i -> xor(a.cell, CAST(1 AS BIGINT) << i)))) AS pcell
+      FROM cells a, params
+      WHERE a.vec_id < {N_QUERY}
+    ), cand AS (
+      SELECT p.q_id, b.vec_id AS n_id,
+             round(list_sum(list_transform(list_zip(p.q_emb, b.emb),
+                                           x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(p.q_emb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.emb, x -> x * x)))),
+                   6) AS score
+      FROM probes p JOIN cells b
+        ON b.cell = p.pcell AND b.vec_id <> p.q_id
+    ), ann AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, n_id) AS rk
+        FROM cand
+      ) WHERE rk <= {TOP_K}
+    ), occ AS (
+      SELECT q_id, count(*) AS n_candidates FROM cand GROUP BY q_id
+    ), hits AS (
+      SELECT a.q_id, count(*) AS n_hits
+      FROM ann a JOIN exact x ON x.q_id = a.q_id AND x.n_id = a.n_id
+      GROUP BY a.q_id
+    )
+    SELECT q.vec_id AS q_id,
+           coalesce(o.n_candidates, 0) AS n_candidates,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / CAST({TOP_K} AS DOUBLE), 4)
+             AS recall_at_k
+    FROM (SELECT vec_id FROM e WHERE vec_id < {N_QUERY}) q
+    LEFT JOIN occ o ON o.q_id = q.vec_id
+    LEFT JOIN hits h ON h.q_id = q.vec_id
+    ORDER BY q_id
+    """,
+)
+def s22_multiprobe_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.where(F.col("vec_id") < N_QUERY)
+    exact = cosine_topk(
+        e.select("vec_id", F.col("emb").alias("embedding")),
+        q.select("vec_id", F.col("emb").alias("embedding")),
+        k=TOP_K,
+    ).select("q_id", "n_id")
+    planes, _ = _corpus_stats(e, cache_key=sf_dir)
+    cells = e.withColumn("cell", _cell_expr(planes)).withColumn(
+        "nrm", _norm(F.col("emb"))
+    )
+    probe_keys = F.array(
+        F.col("cell"),
+        *[
+            F.col("cell").bitwiseXOR(F.lit(1 << i)).cast("bigint")
+            for i in range(planes)
+        ],
+    )
+    a = (
+        cells.where(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(probe_keys).alias("pcell"),
+        )
+    )
+    b = cells.alias("b")
+    cand = F.broadcast(a).join(
+        b,
+        (F.col("pcell") == F.col("b.cell"))
+        & (F.col("b.vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("b.vec_id").alias("n_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("b.emb"))
+            / (F.col("q_nrm") * F.col("b.nrm")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    ann = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+    occ = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        ann.join(exact, ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("q_id"))
+        .join(occ, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / float(TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
