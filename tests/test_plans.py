@@ -765,6 +765,8 @@ BNLJ_OK = {
     "m09_image_ahash_neardup", "p11_neyman_allocation",
     "p13_temperature_mixture", "p14_group_split", "p17_leakage_free_split",
     "q11_semi_anti_join", "q20_set_operations", "q22_balance_no_orders",
+    "l25_hll_cardinality",  # scope x 64-register scaffold: O(types)-row cross join
+    "l26_kmv_overlap",      # type pairs x k-row sketches: O(types^2 * k) rows
     "q31_revenue_concentration", "s01_cosine_topk", "s05_ann_ivf",
     "s06_ann_ivf_recall", "s11_semdedup", "s12_semdedup_report",
     "s16_mips_topk", "s17_cosine_range_search", "s19_lsh_recall_at_k",
