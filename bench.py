@@ -634,6 +634,7 @@ def _section_sweep() -> dict:
         "s22_multiprobe_lsh_recall",
         "l25_hll_cardinality",
         "l26_kmv_overlap",
+        "e23_event_transitions",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

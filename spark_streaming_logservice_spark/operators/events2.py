@@ -1410,3 +1410,65 @@ def e22_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lifetime_days")
     )
+
+
+# --- e23: event-type transition matrix -------------------------------------
+
+@query(
+    "e23_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type, count(*) AS n_transitions
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, sum(n_transitions) AS tot FROM trans GROUP BY 1
+    )
+    SELECT t.prev_type, t.event_type, t.n_transitions,
+           CAST((20000 * t.n_transitions + x.tot) // (2 * x.tot) AS DOUBLE)
+             / 10000.0 AS prob
+    FROM trans t JOIN tot x USING (prev_type)
+    ORDER BY t.prev_type, t.event_type
+    """,
+)
+def e23_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag within a user-keyed window (ts, event_id tiebreak — fully
+    deterministic), then one (prev, curr)-keyed count with partial
+    combine. Row-transition probabilities use the integer half-up 4-dp
+    division (20000n + t) DIV 2t so Spark and DuckDB round identically
+    even on exact .xxxx5 boundaries. 100 TB shape: the window is
+    partitioned by user_id (no global window), the aggregate output is
+    |event types|^2 rows, and the per-prev totals join is
+    broadcast-sized."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n_transitions").alias("tot"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n_transitions",
+            (
+                F.expr("(20000 * n_transitions + tot) DIV (2 * tot)")
+                .cast("double")
+                / F.lit(10000.0)
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
