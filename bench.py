@@ -635,6 +635,10 @@ def _section_sweep() -> dict:
         "l25_hll_cardinality",
         "l26_kmv_overlap",
         "e23_event_transitions",
+        "d22_ngram_contamination",
+        "e24_peak_concurrency",
+        "e25_bot_regularity",
+        "l27_template_drift",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

@@ -1534,3 +1534,108 @@ def d21_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(50)
     )
+
+
+# --- d22: n-gram train/eval contamination check ----------------------------
+# The GPT-3/PaLM-style benchmark-contamination gate: a training document is
+# "contaminated" if it shares any 5-token shingle with any document of the
+# held-out eval sources. Reference scope: the reference engine has no
+# counterpart (north-star §2.5); semantics follow the published n-gram
+# overlap decontamination recipe (Brown et al. 2020, appendix C).
+
+EVAL_SOURCES = ("src0", "src1")
+
+
+def _shingles5(text_col: str = "text") -> Column:
+    """Distinct 5-token shingles; documents shorter than 5 tokens yield NO
+    shingles (mirrors the oracle's range() bound exactly)."""
+    toks = F.split(F.col(text_col), " ")
+    full = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+            F.element_at(toks, i + 4),
+            F.element_at(toks, i + 5),
+        ),
+    )
+    return F.when(F.size(toks) >= 5, F.array_distinct(full)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@query(
+    "d22_ngram_contamination",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shingle
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents)
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1')
+    ), hits AS (
+      SELECT DISTINCT s.doc_id, s.source
+      FROM sh s JOIN eval_sh e USING (shingle)
+      WHERE s.source NOT IN ('src0', 'src1')
+    ), tot AS (
+      SELECT source, count(*) AS n_docs FROM documents
+      WHERE source NOT IN ('src0', 'src1') GROUP BY 1
+    ), con AS (
+      SELECT source, count(*) AS n_contaminated FROM hits GROUP BY 1
+    )
+    SELECT t.source, t.n_docs,
+           COALESCE(c.n_contaminated, 0) AS n_contaminated,
+           CAST((20000 * COALESCE(c.n_contaminated, 0) + t.n_docs)
+                // (2 * t.n_docs) AS DOUBLE) / 10000.0 AS contamination_rate
+    FROM tot t LEFT JOIN con c USING (source)
+    ORDER BY t.source
+    """,
+)
+def d22_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: per training source, how many docs
+    share at least one 5-gram with the held-out eval sources, and the 4-dp
+    contamination rate (integer half-up division — engine-identical).
+
+    100 TB shape: the only corpus-sized shuffle is the shingle-keyed
+    LEFT SEMI join — the probe side never fans out (semi join emits each
+    (doc, shingle) row at most once), the eval side is the distinct shingle
+    set of the (much smaller) eval split, and AQE broadcasts it when it
+    fits. Doc-level dedup of hits is a (doc_id, source)-keyed distinct
+    bounded by the training corpus; everything after runs on O(sources)
+    rows. No all-pairs stage anywhere — contamination is a membership
+    test, not a similarity join."""
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    sh = d.select("doc_id", "source", F.explode(_shingles5()).alias("shingle"))
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    hits = (
+        sh.where(~is_eval)
+        .join(eval_sh, "shingle", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    totals = (
+        d.where(~is_eval).groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    con = hits.groupBy("source").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    rate = (
+        F.expr("(20000 * n_contaminated + n_docs) DIV (2 * n_docs)")
+        .cast("double")
+        / F.lit(10000.0)
+    )
+    return (
+        totals.join(con, "source", "left")
+        .na.fill({"n_contaminated": 0})
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            rate.alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1472,3 +1472,193 @@ def e23_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+# --- e24: peak concurrent sessions ----------------------------------------
+# Capacity-planning headline: per day, the maximum number of user sessions
+# active in any one minute, and the (earliest) minute of day it happened.
+# Sessions are l07's 30-min-gap islands; concurrency is measured at minute
+# granularity by landing each session on the minute buckets it covers
+# (the j03 interval→bucket trick) — an aggregate pipeline, not a global
+# sweep-line, so no partition-less window ever touches corpus-sized data.
+
+@query(
+    "e24_peak_concurrency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), spans AS (
+      SELECT user_id, session_id,
+             min(ts_us) // 60000000 AS m0, max(ts_us) // 60000000 AS m1
+      FROM sess GROUP BY 1, 2
+    ), mins AS (
+      SELECT unnest(range(m0, m1 + 1)) AS minute FROM spans
+    ), conc AS (
+      SELECT minute, count(*) AS n FROM mins GROUP BY 1
+    ), daily AS (
+      SELECT minute // 1440 AS day_idx, max(n) AS peak_concurrent
+      FROM conc GROUP BY 1
+    )
+    SELECT DATE '1970-01-01' + CAST(d.day_idx AS INTEGER) AS day,
+           d.peak_concurrent,
+           min(c.minute) % 1440 AS peak_minute_of_day
+    FROM daily d
+      JOIN conc c ON c.minute // 1440 = d.day_idx
+                 AND c.n = d.peak_concurrent
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def e24_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max per-minute concurrent sessions per day (30-min-gap sessions).
+
+    100 TB shape: sessionization is one user-keyed shuffle + sorted window
+    (l07); spans collapse to O(sessions) rows; the bucket explode fans each
+    session out only to the minutes it covers (bounded — consecutive events
+    within a session are <=30 min apart, so minutes <= 30 x events); minute
+    concurrency and the daily peak are plain keyed aggregates with map-side
+    combine over a bounded key space (minutes in retention). The peak-minute
+    argmax is an aggregate==aggregate equi-join on (day, count) over
+    O(minutes) rows — never a corpus-wide window."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    sess = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("ts_us", ts_us)
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.expr("min(ts_us) DIV 60000000").alias("m0"),
+        F.expr("max(ts_us) DIV 60000000").alias("m1"),
+    )
+    conc = (
+        spans.select(F.explode(F.sequence("m0", "m1")).alias("minute"))
+        .groupBy("minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = conc.groupBy(F.expr("minute DIV 1440").alias("day_idx")).agg(
+        F.max("n").alias("peak_concurrent")
+    )
+    cd = conc.withColumn("day_idx", F.expr("minute DIV 1440"))
+    return (
+        daily.join(cd, ["day_idx"])
+        .where(F.col("n") == F.col("peak_concurrent"))
+        .groupBy("day_idx", "peak_concurrent")
+        .agg((F.min("minute") % 1440).alias("peak_minute_of_day"))
+        .select(
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")), F.col("day_idx").cast("int")
+            ).alias("day"),
+            "peak_concurrent",
+            "peak_minute_of_day",
+        )
+        .orderBy("day")
+    )
+
+
+# --- e25: bot / automation detection --------------------------------------
+# Scripted clients fire on a fixed timer, so their inter-event gaps pile on
+# one modal value; humans spread out. Score = share of a user's gaps equal
+# to the (second-granularity) modal gap, exact 4-dp; flag when the mode
+# holds a majority.
+
+@query(
+    "e25_bot_regularity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)))
+               // 1000000 AS gap_s
+      FROM events
+    ), byg AS (
+      SELECT user_id, gap_s, count(*) AS n FROM gaps
+      WHERE gap_s IS NOT NULL GROUP BY 1, 2
+    ), per_user AS (
+      SELECT user_id, sum(n) AS n_gaps, max(n) AS modal_n FROM byg GROUP BY 1
+    )
+    SELECT p.user_id, p.n_gaps, min(b.gap_s) AS modal_gap_s,
+           CAST((20000 * p.modal_n + p.n_gaps) // (2 * p.n_gaps) AS DOUBLE)
+             / 10000.0 AS modal_share,
+           CASE WHEN 2 * p.modal_n >= p.n_gaps THEN 1 ELSE 0 END AS is_bot
+    FROM per_user p
+      JOIN byg b ON b.user_id = p.user_id AND b.n = p.modal_n
+    WHERE p.n_gaps >= 30
+    GROUP BY 1, 2, p.modal_n
+    ORDER BY modal_share DESC, p.user_id
+    LIMIT 100
+    """,
+)
+def e25_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user timer-regularity score: modal inter-event gap (seconds)
+    share of all gaps, 4-dp by integer half-up division; is_bot when the
+    modal gap covers a majority of gaps.
+
+    100 TB shape: one user-keyed window for the lag, then everything is
+    keyed aggregation — (user, gap)-keyed counts with map-side combine,
+    user-keyed rollup to O(users) rows, and the modal-gap argmax as an
+    aggregate==aggregate join on (user, count). Gap histograms, not event
+    rows, cross the later shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    byg = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("gap_s", F.expr(
+            "(unix_micros(cast(ts as timestamp)) - "
+            "lag(unix_micros(cast(ts as timestamp))) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) DIV 1000000"
+        ))
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("user_id", "gap_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_user = byg.groupBy("user_id").agg(
+        F.sum("n").alias("n_gaps"), F.max("n").alias("modal_n")
+    )
+    share = (
+        F.expr("(20000 * modal_n + n_gaps) DIV (2 * n_gaps)").cast("double")
+        / F.lit(10000.0)
+    )
+    return (
+        per_user.join(byg, ["user_id"])
+        .where(F.col("n") == F.col("modal_n"))
+        .groupBy("user_id", "n_gaps", "modal_n")
+        .agg(F.min("gap_s").alias("modal_gap_s"))
+        .select(
+            "user_id",
+            "n_gaps",
+            "modal_gap_s",
+            share.alias("modal_share"),
+            F.when(2 * F.col("modal_n") >= F.col("n_gaps"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_bot"),
+        )
+        .where(F.col("n_gaps") >= 30)
+        .orderBy(F.desc("modal_share"), F.asc("user_id"))
+        .limit(100)
+    )

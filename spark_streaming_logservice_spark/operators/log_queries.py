@@ -1014,3 +1014,111 @@ def l24_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+# --- l27: day-over-day template-mix drift ----------------------------------
+# The "did the shape of our logs change overnight" monitor: each day's
+# masked-template mix (l17 templates) as exact 4-dp integer shares,
+# L1-compared to the previous day's mix. New and vanished templates
+# contribute their full share, so a deploy that swaps one template for
+# another moves the metric even when volume is flat.
+
+@query(
+    "l27_template_drift",
+    oracle="""
+    WITH templ AS (
+      SELECT CAST(ts AS DATE) AS day,
+             regexp_replace(event_type || ' user=' || CAST(user_id AS VARCHAR)
+                              || ' ' || props,
+                            '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g') AS template
+      FROM events
+    ), cnt AS (
+      SELECT day, template, count(*) AS n FROM templ GROUP BY 1, 2
+    ), tot AS (
+      SELECT day, sum(n) AS tot FROM cnt GROUP BY 1
+    ), shares AS (
+      SELECT c.day, c.template,
+             (20000 * c.n + t.tot) // (2 * t.tot) AS s
+      FROM cnt c JOIN tot t USING (day)
+    ), contrib AS (
+      SELECT day, template, s AS s_cur, 0 AS s_prev FROM shares
+      UNION ALL
+      SELECT day + 1 AS day, template, 0 AS s_cur, s AS s_prev FROM shares
+    ), diffs AS (
+      SELECT day, template, sum(s_cur) AS sc, sum(s_prev) AS sp
+      FROM contrib GROUP BY 1, 2
+    ), drift AS (
+      SELECT day,
+             sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS n_templates,
+             CAST(sum(abs(sc - sp)) AS DOUBLE) / 10000.0 AS l1_drift
+      FROM diffs GROUP BY 1
+    ), days AS (
+      SELECT DISTINCT day FROM cnt
+    )
+    SELECT d.day, d.n_templates, d.l1_drift
+    FROM drift d
+      JOIN days today ON today.day = d.day
+      JOIN days prev ON prev.day + 1 = d.day
+    ORDER BY d.day
+    """,
+)
+def l27_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day L1 drift of the masked-template share mix vs the previous
+    day (exact: shares are integer half-up 1e-4 units, the L1 sum is an
+    integer before the single final division). First day is excluded (no
+    previous mix); a day's row also requires the previous day to have data.
+
+    100 TB shape: template counting is the l17 wordcount bound (map-side
+    combine to O(days x templates) rows); everything after — shares,
+    the +1-day share union, diffs, drift — runs on that tiny relation.
+    The union-of-contributions trick replaces a full-outer self-join so
+    appear/disappear cases need no null handling, and no window function
+    is used at all."""
+    e = load_table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("props"),
+    )
+    template = F.regexp_replace(msg, r"[0-9]+(\.[0-9]+)?", "<NUM>")
+    cnt = (
+        e.select(F.to_date("ts").alias("day"), template.alias("template"))
+        .groupBy("day", "template")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("day").agg(F.sum("n").alias("tot"))
+    shares = cnt.join(tot, "day").select(
+        "day",
+        "template",
+        F.expr("(20000 * n + tot) DIV (2 * tot)").alias("s"),
+    )
+    cur = shares.select(
+        "day",
+        "template",
+        F.col("s").alias("s_cur"),
+        F.lit(0).cast("bigint").alias("s_prev"),
+    )
+    prv = shares.select(
+        F.date_add("day", 1).alias("day"),
+        "template",
+        F.lit(0).cast("bigint").alias("s_cur"),
+        F.col("s").alias("s_prev"),
+    )
+    diffs = (
+        cur.unionByName(prv)
+        .groupBy("day", "template")
+        .agg(F.sum("s_cur").alias("sc"), F.sum("s_prev").alias("sp"))
+    )
+    drift = diffs.groupBy("day").agg(
+        F.sum(F.when(F.col("sc") > 0, 1).otherwise(0)).alias("n_templates"),
+        (F.sum(F.abs(F.col("sc") - F.col("sp"))).cast("double") / 10000.0).alias(
+            "l1_drift"
+        ),
+    )
+    days = cnt.select("day").distinct()
+    prev_ok = days.select(F.date_add("day", 1).alias("day"))
+    return (
+        drift.join(days, "day").join(prev_ok, "day").orderBy("day")
+    )
