@@ -639,6 +639,10 @@ def _section_sweep() -> dict:
         "e24_peak_concurrency",
         "e25_bot_regularity",
         "l27_template_drift",
+        "g06_degree_powerlaw",
+        "e26_autocorrelation",
+        "e27_theilsen_trend",
+        "c06_cdc_net_effect",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

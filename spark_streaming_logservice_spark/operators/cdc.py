@@ -331,3 +331,128 @@ def c05_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fact_type", "dim_known")
     )
+
+
+# --- c06: changelog net-effect compaction ----------------------------------
+# Debezium/Kafka-compacted-topic semantics: collapse the tail of a changelog
+# into ONE net operation per key relative to the snapshot at a cut point —
+# the operator an incremental view maintainer or compacted CDC sink runs
+# per merge cycle. signup/purchase rows are upserts, error rows are
+# deletes; the cut is the integer-µs midpoint of the stream (the c04
+# bounds-agg trick, no driver round-trip). A key whose post-cut tail nets
+# out (insert+delete) reports NOOP rather than vanishing, so the output is
+# an audit of the compaction, not just its survivors.
+
+@query(
+    "c06_cdc_net_effect",
+    oracle="""
+    WITH cut AS (
+      SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2)
+               AS t0
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+    ), ch AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             cut.t0
+      FROM events, cut
+      WHERE event_type IN ('signup', 'purchase', 'error')
+    ), ranked AS (
+      SELECT user_id, op, value, ts, t0,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             last_value(CASE WHEN ts <= t0 THEN op END IGNORE NULLS)
+               OVER wasc AS old_op,
+             last_value(CASE WHEN ts <= t0 THEN value END IGNORE NULLS)
+               OVER wasc AS old_raw,
+             sum(CASE WHEN ts > t0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS n_tail_ops
+      FROM ch
+      WINDOW wasc AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CASE WHEN old_op = 'U' AND op = 'U' THEN 'UPDATE'
+                WHEN old_op = 'U' THEN 'DELETE'
+                WHEN op = 'U' THEN 'INSERT'
+                ELSE 'NOOP' END AS net_op,
+           n_tail_ops,
+           CASE WHEN old_op = 'U' THEN old_raw END AS old_value,
+           CASE WHEN op = 'U' THEN value END AS new_value
+    FROM ranked
+    WHERE rn = 1 AND ts > t0
+    ORDER BY user_id
+    LIMIT 300
+    """,
+)
+def c06_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net effect of each key's post-cut changelog tail vs its pre-cut
+    state: INSERT / UPDATE / DELETE / NOOP with before/after values.
+
+    100 TB shape: ONE user-keyed shuffle carries both the pre-cut state
+    (running last_value IGNORE NULLS over the ascending window — the
+    c05/j01 carry-forward trick) and the tail's final row (row_number over
+    the same partition, opposite order) — no self-join of the changelog,
+    no second corpus pass, and the 1-row cut bounds-aggregate broadcasts.
+    Values pass through untouched (no float aggregation), so the report is
+    deterministic at any partitioning."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    ch = e.where(F.col("event_type").isin("signup", "purchase", "error"))
+    bounds = ch.agg(
+        F.expr(
+            "timestampadd(MICROSECOND,"
+            " timestampdiff(MICROSECOND, min(ts), max(ts)) div 2, min(ts))"
+        ).alias("t0")
+    )
+    tagged = ch.join(F.broadcast(bounds)).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "t0",
+    )
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wasc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("user_id")
+    pre = F.col("ts") <= F.col("t0")
+    ranked = tagged.select(
+        "user_id",
+        "op",
+        "value",
+        "ts",
+        "t0",
+        F.row_number().over(wdesc).alias("rn"),
+        F.last(F.when(pre, F.col("op")), ignorenulls=True)
+        .over(wasc)
+        .alias("old_op"),
+        F.last(F.when(pre, F.col("value")), ignorenulls=True)
+        .over(wasc)
+        .alias("old_raw"),
+        F.sum(F.when(~pre, 1).otherwise(0)).over(wall).alias("n_tail_ops"),
+    )
+    old_is_u = F.col("old_op") == "U"
+    new_is_u = F.col("op") == "U"
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("ts") > F.col("t0")))
+        .select(
+            "user_id",
+            F.when(old_is_u & new_is_u, "UPDATE")
+            .when(old_is_u, "DELETE")
+            .when(new_is_u, "INSERT")
+            .otherwise("NOOP")
+            .alias("net_op"),
+            "n_tail_ops",
+            F.when(old_is_u, F.col("old_raw")).alias("old_value"),
+            F.when(new_is_u, F.col("value")).alias("new_value"),
+        )
+        .orderBy("user_id")
+        .limit(300)
+    )

@@ -1662,3 +1662,213 @@ def e25_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("modal_share"), F.asc("user_id"))
         .limit(100)
     )
+
+
+# --- e26: autocorrelation periodicity profile ------------------------------
+# Does a metric have a weekly/daily rhythm? Lag-k Pearson autocorrelation
+# of the per-type daily event-count series for k = 1..7 — the capacity
+# planner's seasonality detector (a peak at k=7 says weekly). All six
+# Pearson sufficient statistics are INTEGER sums over the O(days x types)
+# rollup, so the correlation is exact up to one final double expression —
+# deterministic at any partitioning.
+
+AC_MAX_LAG = 7
+
+
+@query(
+    "e26_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), lags AS (
+      SELECT CAST(unnest(range(1, {AC_MAX_LAG} + 1)) AS INTEGER) AS lag
+    ), pairs AS (
+      SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+      FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.event_type = a.event_type
+                    AND b.day = a.day + l.lag
+    ), stats AS (
+      SELECT event_type, lag,
+             count(*) AS n_pairs,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+           round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+                 + 0.0, 6) AS autocorr
+    FROM stats
+    WHERE n_pairs * sxx > sx * sx AND n_pairs * syy > sy * sy
+    ORDER BY event_type, lag
+    """,
+)
+def e26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type lag-1..7 autocorrelation of the daily count series.
+
+    100 TB shape: the only corpus-sized stage is the (type, day) rollup
+    (map-side combine); the lag alignment is a self-join of that tiny
+    relation against itself shifted by k — O(days x types x lags) rows —
+    and every Pearson term is an exact bigint sum, so the result is
+    bit-stable at any partitioning. Zero-variance series (constant counts)
+    are excluded rather than divided by zero."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lags = spark.range(1, AC_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type_b") == F.col("event_type"))
+        & (F.col("day_b") == F.date_add(F.col("day"), F.col("lag"))),
+    ).select("event_type", "lag", F.col("n").alias("x"), "y")
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        stats.where(
+            (F.col("n_pairs") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n_pairs") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)) + F.lit(0.0), 6).alias(
+                "autocorr"
+            ),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# --- e27: robust daily-volume trend (Theil-Sen estimator) -------------------
+# The outlier-immune answer to "is traffic growing": the Theil-Sen slope
+# (median of all pairwise day-over-day slopes) of each type's daily count
+# series. A single incident day that would wreck an OLS fit moves at most
+# one pairwise slope past the median. Pair enumeration is over the
+# O(days) rollup — days^2/2 slope rows per type, corpus-independent.
+
+@query(
+    "e27_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), d0 AS (
+      SELECT event_type, min(day) AS day0 FROM daily GROUP BY 1
+    ), pts AS (
+      SELECT d.event_type, d.day - z.day0 AS x, d.n AS y
+      FROM daily d JOIN d0 z USING (event_type)
+    ), slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+      FROM pts a JOIN pts b ON b.event_type = a.event_type AND b.x > a.x
+    ), agg AS (
+      SELECT event_type, count(*) AS n_pairs,
+             list(s ORDER BY s) AS ss
+      FROM slopes GROUP BY 1
+    )
+    SELECT event_type, n_pairs,
+           round(CASE WHEN n_pairs % 2 = 1
+                      THEN ss[(n_pairs + 1) // 2]
+                      ELSE (ss[n_pairs // 2] + ss[n_pairs // 2 + 1]) / 2.0
+                 END + 0.0, 6) AS slope_per_day,
+           CASE WHEN CASE WHEN n_pairs % 2 = 1
+                           THEN ss[(n_pairs + 1) // 2]
+                           ELSE (ss[n_pairs // 2] + ss[n_pairs // 2 + 1]) / 2.0
+                      END > 0.05 THEN 'up'
+                WHEN CASE WHEN n_pairs % 2 = 1
+                           THEN ss[(n_pairs + 1) // 2]
+                           ELSE (ss[n_pairs // 2] + ss[n_pairs // 2 + 1]) / 2.0
+                      END < -0.05 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def e27_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of the per-type daily count series + an up/down/flat
+    call at a ±0.05 events/day threshold.
+
+    100 TB shape: the corpus collapses to the (type, day) rollup first
+    (map-side combine); pairwise slopes are a self-join of that O(days)
+    relation per type (days²/2 rows — hundreds, corpus-independent), and
+    the exact median comes from a per-type sorted array built from those
+    few hundred values, never from corpus rows. Every slope is an exact
+    double of two integers (same division both engines), so the median —
+    including the even-count two-value mean — is bit-identical."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d0 = daily.groupBy("event_type").agg(F.min("day").alias("day0"))
+    pts = daily.join(F.broadcast(d0), "event_type").select(
+        "event_type", F.datediff("day", "day0").alias("x"), F.col("n").alias("y")
+    )
+    b = pts.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    slopes = pts.join(
+        b, (F.col("et_b") == F.col("event_type")) & (F.col("xb") > F.col("x"))
+    ).select(
+        "event_type",
+        ((F.col("yb") - F.col("y")).cast("double") / (F.col("xb") - F.col("x"))).alias(
+            "s"
+        ),
+    )
+    agg = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.array_sort(F.collect_list("s")).alias("ss"),
+    )
+    n = F.col("n_pairs")
+    med = F.when(
+        n % 2 == 1, F.element_at("ss", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("ss", (n / 2).cast("int"))
+            + F.element_at("ss", (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n_pairs",
+            F.round(med + F.lit(0.0), 6).alias("slope_per_day"),
+            F.when(med > 0.05, "up")
+            .when(med < -0.05, "down")
+            .otherwise("flat")
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )

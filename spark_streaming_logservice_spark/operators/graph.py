@@ -706,3 +706,86 @@ def _register_g05() -> None:
 
 
 _register_g05()
+
+
+# --- g06: degree distribution + power-law tail fit -------------------------
+# The first question asked of any large graph: how skewed are the degrees?
+# Histogram of node degree over the co-purchase graph plus a log-log OLS
+# fit of count ~ degree (the Zipf/power-law exponent alpha = -slope) —
+# the number that decides whether the join strategy downstream needs skew
+# handling at all. Reference scope: north-star extension (the reference
+# engine has no graph surface).
+
+
+def _register_g06() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_linenumber <= 5 AND l_orderkey % 2 = 0
+    ), edges AS (
+      SELECT a.pk AS a, b.pk AS b
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    ), ends AS (
+      SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+    ), deg AS (
+      SELECT node, count(*) AS degree FROM ends GROUP BY node
+    ), hist AS (
+      SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    ), fit AS (
+      SELECT round(regr_slope(ln(CAST(n_nodes AS DOUBLE)),
+                              ln(CAST(degree AS DOUBLE))), 4) AS slope,
+             round(regr_r2(ln(CAST(n_nodes AS DOUBLE)),
+                           ln(CAST(degree AS DOUBLE))), 4) AS r2
+      FROM hist
+    )
+    SELECT h.degree, h.n_nodes, f.slope AS loglog_slope, f.r2 AS fit_r2
+    FROM hist h CROSS JOIN fit f
+    ORDER BY h.degree
+    """
+
+    @query("g06_degree_powerlaw", oracle=oracle)
+    def g06_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Degree histogram of the co-purchase graph with the log-log OLS
+        slope (power-law exponent = -slope) and fit r² stamped on every row.
+
+        100 TB shape: degrees are one node-keyed count over the symmetric
+        edge list (map-side combine); the histogram is a second keyed count
+        over O(nodes) rows; the regression runs over the O(distinct degrees)
+        histogram — tens of rows at any corpus size — and its 1-row result
+        broadcasts back onto the histogram. Same regr_* float envelope as
+        v08 (few points, round(4))."""
+        edges = _copurchase_edges(spark, sf_dir)
+        ends = edges.select(F.col("a").alias("node")).unionAll(
+            edges.select(F.col("b").alias("node"))
+        )
+        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+        fit = hist.agg(
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("n_nodes").cast("double")),
+                    F.log(F.col("degree").cast("double")),
+                ),
+                4,
+            ).alias("loglog_slope"),
+            F.round(
+                F.regr_r2(
+                    F.log(F.col("n_nodes").cast("double")),
+                    F.log(F.col("degree").cast("double")),
+                ),
+                4,
+            ).alias("fit_r2"),
+        )
+        return (
+            hist.crossJoin(F.broadcast(fit))
+            .select("degree", "n_nodes", "loglog_slope", "fit_r2")
+            .orderBy("degree")
+        )
+
+
+_register_g06()

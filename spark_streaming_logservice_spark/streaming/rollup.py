@@ -142,11 +142,16 @@ def merge_additive(
         return
     if os.path.exists(data):
         base = delta.sparkSession.read.schema(schema).parquet(data)
-        merged = (
-            base.unionByName(delta)
-            .groupBy(*key_cols)
-            .agg(*_combiners(sum_cols, aggs))
-        )
+        both = base.unionByName(delta)
+        if combiner is not None:
+            merged = combiner(both)
+        else:
+            merged = both.groupBy(*key_cols).agg(*_combiners(sum_cols, aggs))
+    elif combiner is not None:
+        # first write still runs the reducer: a single batch's delta must
+        # satisfy the store invariant (e.g. the KMV store's k-row cap)
+        # whether or not a base exists yet
+        merged = combiner(delta)
     else:
         merged = delta
     _commit_swap(table_dir, merged, batch_id)

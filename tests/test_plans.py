@@ -758,7 +758,11 @@ GLOBAL_WINDOW_OK = {
 # table. A BNLJ against a corpus-sized side would be quadratic; any new
 # entry here needs that boundedness argument.
 BNLJ_OK = {
-    "c04_snapshot_asof", "d18_cluster_size_histogram",
+    "c04_snapshot_asof",
+    "c06_cdc_net_effect",   # 1-row cut-bounds aggregate broadcast
+    "d18_cluster_size_histogram",
+    "e26_autocorrelation",  # fixed 7-row lag relation broadcast
+    "g06_degree_powerlaw",  # 1-row log-log OLS fit aggregate broadcast
     "e08_conversion_funnel_7d", "e11_ab_test_lift", "e12_rfm_segments",
     "e22_survival_curve",  # 1-row total-users scalar broadcast
     "g02_triangle_count", "l22_equidepth_histogram",
