@@ -119,43 +119,58 @@ def _streaming_bench(spark, tmp_root: str, max_per_trigger: int = 65_536) -> dic
         )
         with open(built, "w") as f:
             f.write(str(n_rows))
-    ck = os.path.join(tmp_root, f"stream-ck-{int(_t.time() * 1000)}")
-    q = (
-        spark.readStream.format("logstore")
-        .schema("msg STRING")
-        .option("path", store)
-        .option("startingOffsets", "earliest")
-        .option("maxOffsetsPerTrigger", str(max_per_trigger))
-        .load()
-        .writeStream.format("noop")
-        .option("checkpointLocation", ck)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = _t.time() + 300
-        done = 0
-        while _t.time() < deadline:
-            done = sum(
-                p["numInputRows"] for p in (q.recentProgress or []) if p
-            )
-            if done >= n_rows:
-                break
-            _t.sleep(0.2)
-        progress = [
-            p
-            for p in (q.recentProgress or [])
-            if p and p["numInputRows"] > 0
-        ]
-    finally:
-        q.stop()
-    rows = sum(p["numInputRows"] for p in progress)
-    ms = sum(p["durationMs"]["triggerExecution"] for p in progress)
+    # Two full drains from fresh checkpoints, keep the faster (same keep-min
+    # rationale as the sink's 2 writes: a single ~3s drain moved ±30% on
+    # host contention alone — r7 recorded 35k rows/s on an untouched code
+    # path purely from run-environment noise).
+    best: dict = {"rows_per_sec": None, "triggers": 0, "rows": 0}
+    for _drain in range(2):
+        ck = os.path.join(tmp_root, f"stream-ck-{int(_t.time() * 1000)}")
+        q = (
+            spark.readStream.format("logstore")
+            .schema("msg STRING")
+            .option("path", store)
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", str(max_per_trigger))
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 300
+            done = 0
+            while _t.time() < deadline:
+                done = sum(
+                    p["numInputRows"] for p in (q.recentProgress or []) if p
+                )
+                if done >= n_rows:
+                    break
+                _t.sleep(0.2)
+            progress = [
+                p
+                for p in (q.recentProgress or [])
+                if p and p["numInputRows"] > 0
+            ]
+        finally:
+            q.stop()
+        rows = sum(p["numInputRows"] for p in progress)
+        ms = sum(p["durationMs"]["triggerExecution"] for p in progress)
+        rps = round(rows / (ms / 1000.0), 1) if ms else None
+        if rps is not None and (
+            best["rows_per_sec"] is None or rps > best["rows_per_sec"]
+        ):
+            best = {
+                "rows_per_sec": rps,
+                "triggers": len(progress),
+                "rows": rows,
+            }
     return {
         "max_per_trigger": max_per_trigger,
-        "triggers": len(progress),
-        "rows": rows,
-        "rows_per_sec": round(rows / (ms / 1000.0), 1) if ms else None,
+        "runs": 2,
+        "agg": "max",
+        **best,
     }
 
 
@@ -643,6 +658,8 @@ def _section_sweep() -> dict:
         "e26_autocorrelation",
         "e27_theilsen_trend",
         "c06_cdc_net_effect",
+        "d23_containment",
+        "p21_inspection_sample",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

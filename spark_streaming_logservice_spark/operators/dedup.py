@@ -1639,3 +1639,129 @@ def d22_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- d23: directional containment (quote / excerpt detection) ---------------
+# Jaccard (d02) misses the case LLM pipelines care most about: a short doc
+# substantially CONTAINED in a long one (quoted excerpt, boilerplate
+# inclusion, copy-with-additions) — the union denominator drowns the
+# overlap. Containment C(A→B) = |S(A) ∩ S(B)| / |S(A)| is the asymmetric
+# fix (Broder's containment, the same shingle algebra).
+#
+# The scale lever d02 lacks: a document-frequency CAP on shingles. The pair
+# join's output is sum_over_shingles(df²); one boilerplate shingle in a
+# million docs is 10¹² pairs. Dropping shingles with df > D23_DF_CAP bounds
+# every shingle's fan-out at CAP² and loses nothing — a shingle shared by
+# half the corpus identifies boilerplate, not provenance (standard
+# stop-shingle practice). Both engines apply the same cap, so the check is
+# exact, and the 4-dp ratios use integer half-up division (bit-stable at
+# any partitioning).
+
+D23_DF_CAP = 20        # keep shingles appearing in <= 20 docs
+D23_MIN_CONT = 0.5     # report pairs where either direction >= 0.5
+
+
+def _register_d23() -> None:
+    oracle = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), capped AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {D23_DF_CAP}
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+           ((20000 * n_inter + sa.n_sh) // (2 * sa.n_sh)) / 10000.0
+             AS cont_a_in_b,
+           ((20000 * n_inter + sb.n_sh) // (2 * sb.n_sh)) / 10000.0
+             AS cont_b_in_a
+    FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 2 * n_inter >= sa.n_sh OR 2 * n_inter >= sb.n_sh
+    ORDER BY greatest(
+        (20000 * n_inter + sa.n_sh) // (2 * sa.n_sh),
+        (20000 * n_inter + sb.n_sh) // (2 * sb.n_sh)) DESC,
+      doc_a, doc_b
+    LIMIT 50
+    """
+
+    @query("d23_containment", oracle=oracle)
+    def d23_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+        sh = d.select("doc_id", F.explode(_shingles3()).alias("shingle")).distinct()
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= D23_DF_CAP)
+            .select("shingle")
+        )
+        capped = sh.join(rare, "shingle")
+        sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = capped.alias("a")
+        b = capped.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        # integer half-up 4-dp division: bit-identical in both engines and
+        # partition-order-independent (all inputs are exact bigints)
+        c_ab = F.expr("(20000 * n_inter + n_sh_a) DIV (2 * n_sh_a)")
+        c_ba = F.expr("(20000 * n_inter + n_sh_b) DIV (2 * n_sh_b)")
+        return (
+            pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_inter",
+                F.col("sa.n_sh").alias("n_sh_a"),
+                F.col("sb.n_sh").alias("n_sh_b"),
+            )
+            .where(
+                (2 * F.col("n_inter") >= F.col("n_sh_a"))
+                | (2 * F.col("n_inter") >= F.col("n_sh_b"))
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_inter",
+                "n_sh_a",
+                "n_sh_b",
+                (c_ab.cast("double") / 10000.0).alias("cont_a_in_b"),
+                (c_ba.cast("double") / 10000.0).alias("cont_b_in_a"),
+            )
+            .orderBy(
+                F.greatest(c_ab, c_ba).desc(), F.asc("doc_a"), F.asc("doc_b")
+            )
+            .limit(50)
+        )
+
+
+_register_d23()

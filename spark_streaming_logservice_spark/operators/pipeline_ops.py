@@ -1712,3 +1712,63 @@ def p20_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unchanged",
         churn.alias("churn_rate"),
     ).orderBy("source")
+
+
+# --- p21: inspection sample (deterministic bottom-k per source) --------------
+# "Show me a uniform random sample of every source" — the corpus-inspection
+# table behind every data-quality dashboard and human-eval draw. Bottom-k
+# hash sampling: a doc is in the sample iff its 60-bit md5 hash ranks among
+# its source's k smallest — membership is a pure function of the KEY, so
+# the draw is uniform over distinct docs, reproducible across engines and
+# runs, and identical whether computed in one batch or maintained
+# incrementally (streaming/sample_store.py serves THIS relation from a
+# fixed scopes x k state; the batch query and the store share
+# bottomk_sample_partial by construction).
+#
+# 100 TB shape: the rank<=k window is per-source WindowGroupLimit — each
+# scan partition is pruned to k rows BEFORE the shuffle, so the exchange
+# carries O(partitions x k) rows at any corpus size, and no RNG state or
+# reservoir coordination exists anywhere.
+
+P21_K = 5
+
+
+def _register_p21() -> None:
+    oracle = f"""
+    WITH h AS (
+      SELECT source, doc_id, lang, n_chars,
+             ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+      FROM documents
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS rank
+      FROM h
+    )
+    SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, lang, n_chars, h
+    FROM rk WHERE rank <= {P21_K}
+    ORDER BY source, rank
+    """
+
+    @query("p21_inspection_sample", oracle=oracle)
+    def p21_inspection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spark_streaming_logservice_spark.streaming.sample_store import (
+            bottomk_sample_partial,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        smp = bottomk_sample_partial(
+            d, "source", "doc_id", ["lang", "n_chars"], k=P21_K
+        )
+        w = Window.partitionBy("scope").orderBy("h", "sample_key")
+        return smp.select(
+            F.col("scope").alias("source"),
+            F.row_number().over(w).alias("rank"),
+            F.col("sample_key").cast("bigint").alias("doc_id"),
+            "lang",
+            "n_chars",
+            "h",
+        ).orderBy("source", "rank")
+
+
+_register_p21()
