@@ -271,21 +271,30 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
 
     events = load_table(spark, sf_dir, "events").select("ts", "event_type", "event_id")
     n_events = events.count()  # warm the scan; rows/s denominator
-    table = os.path.join(tmp_root, "rollup-table")
-    shutil.rmtree(table, ignore_errors=True)
-    writer = incremental_rollup_writer(table)
     from spark_streaming_logservice_spark.streaming import rollup as _R
 
-    _R.TIMINGS = {}
-    t0 = _t.perf_counter()
-    for b in range(n_batches):
-        writer(events.where(F.col("event_id") % n_batches == b), b)
-    dt = _t.perf_counter() - t0
-    breakdown = {k: round(v, 3) for k, v in _R.TIMINGS.items()}
+    # Two full passes into FRESH stores, keep the faster (same rationale as
+    # the sink/stream sections: a single 4-batch pass is dominated by /tmp
+    # rename+fsync jitter and moved ±40% across back-to-back runs).
+    dt, breakdown = None, {}
+    for p in range(2):
+        table = os.path.join(tmp_root, f"rollup-table-{p}")
+        shutil.rmtree(table, ignore_errors=True)
+        writer = incremental_rollup_writer(table)
+        _R.TIMINGS = {}
+        t0 = _t.perf_counter()
+        for b in range(n_batches):
+            writer(events.where(F.col("event_id") % n_batches == b), b)
+        d1 = _t.perf_counter() - t0
+        if dt is None or d1 < dt:
+            dt = d1
+            breakdown = {k: round(v, 3) for k, v in _R.TIMINGS.items()}
     _R.TIMINGS = None
     out["rollup"] = {
         "rows": n_events,
         "batches": n_batches,
+        "runs": 2,
+        "agg": "min",
         "sec": round(dt, 3),
         "rows_per_sec": round(n_events / dt, 1),
         # per-phase wall-clock across all batches: probe = dirty-shard
@@ -318,20 +327,26 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         F.concat("text", F.lit(" #"), F.col("rep")).alias("text"),
     )
     n_docs = n_base * k
-    digest_dir = os.path.join(tmp_root, "digest-store")
-    shutil.rmtree(digest_dir, ignore_errors=True)
-    forwarded = []
-    ingest = dedup_on_ingest(
-        lambda df, bid: forwarded.append(df.count()), digest_dir
-    )
-    t0 = _t.perf_counter()
-    for b in range(n_batches):
-        ingest(docs.where(F.col("doc_id") % n_batches == b), b)
-    dt = _t.perf_counter() - t0
+    dt, forwarded = None, []
+    for p in range(2):  # best-of-2 fresh-store passes, like the rollup
+        digest_dir = os.path.join(tmp_root, f"digest-store-{p}")
+        shutil.rmtree(digest_dir, ignore_errors=True)
+        fwd: list = []
+        ingest = dedup_on_ingest(
+            lambda df, bid: fwd.append(df.count()), digest_dir
+        )
+        t0 = _t.perf_counter()
+        for b in range(n_batches):
+            ingest(docs.where(F.col("doc_id") % n_batches == b), b)
+        d1 = _t.perf_counter() - t0
+        if dt is None or d1 < dt:
+            dt, forwarded = d1, fwd
     out["dedup_store"] = {
         "rows": n_docs,
         "forwarded": sum(forwarded),
         "batches": n_batches,
+        "runs": 2,
+        "agg": "min",
         "sec": round(dt, 3),
         "rows_per_sec": round(n_docs / dt, 1),
         "note": (
@@ -660,6 +675,7 @@ def _section_sweep() -> dict:
         "c06_cdc_net_effect",
         "d23_containment",
         "p21_inspection_sample",
+        "e28_conversion_latency",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

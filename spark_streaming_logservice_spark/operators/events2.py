@@ -1872,3 +1872,83 @@ def e27_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- e28: conversion latency percentiles by signup cohort -------------------
+# e01/e08 count WHO converts; this measures HOW FAST — the signup→first-
+# purchase latency distribution per signup cohort month, the activation
+# metric growth teams actually watch. Latency lands in whole integer
+# seconds (floor-epoch subtraction, identical in both engines), and the
+# exact interpolated percentiles run per cohort group — integer inputs, so
+# the result is deterministic at any partitioning (the q32 pattern).
+#
+# 100 TB shape: two user-keyed aggregates (first signup, first qualifying
+# purchase) and one user-keyed join — three shuffles on the same key, no
+# windows, no correlated subquery; the percentile aggregate runs over
+# O(converted users) grouped into O(months) rows.
+
+@query(
+    "e28_conversion_latency",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), pu AS (
+      SELECT e.user_id, min(e.ts) AS p
+      FROM events e JOIN su ON e.user_id = su.user_id AND e.ts >= su.s
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT strftime(su.s, '%Y-%m') AS cohort,
+             CAST(floor(epoch(pu.p)) AS BIGINT)
+               - CAST(floor(epoch(su.s)) AS BIGINT) AS sec
+      FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+    )
+    SELECT cohort,
+           count(*) AS n_signups,
+           count(sec) AS n_converted,
+           ((20000 * count(sec) + count(*)) // (2 * count(*))) / 10000.0
+             AS conv_rate,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY sec), 4) AS p50_sec,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY sec), 4) AS p90_sec,
+           CAST(max(sec) AS BIGINT) AS max_sec
+    FROM lat
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def e28_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    lat = su.join(pu, "user_id", "left").select(
+        F.date_format("s", "yyyy-MM").alias("cohort"),
+        (
+            F.unix_timestamp("p") - F.unix_timestamp("s")
+        ).alias("sec"),
+    )
+    conv = F.expr(
+        "(20000 * count(sec) + count(*)) DIV (2 * count(*))"
+    ).cast("double") / F.lit(10000.0)
+    return (
+        lat.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("sec").alias("n_converted"),
+            conv.alias("conv_rate"),
+            F.round(F.expr("percentile(sec, 0.5)"), 4).alias("p50_sec"),
+            F.round(F.expr("percentile(sec, 0.9)"), 4).alias("p90_sec"),
+            F.max("sec").cast("bigint").alias("max_sec"),
+        )
+        .orderBy("cohort")
+    )
