@@ -375,7 +375,7 @@ def c05_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN old_op = 'U' THEN 'DELETE'
                 WHEN op = 'U' THEN 'INSERT'
                 ELSE 'NOOP' END AS net_op,
-           n_tail_ops,
+           CAST(n_tail_ops AS BIGINT) AS n_tail_ops,
            CASE WHEN old_op = 'U' THEN old_raw END AS old_value,
            CASE WHEN op = 'U' THEN value END AS new_value
     FROM ranked

@@ -1603,14 +1603,15 @@ def e24_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_user AS (
       SELECT user_id, sum(n) AS n_gaps, max(n) AS modal_n FROM byg GROUP BY 1
     )
-    SELECT p.user_id, p.n_gaps, min(b.gap_s) AS modal_gap_s,
+    SELECT p.user_id, CAST(p.n_gaps AS BIGINT) AS n_gaps,
+           min(b.gap_s) AS modal_gap_s,
            CAST((20000 * p.modal_n + p.n_gaps) // (2 * p.n_gaps) AS DOUBLE)
              / 10000.0 AS modal_share,
            CASE WHEN 2 * p.modal_n >= p.n_gaps THEN 1 ELSE 0 END AS is_bot
     FROM per_user p
       JOIN byg b ON b.user_id = p.user_id AND b.n = p.modal_n
     WHERE p.n_gaps >= 30
-    GROUP BY 1, 2, p.modal_n
+    GROUP BY 1, p.n_gaps, p.modal_n
     ORDER BY modal_share DESC, p.user_id
     LIMIT 100
     """,

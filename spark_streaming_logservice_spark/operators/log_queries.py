@@ -1055,7 +1055,7 @@ def l24_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), days AS (
       SELECT DISTINCT day FROM cnt
     )
-    SELECT d.day, d.n_templates, d.l1_drift
+    SELECT d.day, CAST(d.n_templates AS BIGINT) AS n_templates, d.l1_drift
     FROM drift d
       JOIN days today ON today.day = d.day
       JOIN days prev ON prev.day + 1 = d.day

@@ -1492,3 +1492,136 @@ def s22_multiprobe_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --- s23: k-NN label classification accuracy --------------------------------
+# The retrieval stack's end-to-end quality gate: hold out a bounded eval
+# set, classify each held-out vector by the majority label of its k nearest
+# training neighbors (exact cosine), and report per-class accuracy — the
+# standard "is this embedding space any good" eval every similarity
+# pipeline runs before trusting ANN for dedup or curation.
+#
+# 100 TB shape: the eval set is bounded by a LITERAL id cap (≤ S23_ID_CAP,
+# corpus-size-independent — an eval set is a fixture, not a scan), so the
+# broadcast side stays tiny like s01's query set; the corpus pays one
+# scored scan, WindowGroupLimit prunes to k rows per partition before the
+# shuffle, and the vote + accuracy stages run over O(queries × k) rows.
+# All vote counts are integers; the 4-dp accuracy is integer half-up
+# division — deterministic at any partitioning.
+
+S23_ID_CAP = 500   # eval set: vec_id % 20 == 7 AND vec_id <= 500 (bounded)
+S23_K = 5
+
+
+def _register_s23() -> None:
+    eval_pred = f"vec_id % 20 = 7 AND vec_id <= {S23_ID_CAP}"
+    oracle = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, emb, label AS true_label FROM e
+      WHERE {eval_pred}
+    ), c AS (
+      SELECT vec_id AS n_id, emb, label FROM e WHERE NOT ({eval_pred})
+    ), scored AS (
+      SELECT a.q_id, a.true_label, b.n_id, b.label,
+             round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6) AS score
+      FROM q a CROSS JOIN c b
+    ), ranked AS (
+      SELECT *, row_number()
+               OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+      FROM scored
+    ), votes AS (
+      SELECT q_id, true_label, label, count(*) AS n_votes
+      FROM ranked WHERE rk <= {S23_K}
+      GROUP BY 1, 2, 3
+    ), winner AS (
+      SELECT q_id, true_label, label AS pred_label,
+             row_number()
+               OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    )
+    SELECT true_label,
+           count(*) AS n_queries,
+           CAST(coalesce(sum(CASE WHEN pred_label = true_label THEN 1 END), 0)
+                AS BIGINT) AS n_correct,
+           ((20000 * coalesce(sum(CASE WHEN pred_label = true_label
+                                       THEN 1 END), 0) + count(*))
+            // (2 * count(*))) / 10000.0 AS accuracy
+    FROM winner WHERE vr = 1
+    GROUP BY true_label
+    ORDER BY true_label
+    """
+
+    @query("s23_knn_label_accuracy", oracle=oracle)
+    def s23_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        )
+        is_eval = (F.col("vec_id") % 20 == 7) & (F.col("vec_id") <= S23_ID_CAP)
+        q = e.where(is_eval).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("true_label"),
+        ).withColumn("q_nrm", _norm(F.col("q_emb")))
+        c = e.where(~is_eval).select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            "label",
+        ).withColumn("n_nrm", _norm(F.col("n_emb")))
+        scored = F.broadcast(q).crossJoin(c).select(
+            "q_id",
+            "true_label",
+            "n_id",
+            "label",
+            F.round(
+                _dot(F.col("q_emb"), F.col("n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("score"),
+        )
+        wr = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+        topk = (
+            scored.withColumn("rk", F.row_number().over(wr))
+            .where(F.col("rk") <= S23_K)
+        )
+        votes = topk.groupBy("q_id", "true_label", "label").agg(
+            F.count(F.lit(1)).alias("n_votes")
+        )
+        wv = Window.partitionBy("q_id").orderBy(
+            F.desc("n_votes"), F.asc("label")
+        )
+        winner = (
+            votes.withColumn("vr", F.row_number().over(wv))
+            .where(F.col("vr") == 1)
+            .select("q_id", "true_label", F.col("label").alias("pred_label"))
+        )
+        correct = F.coalesce(
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1)),
+            F.lit(0),
+        ).cast("bigint")
+        return (
+            winner.groupBy("true_label")
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                correct.alias("n_correct"),
+            )
+            .select(
+                "true_label",
+                "n_queries",
+                "n_correct",
+                (
+                    F.expr(
+                        "(20000 * n_correct + n_queries) DIV (2 * n_queries)"
+                    ).cast("double")
+                    / F.lit(10000.0)
+                ).alias("accuracy"),
+            )
+            .orderBy("true_label")
+        )
+
+
+_register_s23()
