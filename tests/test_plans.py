@@ -775,7 +775,9 @@ BNLJ_OK = {
     "s06_ann_ivf_recall", "s11_semdedup", "s12_semdedup_report",
     "s16_mips_topk", "s17_cosine_range_search", "s19_lsh_recall_at_k",
     "s22_multiprobe_lsh_recall",
-    "s20_sq8_rerank", "s21_mmr_diversified_topk", "t10_unigram_logprob",
+    "s20_sq8_rerank", "s21_mmr_diversified_topk",
+    "s23_knn_label_accuracy",  # literal-id-capped eval-set broadcast
+    "t10_unigram_logprob",
     "t14_source_divergence",
     "v03_tfidf_top_terms", "v04_vocab_coverage", "v07_bm25_scoring",
     "v08_heaps_law",
