@@ -119,12 +119,12 @@ def _streaming_bench(spark, tmp_root: str, max_per_trigger: int = 65_536) -> dic
         )
         with open(built, "w") as f:
             f.write(str(n_rows))
-    # Two full drains from fresh checkpoints, keep the faster (same keep-min
-    # rationale as the sink's 2 writes: a single ~3s drain moved ±30% on
+    # Three full drains from fresh checkpoints, keep the fastest (same keep-min
+    # rationale as the sink's 3 writes: a single ~3s drain moved ±30% on
     # host contention alone — r7 recorded 35k rows/s on an untouched code
     # path purely from run-environment noise).
     best: dict = {"rows_per_sec": None, "triggers": 0, "rows": 0}
-    for _drain in range(2):
+    for _drain in range(3):
         ck = os.path.join(tmp_root, f"stream-ck-{int(_t.time() * 1000)}")
         q = (
             spark.readStream.format("logstore")
@@ -168,7 +168,7 @@ def _streaming_bench(spark, tmp_root: str, max_per_trigger: int = 65_536) -> dic
             }
     return {
         "max_per_trigger": max_per_trigger,
-        "runs": 2,
+        "runs": 3,
         "agg": "max",
         **best,
     }
@@ -219,11 +219,11 @@ def _sink_bench(spark, tmp_root: str, n_rows: int = 262_144, n_shards: int = 4) 
         .mode("append")
         .save()
     )
-    # Two timed writes into fresh stores, keep the faster (same 3-run
+    # Three timed writes into fresh stores, keep the fastest (same 3-run
     # keep-min rationale as the queries: a single-shot write figure moved
     # ±20% run-to-run on /tmp I-O jitter alone).
     dt = None
-    for i in range(2):
+    for i in range(3):
         store = os.path.join(tmp_root, f"sink-store-{i}")
         shutil.rmtree(store, ignore_errors=True)
         t0 = _t.perf_counter()
@@ -241,7 +241,7 @@ def _sink_bench(spark, tmp_root: str, n_rows: int = 262_144, n_shards: int = 4) 
         "rows": n_rows,
         "sec": round(dt, 3),
         "rows_per_sec": round(n_rows / dt, 1),
-        "runs": 2,
+        "runs": 3,
         "agg": "min",
     }
 
@@ -831,6 +831,37 @@ def _section_sweep() -> dict:
                         "aggregate carries exactly 10x rows on both "
                         "sides (15,000/150,000 -> 150,000/1,500,000); "
                         "~3.5x time on 10x rows is sublinear."
+                    ),
+                    "d21_sorted_neighborhood": (
+                        "structurally bounded work: SNM candidates are "
+                        "(w-1) per doc by construction — measured 14,994 "
+                        "(1x) -> 149,994 (10x) = 10.0x; verify token-match "
+                        "rows 303,237 -> 3,403,830 = 11.2x (verbatim "
+                        "replicas sort adjacent, so in-window pairs "
+                        "overlap more). ~4.4x time on 10-11x work is "
+                        "sublinear."
+                    ),
+                    "s23_knn_label_accuracy": (
+                        "linear work, fixed eval set: the id-capped eval "
+                        "set stays 25 queries at both SFs (replica ids are "
+                        "offset past the cap) while the scored corpus "
+                        "grows 2,000 -> 20,000 = 10.0x; ~4.1x time on 10x "
+                        "scored rows is sublinear."
+                    ),
+                    "g06_degree_powerlaw": (
+                        "linear work: co-purchase edges grow 305,711 (1x) "
+                        "-> 3,057,110 (10x) — exactly 10.0x — through one "
+                        "node-keyed count; the histogram+fit stages are "
+                        "O(distinct degrees). ~3.9x time on 10x edges is "
+                        "sublinear."
+                    ),
+                    "v05_zipf_slope": (
+                        "linear work: token occurrences grow 270,704 (1x) "
+                        "-> 2,707,040 (10x) — exactly 10.0x — while "
+                        "distinct types stay 31 (verbatim replica), so "
+                        "the type shuffle and the 100-row regression are "
+                        "flat; the 1x base (~0.3 s) is partly job-"
+                        "scheduling floor, which inflates the ratio."
                     ),
                 },
             }
