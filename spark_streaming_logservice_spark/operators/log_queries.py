@@ -1122,3 +1122,99 @@ def l27_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         drift.join(days, "day").join(prev_ok, "day").orderBy("day")
     )
+
+
+# --- l28: shard-balance / routing-skew report --------------------------------
+# The sink routes rows to shards by an md5 key hash (sources/logstore.py
+# _route, mirroring the reference's writer.scala:24-40); this is the
+# capacity-planning report that checks the routing is actually balanced:
+# per-shard ingest counts, 4-dp load share, and the exact-integer Gini
+# coefficient of the shard distribution stamped on every row (Gini ~ 0 =>
+# balanced; a hot key space shows up here before it shows up as a straggler
+# executor). Same md5 hash family as the sink (60-bit prefix), replayed
+# bit-identically in DuckDB.
+#
+# 100 TB shape: ONE key-hashed count with map-side combine is the only
+# corpus-sized stage; everything after (rank window, Gini aggregate,
+# share division) runs on O(shards)=16 rows, and the 1-row Gini aggregate
+# broadcasts back. Gini numerator/denominator are exact bigints; the 4-dp
+# values use integer half-up division — deterministic at any partitioning.
+
+L28_SHARDS = 16
+
+
+def _register_l28() -> None:
+    from spark_streaming_logservice_spark.operators.sketch import _hash60
+
+    oracle = f"""
+    WITH s AS (
+      SELECT ('0x' || substr(md5('shard:' || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % {L28_SHARDS} AS shard
+      FROM events
+    ), c AS (
+      SELECT shard, count(*) AS n_rows FROM s GROUP BY shard
+    ), r AS (
+      SELECT shard, n_rows,
+             row_number() OVER (ORDER BY n_rows, shard) AS rk
+      FROM c
+    ), t AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_sh
+      FROM c
+    ), g AS (
+      SELECT CAST((20000 * (2 * sum(rk * n_rows)
+                            - (count(*) + 1) * sum(n_rows))
+                   + count(*) * sum(n_rows))
+                  // (2 * count(*) * sum(n_rows)) AS DOUBLE) / 10000.0
+               AS gini
+      FROM r
+    )
+    SELECT r.shard, r.n_rows,
+           CAST((20000 * r.n_rows + t.total) // (2 * t.total) AS DOUBLE)
+             / 10000.0 AS share,
+           g.gini
+    FROM r CROSS JOIN g CROSS JOIN t
+    ORDER BY r.shard
+    """
+
+    @query("l28_shard_balance", oracle=oracle)
+    def l28_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            (_hash60("shard:", F.col("user_id")) % L28_SHARDS).alias("shard")
+        )
+        c = ev.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+        # bounded global window: exactly L28_SHARDS rows by construction
+        r = c.withColumn(
+            "rk", F.row_number().over(Window.orderBy("n_rows", "shard"))
+        )
+        g = r.agg(
+            (
+                F.expr(
+                    "(20000 * (2 * sum(rk * n_rows)"
+                    " - (count(*) + 1) * sum(n_rows))"
+                    " + count(*) * sum(n_rows))"
+                    " DIV (2 * count(*) * sum(n_rows))"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("gini")
+        )
+        t = c.agg(F.sum("n_rows").cast("bigint").alias("total"))
+        return (
+            r.crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(t))
+            .select(
+                "shard",
+                "n_rows",
+                (
+                    F.expr("(20000 * n_rows + total) DIV (2 * total)").cast(
+                        "double"
+                    )
+                    / F.lit(10000.0)
+                ).alias("share"),
+                "gini",
+            )
+            .orderBy("shard")
+        )
+
+
+_register_l28()

@@ -741,6 +741,7 @@ GLOBAL_WINDOW_OK = {
     "e16_changepoint_detection", # running sums over O(days)
     "e17_growth_accounting",     # lag over O(weeks)
     "p16_mixture_schedule",      # schedule over O(sources x steps)
+    "l28_shard_balance",         # rank over exactly L28_SHARDS(=16) rows
     "q27_monthly_growth",        # lag over O(months)
     "s18_threshold_sweep",       # rank over O(thresholds)
     "sql08_range_frame",         # RANGE frame demo over a KEY-BOUNDED slice
@@ -770,6 +771,7 @@ BNLJ_OK = {
     "p13_temperature_mixture", "p14_group_split", "p17_leakage_free_split",
     "q11_semi_anti_join", "q20_set_operations", "q22_balance_no_orders",
     "l25_hll_cardinality",  # scope x 64-register scaffold: O(types)-row cross join
+    "l28_shard_balance",    # 1-row Gini + 1-row total aggregate broadcasts
     "l26_kmv_overlap",      # type pairs x k-row sketches: O(types^2 * k) rows
     "q31_revenue_concentration", "s01_cosine_topk", "s05_ann_ivf",
     "s06_ann_ivf_recall", "s11_semdedup", "s12_semdedup_report",
