@@ -72,3 +72,26 @@ def test_estimates_exact_below_k_and_bounded_above(spark, sf_dir, tmp_path):
             assert r["est_distinct"] > 0
             assert r["est_distinct"] < true_n * 10
             assert r["est_distinct"] > true_n / 10
+
+
+def test_real_stream_drive_equals_batch(spark, sf_dir, tmp_path):
+    """Drive the writer through an actual readStream -> foreachBatch query
+    (availableNow, one file per trigger), not direct writer calls — the
+    store must still equal the batch sketch over the full input."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    table = str(tmp_path / "kmv")
+    q = (
+        spark.readStream.schema("event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(KS.incremental_kmv_writer(table))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(150)
+    assert _sketch_set(KS.read_kmv_sketch(spark, table)) == _sketch_set(
+        KS.kmv_partial(ev)
+    )

@@ -97,3 +97,31 @@ def test_sample_is_hash_prefix_of_full_ranking(spark, sf_dir, tmp_path):
             .collect()
         ]
         assert set(want) == keys
+
+
+def test_real_stream_drive_equals_batch(spark, sf_dir, tmp_path):
+    """Drive the writer through an actual readStream -> foreachBatch query
+    (availableNow, one file per trigger), not direct writer calls — the
+    store must still equal the batch bottom-k sample over the full input."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "n_chars"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    table = str(tmp_path / "smp")
+    q = (
+        spark.readStream.schema(
+            "source STRING, doc_id LONG, lang STRING, n_chars LONG"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(_writer(table))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(150)
+    batch = SS.bottomk_sample_partial(
+        docs, "source", "doc_id", ["lang", "n_chars"], k=_K
+    )
+    assert _rows(SS.read_sample(spark, table, _SCHEMA)) == _rows(batch)
