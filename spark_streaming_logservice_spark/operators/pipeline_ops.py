@@ -1772,3 +1772,133 @@ def _register_p21() -> None:
 
 
 _register_p21()
+
+
+# --- p22: epoch shuffle plan (reproducible per-epoch permutation) ------------
+# Training loaders need a DIFFERENT document order every epoch, but the
+# same order every time the job restarts — a deterministic per-epoch
+# permutation, never an RNG shuffle. Rank every doc by md5(epoch:doc_id)
+# within each epoch and PROVE the reshuffle: the Spearman rank correlation
+# between consecutive epochs' permutations (~0 for independent orders) and
+# the 4-dp mean absolute rank displacement (~N/3 for a random permutation).
+#
+# 100 TB shape: the only corpus-sized stages are the E-way row-local epoch
+# explode and ONE two-pass range-partitioned global ranking over
+# (epoch, hash) — per-epoch ranks derive from the global rank minus the
+# epoch's broadcast min-rank offset (O(E) rows), so there is no
+# partition-less window and no per-epoch corpus sort. All six Spearman
+# sufficient statistics are exact bigint sums (rank products stay under
+# 2^63 up to ~2M docs/epoch; beyond that promote to DECIMAL(38)) — the
+# correlation is bit-stable at any partitioning.
+
+P22_EPOCHS = 3
+
+
+def _register_p22() -> None:
+    oracle = f"""
+    WITH ep AS (
+      SELECT CAST(unnest(range({P22_EPOCHS})) AS INTEGER) AS epoch
+    ), x AS (
+      SELECT e.epoch, d.doc_id,
+             ('0x' || substr(md5('ep:' || CAST(e.epoch AS VARCHAR) || ':'
+                                  || CAST(d.doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+      FROM documents d CROSS JOIN ep e
+    ), r AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS rk
+      FROM x
+    ), p AS (
+      SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+             a.rk AS ra, b.rk AS rb
+      FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.epoch = a.epoch + 1
+    ), s AS (
+      SELECT epoch_a, epoch_b, count(*) AS n,
+             sum(ra) AS sx, sum(rb) AS sy, sum(ra * rb) AS sxy,
+             sum(ra * ra) AS sxx, sum(rb * rb) AS syy,
+             sum(abs(ra - rb)) AS sabs
+      FROM p GROUP BY 1, 2
+    )
+    SELECT epoch_a, epoch_b, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 + 0.0, 6) AS rank_corr,
+           CAST((20000 * sabs + n) // (2 * n) AS DOUBLE) / 10000.0
+             AS mean_rank_shift
+    FROM s
+    ORDER BY epoch_a
+    """
+
+    @query("p22_epoch_shuffle", oracle=oracle)
+    def p22_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spark_streaming_logservice_spark.operators.sketch import _hash60
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        epochs = F.explode(
+            F.array(*[F.lit(e) for e in range(P22_EPOCHS)])
+        ).alias("epoch")
+        x = d.select(epochs, "doc_id").select(
+            "epoch",
+            "doc_id",
+            _hash60(
+                "ep:",
+                F.concat(
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).alias("h"),
+        )
+        ranked = distributed_row_number(
+            x, [F.asc("epoch"), F.asc("h"), F.asc("doc_id")], out="grk"
+        )
+        off = ranked.groupBy("epoch").agg(F.min("grk").alias("off"))
+        r = ranked.join(F.broadcast(off), "epoch").select(
+            "epoch", "doc_id", (F.col("grk") - F.col("off") + 1).alias("rk")
+        )
+        a = r.select(
+            F.col("epoch").alias("epoch_a"),
+            "doc_id",
+            F.col("rk").alias("ra"),
+        )
+        b = r.select(
+            (F.col("epoch") - 1).alias("epoch_a"),
+            F.col("epoch").alias("epoch_b"),
+            "doc_id",
+            F.col("rk").alias("rb"),
+        )
+        p = a.join(b, ["epoch_a", "doc_id"])
+        s = p.groupBy("epoch_a", "epoch_b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ra").alias("sx"),
+            F.sum("rb").alias("sy"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+            F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+            F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+            F.sum(F.abs(F.col("ra") - F.col("rb"))).alias("sabs"),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+        return s.select(
+            "epoch_a",
+            "epoch_b",
+            F.col("n").alias("n_docs"),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)) + F.lit(0.0), 6).alias(
+                "rank_corr"
+            ),
+            (
+                F.expr("(20000 * sabs + n) DIV (2 * n)").cast("double")
+                / F.lit(10000.0)
+            ).alias("mean_rank_shift"),
+        ).orderBy("epoch_a")
+
+
+_register_p22()
