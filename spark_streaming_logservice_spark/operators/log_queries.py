@@ -1151,8 +1151,15 @@ def _register_l28() -> None:
       SELECT ('0x' || substr(md5('shard:' || CAST(user_id AS VARCHAR)), 1, 15))
                ::BIGINT % {L28_SHARDS} AS shard
       FROM events
-    ), c AS (
+    ), c0 AS (
       SELECT shard, count(*) AS n_rows FROM s GROUP BY shard
+    ), c AS (
+      -- scaffold EVERY shard slot: an empty shard is maximal imbalance
+      -- evidence, not a missing row (one hot shard must read gini -> 1,
+      -- which requires the 15 zero rows to be present)
+      SELECT g.shard, coalesce(c0.n_rows, 0) AS n_rows
+      FROM (SELECT unnest(range({L28_SHARDS})) AS shard) g
+        LEFT JOIN c0 ON c0.shard = g.shard
     ), r AS (
       SELECT shard, n_rows,
              row_number() OVER (ORDER BY n_rows, shard) AS rk
@@ -1182,7 +1189,18 @@ def _register_l28() -> None:
         ev = load_table(spark, sf_dir, "events").select(
             (_hash60("shard:", F.col("user_id")) % L28_SHARDS).alias("shard")
         )
-        c = ev.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+        c0 = ev.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+        # scaffold every shard slot: an empty shard is maximal-imbalance
+        # evidence (one hot shard must read gini -> 1, which needs the
+        # zero rows present), and the scaffold is O(L28_SHARDS) rows
+        scaffold = spark.range(L28_SHARDS).select(
+            F.col("id").cast("bigint").alias("shard")
+        )
+        c = (
+            scaffold.join(c0, "shard", "left")
+            .na.fill({"n_rows": 0})
+            .select("shard", F.col("n_rows").cast("bigint").alias("n_rows"))
+        )
         # bounded global window: exactly L28_SHARDS rows by construction
         r = c.withColumn(
             "rk", F.row_number().over(Window.orderBy("n_rows", "shard"))
