@@ -1765,3 +1765,154 @@ def _register_d23() -> None:
 
 
 _register_d23()
+
+
+# --- d24: end-to-end dedup funnel (exact -> near-dup -> substring) -----------
+# The integration view every training-data pipeline publishes: how many
+# documents survive each dedup stage, per source. Stage rules are all
+# deterministic keeper functions (no RNG, no order dependence):
+#   1. exact      — keep the min doc_id of each md5(text) group;
+#   2. near-dup   — among stage-1 survivors, keep the min doc_id of each
+#                   LSH+CC cluster (unclustered docs are their own group);
+#                   reuses the PINNED cluster_assignments chain, so in a
+#                   bench sweep this stage costs one join, not a rebuild;
+#   3. substring  — among stage-2 survivors, drop a doc when >= 50% of its
+#                   distinct W-token windows are OWNED by a lower-id
+#                   survivor (owner = min doc_id per window hash) — the
+#                   Lee-et-al exact-substring pass turned into a
+#                   deterministic keeper rule.
+#
+# 100 TB shape: stage 1/2 keeper sets are digest/id aggregates (text never
+# enters their shuffles; survivors re-join the corpus by id to project
+# text for stage 3); stage 3 shuffles only 16-byte window digests with
+# map-side combine, and the owner relation is a per-digest min. The 4-dp
+# retention is integer half-up division.
+
+def _register_d24() -> None:
+    W1, W2 = WINDOW_W - 2, WINDOW_W - 1
+    tail = f"""
+    , dgd AS (
+      SELECT doc_id, source, text, md5(text) AS dg FROM documents
+    ), s1 AS (
+      SELECT d.* FROM dgd d
+        JOIN (SELECT dg, min(doc_id) AS kid FROM dgd GROUP BY dg) k
+          ON k.dg = d.dg AND k.kid = d.doc_id
+    ), s1g AS (
+      SELECT s1.*, coalesce(a.cluster_id, s1.doc_id) AS grp
+      FROM s1 LEFT JOIN assign a ON a.doc_id = s1.doc_id
+    ), s2 AS (
+      SELECT s.doc_id, s.source, s.text FROM s1g s
+        JOIN (SELECT grp, min(doc_id) AS kid FROM s1g GROUP BY grp) k
+          ON k.grp = s.grp AND k.kid = s.doc_id
+    ), w24 AS (
+      SELECT DISTINCT doc_id, wh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - {W1}, 1)),
+                      i -> md5(array_to_string(toks[i:i+{W2}], ' ')))) AS wh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM s2)
+      )
+    ), own AS (
+      SELECT wh, min(doc_id) AS owner FROM w24 GROUP BY wh
+    ), ext AS (
+      SELECT w.doc_id, count(*) AS n,
+             sum(CASE WHEN o.owner < w.doc_id THEN 1 ELSE 0 END) AS n_ext
+      FROM w24 w JOIN own o USING (wh) GROUP BY w.doc_id
+    ), s3 AS (
+      SELECT s2.doc_id, s2.source FROM s2
+        LEFT JOIN ext ON ext.doc_id = s2.doc_id
+      WHERE ext.doc_id IS NULL OR 2 * ext.n_ext < ext.n
+    ), base AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), c1 AS (
+      SELECT source, count(*) AS n_exact FROM s1 GROUP BY source
+    ), c2 AS (
+      SELECT source, count(*) AS n_neardup FROM s2 GROUP BY source
+    ), c3 AS (
+      SELECT source, count(*) AS n_substring FROM s3 GROUP BY source
+    )
+    SELECT b.source, b.n_docs,
+           CAST(coalesce(c1.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(c2.n_neardup, 0) AS BIGINT) AS n_neardup,
+           CAST(coalesce(c3.n_substring, 0) AS BIGINT) AS n_substring,
+           CAST((20000 * coalesce(c3.n_substring, 0) + b.n_docs)
+                // (2 * b.n_docs) AS DOUBLE) / 10000.0 AS retained
+    FROM base b
+      LEFT JOIN c1 ON c1.source = b.source
+      LEFT JOIN c2 ON c2.source = b.source
+      LEFT JOIN c3 ON c3.source = b.source
+    ORDER BY b.source
+    """
+
+    @query("d24_dedup_funnel", oracle=_duckdb_cluster_sql(tail))
+    def d24_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        dg = d.select("doc_id", "source", F.md5("text").alias("dg"))
+        k1 = dg.groupBy("dg").agg(F.min("doc_id").alias("kid"))
+        s1 = dg.join(k1, "dg").where(F.col("doc_id") == F.col("kid")).select(
+            "doc_id", "source"
+        )
+        cc = cluster_assignments(spark, sf_dir)
+        s1g = s1.join(cc, "doc_id", "left").select(
+            "doc_id",
+            "source",
+            F.coalesce("cluster_id", "doc_id").alias("grp"),
+        )
+        k2 = s1g.groupBy("grp").agg(F.min("doc_id").alias("kid"))
+        s2 = (
+            s1g.join(k2, "grp")
+            .where(F.col("doc_id") == F.col("kid"))
+            .select("doc_id", "source")
+        )
+        # survivors re-join the corpus by id so text enters only the
+        # row-local window stage, never the keeper shuffles above
+        par = spark.sparkContext.defaultParallelism
+        s2t = d.join(s2.select("doc_id"), "doc_id", "left_semi").repartition(
+            par, "doc_id"
+        )
+        w = s2t.select(
+            "doc_id", F.explode(_window_hashes()).alias("wh")
+        ).distinct()
+        own = w.groupBy("wh").agg(F.min("doc_id").alias("owner"))
+        ext = (
+            w.join(own, "wh")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("owner") < F.col("doc_id"), 1).otherwise(0)
+                ).alias("n_ext"),
+            )
+        )
+        s3 = (
+            s2.join(ext, "doc_id", "left")
+            .where(F.col("n").isNull() | (2 * F.col("n_ext") < F.col("n")))
+            .select("doc_id", "source")
+        )
+        base = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        c1 = s1.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+        c2 = s2.groupBy("source").agg(F.count(F.lit(1)).alias("n_neardup"))
+        c3 = s3.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_substring")
+        )
+        out = (
+            base.join(c1, "source", "left")
+            .join(c2, "source", "left")
+            .join(c3, "source", "left")
+            .na.fill({"n_exact": 0, "n_neardup": 0, "n_substring": 0})
+        )
+        return out.select(
+            "source",
+            "n_docs",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_neardup").cast("bigint").alias("n_neardup"),
+            F.col("n_substring").cast("bigint").alias("n_substring"),
+            (
+                F.expr(
+                    "(20000 * n_substring + n_docs) DIV (2 * n_docs)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("retained"),
+        ).orderBy("source")
+
+
+_register_d24()
