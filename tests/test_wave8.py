@@ -172,3 +172,33 @@ def test_g06_pure_power_law_fits_exactly(spark, tmp_path):
     r2s = {r["fit_r2"] for r in out}
     assert len(slopes) == 1 and len(r2s) == 1  # stamped constants
     assert list(r2s)[0] is None or 0.0 <= list(r2s)[0] <= 1.0
+
+
+def test_d24_funnel_stages_each_catch_their_case(spark, tmp_path):
+    # five docs, one elimination per stage:
+    #   id1 D: 40-token base doc                         -> survives all
+    #   id2 C: D's first 10 tokens (substring of D)      -> dropped stage 3
+    #   id3 A: 20 distinct tokens                        -> survives all
+    #   id4 B: A with ONE token swapped (jaccard ~0.905) -> dropped stage 2
+    #   id5 E: exact copy of D's text                    -> dropped stage 1
+    d_toks = [f"base{i}" for i in range(40)]
+    a_toks = [f"alt{i}" for i in range(20)]
+    b_toks = a_toks[:10] + ["swapped"] + a_toks[11:]
+    rows = [
+        (1, " ".join(d_toks), "en", "s1", 1),
+        (2, " ".join(d_toks[:10]), "en", "s1", 1),
+        (3, " ".join(a_toks), "en", "s1", 1),
+        (4, " ".join(b_toks), "en", "s1", 1),
+        (5, " ".join(d_toks), "en", "s1", 1),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = registry.QUERIES["d24_dedup_funnel"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["n_exact"], r["n_neardup"], r["n_substring"]) == (
+        5,
+        4,
+        3,
+        2,
+    )
+    assert r["retained"] == 0.4
