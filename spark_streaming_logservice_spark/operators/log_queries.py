@@ -1236,3 +1236,94 @@ def _register_l28() -> None:
 
 
 _register_l28()
+
+
+# --- l29: error incidents (gaps-and-islands over the minute rollup) ---------
+# l18 finds bursty MINUTES; operators teams page on INCIDENTS — maximal
+# runs of consecutive error minutes merged into one row with start/end/
+# duration/volume. This is the classic gaps-and-islands pattern, keyed by
+# event_type: a minute starts a new island when it is not exactly one
+# minute after its predecessor, and the island id is the running count of
+# starts — one lag + one cumulative sum over the SAME type-keyed window.
+#
+# 100 TB shape: the corpus collapses to the (type, minute) rollup first
+# (map-side combine), so the windows run over O(types × minutes-in-
+# retention) rows — bounded by the calendar, not the event volume — and
+# each type's series is an independent partition (the e13 bounded-window
+# argument, but keyed). All outputs are integers/timestamps; no floats
+# anywhere.
+
+def _register_l29() -> None:
+    oracle = """
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             count(*) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2
+    ), flagged AS (
+      SELECT event_type, minute, n_errors,
+             CASE WHEN lag(minute) OVER w IS NULL
+                    OR minute > lag(minute) OVER w + INTERVAL 1 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM m WINDOW w AS (PARTITION BY event_type ORDER BY minute)
+    ), islands AS (
+      SELECT event_type, minute, n_errors,
+             sum(is_start) OVER (PARTITION BY event_type ORDER BY minute
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT event_type,
+           CAST(min(minute) AS TIMESTAMP) AS incident_start,
+           CAST(max(minute) AS TIMESTAMP) AS incident_end,
+           CAST(count(*) AS BIGINT) AS n_minutes,
+           CAST(sum(n_errors) AS BIGINT) AS n_errors
+    FROM islands
+    GROUP BY event_type, island
+    ORDER BY event_type, incident_start
+    """
+
+    @query("l29_error_incidents", oracle=oracle)
+    def l29_error_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+        m = (
+            e.where(F.col("event_type") == "error")
+            .groupBy(
+                "event_type",
+                F.date_trunc("minute", "ts")
+                .cast("timestamp_ntz")
+                .alias("minute"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_errors"))
+        )
+        w = Window.partitionBy("event_type").orderBy("minute")
+        flagged = m.withColumn(
+            "is_start",
+            F.when(
+                F.lag("minute").over(w).isNull()
+                | (
+                    F.col("minute")
+                    > F.lag("minute").over(w) + F.expr("INTERVAL 1 MINUTE")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        islands = flagged.withColumn(
+            "island",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return (
+            islands.groupBy("event_type", "island")
+            .agg(
+                F.min("minute").alias("incident_start"),
+                F.max("minute").alias("incident_end"),
+                F.count(F.lit(1)).alias("n_minutes"),
+                F.sum("n_errors").alias("n_errors"),
+            )
+            .drop("island")
+            .orderBy("event_type", "incident_start")
+        )
+
+
+_register_l29()
