@@ -605,3 +605,51 @@ def expire_rollup(table_dir: str, older_than, spark: SparkSession) -> int:
     if dropped:
         _commit_swap(table_dir, kept, None)
     return dropped
+
+
+def read_error_incidents(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Serve merged error INCIDENTS (gaps-and-islands over consecutive
+    error minutes) straight from the maintained minute-grain store — the
+    continuously-current face of the batch l29 query: identical island
+    algebra over the store's ``n_errors > 0`` minutes, so a streamed store
+    serves the same incidents a batch pass over the full history computes
+    (pinned by tests/test_streaming_rollup.py).
+
+    Scale: the input is the O(minutes-in-retention) store, never raw
+    events; one ordered window over that bounded series."""
+    from pyspark.sql import Window as W
+
+    m = (
+        read_store(spark, table_dir, _SCHEMA)
+        .where(F.col("n_errors") > 0)
+        .select("bucket", "n_errors")
+    )
+    w = W.orderBy("bucket")  # bounded: O(minutes in retention) rows
+    flagged = m.withColumn(
+        "is_start",
+        F.when(
+            F.lag("bucket").over(w).isNull()
+            | (
+                F.col("bucket")
+                > F.lag("bucket").over(w) + F.expr("INTERVAL 1 MINUTE")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_start").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("island")
+        .agg(
+            F.min("bucket").alias("incident_start"),
+            F.max("bucket").alias("incident_end"),
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.sum("n_errors").alias("n_errors"),
+        )
+        .drop("island")
+        .orderBy("incident_start")
+    )

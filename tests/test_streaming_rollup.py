@@ -356,3 +356,33 @@ def test_unsafe_partition_value_rejected(spark, tmp_path):
             schema="k STRING, n BIGINT", batch_id=1,
             partition_expr=F.col("k"),
         )
+
+
+def test_served_incidents_equal_batch_l29(spark, sf_dir, tmp_path):
+    """Incidents served from the streamed minute store must equal the
+    batch l29 gaps-and-islands query over the same events, whatever the
+    batching."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark import registry
+    from spark_streaming_logservice_spark.streaming import rollup as R
+    from spark_streaming_logservice_spark.tables import load_table
+
+    registry.load_all()
+    table = str(tmp_path / "mins")
+    writer = R.incremental_rollup_writer(table)
+    ev = load_table(spark, sf_dir, "events")
+    for b in range(3):
+        writer(ev.where(F.col("event_id") % 3 == b), b)
+
+    served = [
+        (r["incident_start"], r["incident_end"], r["n_minutes"], r["n_errors"])
+        for r in R.read_error_incidents(spark, table).collect()
+    ]
+    batch = [
+        (r["incident_start"], r["incident_end"], r["n_minutes"], r["n_errors"])
+        for r in registry.QUERIES["l29_error_incidents"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert served == batch and len(served) > 0
