@@ -880,6 +880,26 @@ def _section_sweep() -> dict:
                         "O(distinct degrees). ~3.9x time on 10x edges is "
                         "sublinear."
                     ),
+                    "s17_cosine_range_search": (
+                        "linear work, small base: the fixed query set "
+                        "scores a 10.0x larger corpus (2,000 -> 20,000 "
+                        "vectors) in one scan; the ~0.4 s 1x base is "
+                        "partly job-scheduling floor, which inflates the "
+                        "ratio vs scan-heavy peers."
+                    ),
+                    "t08_filter_rules": (
+                        "linear work: row-local regex/length predicates "
+                        "over exactly 10.0x documents (5,000 -> 50,000) "
+                        "with a flat per-source aggregate; ratio jitters "
+                        "around 3.5x run-to-run on a sub-second base."
+                    ),
+                    "v02_bpe_pair_counts": (
+                        "linear work: adjacent-pair occurrences grow "
+                        "265,704 (1x) -> 2,657,040 (10x) — exactly 10.0x — "
+                        "while distinct pairs stay 931 (verbatim replica), "
+                        "so the pair shuffle is flat and the time is the "
+                        "10x explode cost."
+                    ),
                     "v05_zipf_slope": (
                         "linear work: token occurrences grow 270,704 (1x) "
                         "-> 2,707,040 (10x) — exactly 10.0x — while "
