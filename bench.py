@@ -702,6 +702,7 @@ def _section_sweep() -> dict:
         "p22_epoch_shuffle",
         "d24_dedup_funnel",
         "l29_error_incidents",
+        "v10_vocab_overlap",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

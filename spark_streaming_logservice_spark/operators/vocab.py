@@ -734,3 +734,105 @@ def _register_v09() -> None:
 
 
 _register_v09()
+
+
+# --- v10: cross-source vocabulary overlap (set Jaccard) ----------------------
+# t14 compares source token DISTRIBUTIONS (divergence); this compares the
+# SETS — "do these two crawls even speak the same vocabulary" — the
+# source-pair Jaccard of distinct token vocabularies, the first number a
+# mixture designer checks before weighting sources together.
+#
+# 100 TB shape: the d19 count-algebra pattern — the corpus collapses to the
+# distinct (source, token) relation (one keyed aggregate with map-side
+# combine), per-source sizes are O(sources) rows, and the intersection
+# counts come from ONE token-keyed self-join of the per-source vocabulary
+# whose fan-out per token is bounded by |sources|, never by corpus rows.
+# No doc-pair or token-pair explosion anywhere; 4-dp Jaccard is integer
+# half-up division.
+
+def _register_v10() -> None:
+    oracle = """
+    WITH st AS (
+      SELECT DISTINCT source, token FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ), sz AS (
+      SELECT source, count(*) AS n_tok FROM st GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_inter,
+           sa.n_tok AS n_tok_a, sb.n_tok AS n_tok_b,
+           CAST((20000 * i.n_inter + (sa.n_tok + sb.n_tok - i.n_inter))
+                // (2 * (sa.n_tok + sb.n_tok - i.n_inter)) AS DOUBLE)
+             / 10000.0 AS jaccard
+    FROM inter i
+      JOIN sz sa ON sa.source = i.source_a
+      JOIN sz sb ON sb.source = i.source_b
+    ORDER BY jaccard DESC, i.source_a, i.source_b
+    LIMIT 30
+    """
+
+    @query("v10_vocab_overlap", oracle=oracle)
+    def v10_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+        st = (
+            d.select(
+                "source",
+                F.explode(
+                    F.filter(
+                        F.split(F.lower("text"), " "),
+                        lambda t: t != F.lit(""),
+                    )
+                ).alias("token"),
+            )
+            .distinct()
+        )
+        sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+        a = st.alias("a")
+        b = st.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sz.alias("sa")
+        sb = sz.alias("sb")
+        jac = F.expr(
+            "(20000 * n_inter + (n_tok_a + n_tok_b - n_inter))"
+            " DIV (2 * (n_tok_a + n_tok_b - n_inter))"
+        )
+        return (
+            inter.join(sa, F.col("source_a") == F.col("sa.source"))
+            .join(sb, F.col("source_b") == F.col("sb.source"))
+            .select(
+                "source_a",
+                "source_b",
+                "n_inter",
+                F.col("sa.n_tok").alias("n_tok_a"),
+                F.col("sb.n_tok").alias("n_tok_b"),
+            )
+            .select(
+                "source_a",
+                "source_b",
+                "n_inter",
+                "n_tok_a",
+                "n_tok_b",
+                (jac.cast("double") / F.lit(10000.0)).alias("jaccard"),
+            )
+            .orderBy(F.desc("jaccard"), F.asc("source_a"), F.asc("source_b"))
+            .limit(30)
+        )
+
+
+_register_v10()
