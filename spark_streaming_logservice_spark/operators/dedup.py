@@ -613,17 +613,44 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
     app = spark.sparkContext.applicationId
+    # Identity = the CONTENTS of the dataset, not the directory inode: a
+    # corpus regenerated by rewriting part files in place under the same
+    # names leaves the directory mtime unchanged, so key on the max
+    # mtime_ns and total size across the part files (plus the file count).
     try:
-        st = _os.stat(p)
-        key = (app, p, st.st_mtime_ns, st.st_size)
+        if _os.path.isdir(p):
+            stats = [
+                _os.stat(_os.path.join(p, f))
+                for f in sorted(_os.listdir(p))
+                if not f.startswith((".", "_"))
+            ]
+            key = (
+                app,
+                p,
+                len(stats),
+                max((s.st_mtime_ns for s in stats), default=0),
+                sum(s.st_size for s in stats),
+            )
+        else:
+            st = _os.stat(p)
+            key = (app, p, 1, st.st_mtime_ns, st.st_size)
     except OSError:
-        key = (app, p, None, None)
+        key = (app, p, None, None, None)
     df = _ASSIGN_CACHE.get(key)
     if df is None:
+
+        def _evict(k: tuple) -> None:
+            old = _ASSIGN_CACHE.pop(k)
+            if k[0] == app:  # dead sessions' blocks died with their JVM
+                try:
+                    old.unpersist(blocking=False)
+                except Exception:
+                    pass
+
         for k in [k for k in _ASSIGN_CACHE if k[0] != app]:
-            del _ASSIGN_CACHE[k]
+            _evict(k)
         while len(_ASSIGN_CACHE) >= 4:
-            del _ASSIGN_CACHE[next(iter(_ASSIGN_CACHE))]
+            _evict(next(iter(_ASSIGN_CACHE)))
         d = load_table(spark, sf_dir, "documents")
         df = neardup_clusters(d).localCheckpoint(eager=True)
         _ASSIGN_CACHE[key] = df

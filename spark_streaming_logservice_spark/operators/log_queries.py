@@ -1041,15 +1041,17 @@ def l24_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              (20000 * c.n + t.tot) // (2 * t.tot) AS s
       FROM cnt c JOIN tot t USING (day)
     ), contrib AS (
-      SELECT day, template, s AS s_cur, 0 AS s_prev FROM shares
+      SELECT day, template, s AS s_cur, 0 AS s_prev, 1 AS pc FROM shares
       UNION ALL
-      SELECT day + 1 AS day, template, 0 AS s_cur, s AS s_prev FROM shares
+      SELECT day + 1 AS day, template, 0 AS s_cur, s AS s_prev, 0 AS pc
+      FROM shares
     ), diffs AS (
-      SELECT day, template, sum(s_cur) AS sc, sum(s_prev) AS sp
+      SELECT day, template, sum(s_cur) AS sc, sum(s_prev) AS sp,
+             sum(pc) AS pcs
       FROM contrib GROUP BY 1, 2
     ), drift AS (
       SELECT day,
-             sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS n_templates,
+             sum(pcs) AS n_templates,
              CAST(sum(abs(sc - sp)) AS DOUBLE) / 10000.0 AS l1_drift
       FROM diffs GROUP BY 1
     ), days AS (
@@ -1073,7 +1075,10 @@ def l27_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the +1-day share union, diffs, drift — runs on that tiny relation.
     The union-of-contributions trick replaces a full-outer self-join so
     appear/disappear cases need no null handling, and no window function
-    is used at all."""
+    is used at all. ``n_templates`` is the count of templates SEEN that
+    day (a presence indicator carried through the union), independent of
+    whether their 1e-4-unit rounded share is nonzero — a template rarer
+    than ~1/20000 of a day's volume still counts."""
     e = load_table(spark, sf_dir, "events")
     msg = F.concat(
         F.col("event_type"),
@@ -1099,20 +1104,26 @@ def l27_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "template",
         F.col("s").alias("s_cur"),
         F.lit(0).cast("bigint").alias("s_prev"),
+        F.lit(1).cast("bigint").alias("pc"),
     )
     prv = shares.select(
         F.date_add("day", 1).alias("day"),
         "template",
         F.lit(0).cast("bigint").alias("s_cur"),
         F.col("s").alias("s_prev"),
+        F.lit(0).cast("bigint").alias("pc"),
     )
     diffs = (
         cur.unionByName(prv)
         .groupBy("day", "template")
-        .agg(F.sum("s_cur").alias("sc"), F.sum("s_prev").alias("sp"))
+        .agg(
+            F.sum("s_cur").alias("sc"),
+            F.sum("s_prev").alias("sp"),
+            F.sum("pc").alias("pcs"),
+        )
     )
     drift = diffs.groupBy("day").agg(
-        F.sum(F.when(F.col("sc") > 0, 1).otherwise(0)).alias("n_templates"),
+        F.sum("pcs").alias("n_templates"),
         (F.sum(F.abs(F.col("sc") - F.col("sp"))).cast("double") / 10000.0).alias(
             "l1_drift"
         ),

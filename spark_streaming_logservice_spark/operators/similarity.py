@@ -1164,6 +1164,16 @@ def _duck_mmr_oracle() -> str:
     # python greedy): engine-native round() disagrees with python round()
     # on half-even vs decimal-string ties — the explicit floor formula is
     # the same IEEE multiply/add/floor/divide everywhere.
+    #
+    # FOLD-ORDER ASSUMPTION: exact cross-engine equality additionally
+    # relies on DuckDB's list_sum folding left-to-right in IEEE order,
+    # matching the python greedy's sequential accumulation loops. A DuckDB
+    # release switching list_sum to pairwise/vectorized summation could
+    # flip a floor(x*1e6+0.5) half-up boundary. tests/test_wave9.py::
+    # test_s21_mmr_score_fold_order_tolerance pins mmr_score agreement at
+    # a one-ulp-of-1e-6 tolerance so such a change surfaces as a diagnosed
+    # drift (that test failing while the hash gate fails = fold order
+    # changed; both passing = exact parity holds).
     sim = (
         "floor((list_sum(list_transform(list_zip(p.n_emb, s.n_emb), "
         "x -> x[1] * x[2])) / "

@@ -347,21 +347,40 @@ def _merge_sharded(
             srcs = {pv: os.path.join(staging, f"{_PART}={pv}") for pv in todo}
         _span("write", t0)
         t0 = _t.perf_counter()
+        # A dirty shard with no staging output is EITHER a combiner that
+        # legitimately emptied the shard (e.g. a bottom-k where every delta
+        # row loses to base — zero output rows, so the partitioned write
+        # produced no directory) OR a write whose directory name diverged
+        # from pv (escaping) / lost rows. Only the second is an error;
+        # raising on the first would poison the batch forever (the shard
+        # stays dirty on every retry). Disambiguate by asking the plan:
+        # shards where `merged` truly has zero rows get an explicit empty
+        # version published through the same two-phase swap.
+        missing = [pv for pv in todo if not os.path.exists(srcs[pv])]
+        if missing and partition_bounds is None:
+            nonempty = {
+                r[0]
+                for r in merged.where(F.col(_PART).isin(missing))
+                .groupBy(_PART)
+                .count()
+                .collect()
+            }
+            ghosts = sorted(set(missing) & nonempty)
+            if ghosts:
+                raise RuntimeError(
+                    f"staging output missing for dirty shards {ghosts!r} "
+                    f"that have merged rows (under {staging}); the "
+                    "partitioned write escaped/lost the directory — "
+                    "refusing to publish a partial batch"
+                )
+            for pv in missing:
+                spark.createDataFrame([], schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(srcs[pv])
         # publish shard-by-shard: two-phase rename, commit point per shard
         for pv in todo:
             src = srcs[pv]
             if not os.path.exists(src):
-                if partition_bounds is None:
-                    # pv was COLLECTED from actual delta rows — a missing
-                    # staging dir means the partitioned write's directory
-                    # name diverged from pv (escaping) or the write lost
-                    # rows; skipping would silently drop this shard's
-                    # delta while the batch marker still commits
-                    raise RuntimeError(
-                        f"staging output missing for dirty shard {pv!r} "
-                        f"(expected {src}); refusing to publish a partial "
-                        "batch"
-                    )
                 continue  # over-approx candidate with no delta rows
             if batch_id is not None:
                 with open(os.path.join(src, "_batch_meta.json"), "w") as f:

@@ -50,18 +50,22 @@ SAMPLE_K = 64
 
 
 def _rekeep(df: DataFrame, k: int) -> DataFrame:
-    """Keep each scope's k rows with the smallest hashes — the bottom-k
-    combiner. (h, sample_key) is a total order (h is a function of the
-    key, keys are distinct after the dropDuplicates), so the survivor set
-    is deterministic at any partitioning; dropDuplicates is safe because
-    rows for the same (scope, sample_key) are identical by construction
-    (immutable payload keyed by the sample key)."""
+    """Keep each scope's k distinct keys with the smallest hashes — the
+    bottom-k combiner. The window runs FIRST so WindowGroupLimit prunes
+    every partition to its local top-k groups before the one shuffle;
+    dense_rank (not row_number) makes duplicate rows of the same
+    (scope, sample_key) — identical by construction: immutable payload
+    keyed by the sample key — share a rank, so rank<=k admits exactly the
+    k smallest DISTINCT keys and the trailing dropDuplicates touches only
+    the O(scopes × k) survivors instead of paying a corpus-sized dedup
+    exchange up front. (h, sample_key) is a total order over distinct
+    keys, so the survivor set is deterministic at any partitioning."""
     w = Window.partitionBy("scope").orderBy("h", "sample_key")
     return (
-        df.dropDuplicates(["scope", "sample_key"])
-        .withColumn("__rk", F.row_number().over(w))
+        df.withColumn("__rk", F.dense_rank().over(w))
         .where(F.col("__rk") <= k)
         .drop("__rk")
+        .dropDuplicates(["scope", "sample_key"])
     )
 
 
