@@ -327,7 +327,9 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         F.concat("text", F.lit(" #"), F.col("rep")).alias("text"),
     )
     n_docs = n_base * k
-    dt, forwarded = None, []
+    from spark_streaming_logservice_spark.streaming import dedup_store as _DS
+
+    dt, forwarded, dbreak = None, [], {}
     for p in range(2):  # best-of-2 fresh-store passes, like the rollup
         digest_dir = os.path.join(tmp_root, f"digest-store-{p}")
         shutil.rmtree(digest_dir, ignore_errors=True)
@@ -335,12 +337,15 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         ingest = dedup_on_ingest(
             lambda df, bid: fwd.append(df.count()), digest_dir
         )
+        _DS.TIMINGS = {}
         t0 = _t.perf_counter()
         for b in range(n_batches):
             ingest(docs.where(F.col("doc_id") % n_batches == b), b)
         d1 = _t.perf_counter() - t0
         if dt is None or d1 < dt:
             dt, forwarded = d1, fwd
+            dbreak = {k2: round(v, 3) for k2, v in _DS.TIMINGS.items()}
+    _DS.TIMINGS = None
     out["dedup_store"] = {
         "rows": n_docs,
         "forwarded": sum(forwarded),
@@ -349,12 +354,23 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         "agg": "min",
         "sec": round(dt, 3),
         "rows_per_sec": round(n_docs / dt, 1),
+        # per-phase wall-clock across all batches (VERDICT r8 item 4):
+        # dedup = digest + within-batch collapse + store scan + anti-join
+        # (the batch's one corpus-keyed shuffle and the store's sequential
+        # scan), forward = downstream count over the cached novel set,
+        # digests = the 16-byte-key parquet append.
+        "phase_sec": dbreak,
         "note": (
             "input replicated to ~100k unique rows (r7) so batches carry "
             "the same volume as the rollup bench — the r1-r6 figure "
             "(~2.4k rows/s on 1.25k-row batches) measured Spark's fixed "
             "per-job latency, not the operator; the store itself is "
-            "append-only with a map-only broadcast-probe anti-join"
+            "append-only with a map-only broadcast-probe anti-join. The "
+            "gap vs the sink's rows/s is the dedup phase (see phase_sec): "
+            "an md5 over full text + a row_number collapse shuffle of the "
+            "whole batch — the irreducible price of exactly-once content "
+            "dedup, not store-maintenance overhead (digest append is "
+            "batch-sized, store scan map-only)"
         ),
     }
 
@@ -393,6 +409,241 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         "sec": round(dt, 3),
         "rows_per_sec": round(n_seg * seg_rows / dt, 1),
     }
+    return out
+
+
+def _calibration(spark, sf_dir: str) -> dict:
+    """Fixed reference scan (VERDICT r8 item 5): one full lineitem pass
+    through a two-column arithmetic aggregate, best-of-3. The same code
+    measured 8.21/8.90/9.98 s headline across environments in r8, so raw
+    cross-round headline deltas under ~20% are noise; headline divided by
+    this code-independent yardstick is the comparable number."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        li.select(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "metric": "lineitem_full_scan_agg",
+        "sec": round(best, 4),
+        "runs": 3,
+        "agg": "min",
+    }
+
+
+def _ann_store_bench(spark, tmp_root: str, sf_dir: str) -> dict:
+    """Persisted ANN index (VERDICT r8 item 3): train+encode ONCE into the
+    store, then serving pays scoring only — the split a real 100 TB vector
+    platform budgets (index build is an offline job; per-query cost is the
+    probe/score stage). Serve figures are best-of-3 on the same store."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+    from spark_streaming_logservice_spark.tables import load_table
+
+    ann_dir = os.path.join(tmp_root, "ann-index")
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_vec = emb.count()  # warm the scan
+    t0 = _t.perf_counter()
+    AI.build_ann_index(spark, ann_dir, emb)
+    build_sec = round(_t.perf_counter() - t0, 3)
+    q = emb.where(F.col("vec_id") < 5)
+    out: dict = {"vectors": n_vec, "build_sec": build_sec}
+    for key, fn in (
+        ("ivf_serve_sec", AI.ivf_search_from_store),
+        ("pq_serve_sec", AI.pq_search_from_store),
+    ):
+        best = None
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            fn(spark, ann_dir, q).count()
+            dt = _t.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[key] = round(best, 3)
+    out["note"] = (
+        "build = deterministic Lloyd training (bounded id-prefix sample) "
+        "+ full-corpus encode through the sharded crash-safe store; serve "
+        "= probe/score only against the stored index — compare with the "
+        "train-inline s05/s07 extras, which pay the whole pipeline per "
+        "query. Store-served results are bit-identical to train-inline "
+        "(s24/s25 share s05/s07's full-pipeline oracles)."
+    )
+    return out
+
+
+def _maintenance_scale(spark, tmp_root: str, sf_dir: str) -> dict:
+    """Store MAINTENANCE cost at 1x vs 10x HISTORY (VERDICT r8 item 6):
+    merge the SAME batch into a young store vs one holding 10x the
+    history, with per-phase attribution. The claims under test: the
+    sharded rollup's merge is O(touched shards) — flat in history; the
+    dedup digest store's merge is O(store scan) — linear in history by
+    design (one sequential map-only pass, no shuffle, no rewrite); the
+    HLL register store is fixed-size — flat by construction."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.tables import load_table
+
+    out: dict = {}
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "event_id", "user_id"
+    )
+    events.count()  # warm
+
+    from spark_streaming_logservice_spark.streaming import rollup as _R
+    from spark_streaming_logservice_spark.streaming.rollup import (
+        incremental_rollup_writer,
+    )
+
+    probe = events.where(F.col("event_id") % 4 == 0)
+    seed = events.where(F.col("event_id") % 4 != 0)
+    roll: dict = {}
+    for hist in (1, 10):
+        table = os.path.join(tmp_root, f"rollup-hist-{hist}")
+        shutil.rmtree(table, ignore_errors=True)
+        writer = incremental_rollup_writer(table)
+        for k in range(hist):
+            # shift by 40k days: each seed copy lands in NEW month shards,
+            # so 10x history = ~10x the shard count and store rows
+            writer(
+                seed.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {40 * k} DAYS")
+                ),
+                k,
+            )
+        n_shards = len(
+            [
+                d
+                for d in os.listdir(os.path.join(table, "parts"))
+                if not d.startswith("_")
+            ]
+        )
+        # best-of-2 timed merges of the SAME batch (fresh batch ids): the
+        # first merge at hist=1 otherwise pays codegen warmup the hist=10
+        # run has already amortized over its seed merges
+        sec, phases = None, {}
+        for rep in range(2):
+            _R.TIMINGS = {}
+            t0 = _t.perf_counter()
+            writer(probe, hist + rep)
+            d1 = round(_t.perf_counter() - t0, 3)
+            if sec is None or d1 < sec:
+                sec = d1
+                phases = {k: round(v, 3) for k, v in _R.TIMINGS.items()}
+        _R.TIMINGS = None
+        roll[f"history_{hist}x"] = {
+            "store_shards": n_shards,
+            "merge_sec": sec,
+            "runs": 2,
+            "agg": "min",
+            "phase_sec": phases,
+        }
+    roll["note"] = (
+        "same probe batch merged into a 1-copy vs 10-copy-history store: "
+        "the batch touches the same month shards either way, so a flat "
+        "merge_sec is the O(touched-shards) claim holding empirically"
+    )
+    out["rollup"] = roll
+
+    from spark_streaming_logservice_spark.streaming import dedup_store as _DS
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        dedup_on_ingest,
+    )
+
+    base_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_base = base_docs.count()
+    k0 = max(1, 100_000 // max(n_base, 1))
+    dd: dict = {}
+    for hist in (1, 10):
+        digest_dir = os.path.join(tmp_root, f"digest-hist-{hist}")
+        shutil.rmtree(digest_dir, ignore_errors=True)
+        ingest = dedup_on_ingest(lambda df, bid: df.count(), digest_dir)
+        # seed hist x ~100k unique digests (replica suffix makes them
+        # unique across history copies)
+        for h in range(hist):
+            rep = spark.range(k0).select(F.col("id").alias("rep"))
+            seed_docs = base_docs.crossJoin(rep).select(
+                (F.col("doc_id") * (k0 * hist + 1) + F.col("rep") * hist + h).alias(
+                    "doc_id"
+                ),
+                F.concat(
+                    "text", F.lit(f" #seed{h}-"), F.col("rep")
+                ).alias("text"),
+            )
+            ingest(seed_docs, h)
+        # timed: ONE batch of brand-new uniques against the grown store
+        probe_docs = base_docs.select(
+            (F.col("doc_id") - 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" #probe")).alias("text"),
+        )
+        sec, phases = None, {}
+        for rep in range(2):  # best-of-2, same warmup rationale as rollup
+            pd = probe_docs.select(
+                (F.col("doc_id") - rep).alias("doc_id"),
+                F.concat("text", F.lit(f" r{rep}")).alias("text"),
+            )
+            _DS.TIMINGS = {}
+            t0 = _t.perf_counter()
+            ingest(pd, hist + rep)
+            d1 = round(_t.perf_counter() - t0, 3)
+            if sec is None or d1 < sec:
+                sec = d1
+                phases = {k: round(v, 3) for k, v in _DS.TIMINGS.items()}
+        _DS.TIMINGS = None
+        dd[f"history_{hist}x"] = {
+            "seeded_rows": n_base * k0 * hist,
+            "probe_rows": n_base,
+            "merge_sec": sec,
+            "runs": 2,
+            "agg": "min",
+            "phase_sec": phases,
+        }
+    dd["note"] = (
+        "same probe batch against a 1x vs 10x digest store: the dedup "
+        "phase is the store's one sequential map-only scan (broadcast "
+        "semi-join probe) and grows with history BY DESIGN — no shuffle, "
+        "no rewrite; forward/digests phases are batch-sized and flat"
+    )
+    out["dedup_store"] = dd
+
+    from spark_streaming_logservice_spark.streaming.hll_store import (
+        incremental_hll_writer,
+    )
+
+    hl: dict = {}
+    for hist in (1, 10):
+        table = os.path.join(tmp_root, f"hll-hist-{hist}")
+        shutil.rmtree(table, ignore_errors=True)
+        writer = incremental_hll_writer(table)
+        for h in range(hist):
+            writer(events.where(F.col("event_id") % (hist + 1) == h % (hist + 1)), h)
+        sec = None
+        for rep in range(2):  # best-of-2, same warmup rationale as rollup
+            t0 = _t.perf_counter()
+            writer(events.where(F.col("event_id") % 4 == rep), hist + rep)
+            d1 = round(_t.perf_counter() - t0, 3)
+            sec = d1 if sec is None else min(sec, d1)
+        hl[f"history_{hist}x"] = {"merge_sec": sec, "runs": 2, "agg": "min"}
+    hl["note"] = (
+        "register state is scopes x 64 rows at ANY history length — the "
+        "merge reads/writes a fixed-size table, flat by construction "
+        "(KMV/sample stores share the same fixed-size-state argument)"
+    )
+    out["hll_store"] = hl
     return out
 
 
@@ -472,6 +723,15 @@ def _section_core() -> dict:
     }
     if data_probe:
         out["data_probe"] = data_probe
+
+    # Cross-environment calibration yardstick (VERDICT r8 item 5).
+    try:
+        out["calibration"] = _calibration(spark, sf_dir)
+        out["calibration"]["headline_over_calibration"] = round(
+            out["value"] / out["calibration"]["sec"], 2
+        )
+    except Exception as ex:
+        out["calibration"] = {"error": f"{type(ex).__name__}: {ex}"}
 
     # Streaming throughput section (VERDICT r2 item 5).
     try:
@@ -555,6 +815,16 @@ def _section_sweep() -> dict:
             "localCheckpoint materialization"
         ),
     }
+
+    # Persisted ANN index store: build-once vs serve-only split (r9).
+    try:
+        out["ann_store"] = _ann_store_bench(
+            spark,
+            os.path.join(tempfile.gettempdir(), "spark_graft_annbench"),
+            sf_dir,
+        )
+    except Exception as ex:
+        out["ann_store"] = {"error": f"{type(ex).__name__}: {ex}"}
 
     # Round-3 operator families, reported separately so the headline set —
     # and its round-over-round total — stays comparable. One steady-state
@@ -703,6 +973,10 @@ def _section_sweep() -> dict:
         "d24_dedup_funnel",
         "l29_error_incidents",
         "v10_vocab_overlap",
+        # round 9 (served from the persisted ANN index: first run pays the
+        # one-time build via ensure_index, keep-min reports serve-only)
+        "s24_ann_ivf_served",
+        "s25_ann_pq_served",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run
@@ -901,6 +1175,32 @@ def _section_sweep() -> dict:
                         "so the pair shuffle is flat and the time is the "
                         "10x explode cost."
                     ),
+                    "q28_waiting_suppliers": (
+                        "linear work, saturated cores: the rewrite's one "
+                        "big aggregate carries (l_orderkey, l_suppkey) "
+                        "groups 198,052 (1x) -> 1,980,520 (10x) — exactly "
+                        "10.0x — and the orders join feeds 198,470 -> "
+                        "1,984,700 rows (10.0x); 3.6x time on 10.0x work "
+                        "is sublinear (the decorrelated aggregate shape, "
+                        "not the textbook double-EXISTS, is what makes "
+                        "the work linear in the first place)."
+                    ),
+                    "l27_template_drift": (
+                        "linear scan, flat aggregate: (day, template) "
+                        "groups stay exactly 150 at BOTH SFs (user ids "
+                        "are masked to <NUM> in the template, so the "
+                        "replica adds no templates) while the corpus "
+                        "grows 100k -> 1M events; ~3.3x time is the 10x "
+                        "scan+regex cost absorbed by idle cores — "
+                        "everything after the count runs on 150 rows."
+                    ),
+                    "e11_ab_test_lift": (
+                        "linear work: per-user groups grow 1,500 -> "
+                        "15,000 and events 100k -> 1M — both exactly "
+                        "10.0x — through one user-keyed aggregate; the "
+                        "arm-level stage is 2 rows at any scale. ~3x "
+                        "time on 10x work is sublinear."
+                    ),
                     "v05_zipf_slope": (
                         "linear work: token occurrences grow 270,704 (1x) "
                         "-> 2,707,040 (10x) — exactly 10.0x — while "
@@ -911,6 +1211,20 @@ def _section_sweep() -> dict:
                     ),
                 },
             }
+            # Store maintenance at 1x vs 10x HISTORY (VERDICT r8 item 6) —
+            # the scale axis the query replica can't exercise.
+            try:
+                out["scale"]["maintenance"] = _maintenance_scale(
+                    spark,
+                    os.path.join(
+                        tempfile.gettempdir(), "spark_graft_maintscale"
+                    ),
+                    sf_dir,
+                )
+            except Exception as ex:
+                out["scale"]["maintenance"] = {
+                    "error": f"{type(ex).__name__}: {ex}"
+                }
         except Exception as ex:  # scale section is best-effort, never fatal
             out["scale"] = {"error": f"{type(ex).__name__}: {ex}"}
     return out
@@ -967,7 +1281,7 @@ def main() -> None:
         print(json.dumps({"metric": "headline_queries_total", **out}))
         return
     sweep = _run_section("sweep")
-    for k in ("extra_operators", "scale", "neardup_chain", "error"):
+    for k in ("extra_operators", "scale", "neardup_chain", "ann_store", "error"):
         if k in sweep:
             out[k if k != "error" else "sweep_error"] = sweep[k]
 
@@ -1002,6 +1316,15 @@ def main() -> None:
         "runs": out["runs"],
         "agg": out["agg"],
     }
+    cal = out.get("calibration", {})
+    if isinstance(cal.get("sec"), (int, float)):
+        compact["calibration_sec"] = cal["sec"]
+        compact["headline_over_calibration"] = cal.get(
+            "headline_over_calibration"
+        )
+    ann = out.get("ann_store", {})
+    if isinstance(ann.get("pq_serve_sec"), (int, float)):
+        compact["ann_pq_serve_sec"] = ann["pq_serve_sec"]
     scale = out.get("scale", {})
     if isinstance(scale.get("value"), (int, float)):
         compact["scale_total"] = scale["value"]

@@ -15,10 +15,14 @@ driver between steps (IEEE doubles survive collect/createDataFrame
 round-trips unchanged) — a lazy centroid DataFrame would re-run the whole
 training chain once per downstream use; cell assignment is a broadcast
 join against the centroid LocalRelation + min_by aggregation, a
-literal-free stable plan shape compiled once; all dot products and norms
-are flat element_at arithmetic (bit-identical left folds that stay inside
-whole-stage codegen, where higher-order-function lambdas evaluate
-interpreted); corpus-wide passes are row-local and repartition freely.
+literal-free stable plan shape compiled once; FULL-WIDTH dot products and
+norms use the HOF left fold (zip_with/aggregate/transform — bit-identical
+to the flat expansion, O(1) expression tree; the flat 64-term tree cost
+~0.5-1 s of Catalyst analysis per site per invocation, measured r9, and
+the r5/r6 A/B showed HOF execution also wins at full width), while
+SUBSPACE-width folds (ann_pq's dl=16 chunks) stay flat element_at
+arithmetic inside whole-stage codegen — the regime where flat wins;
+corpus-wide passes are row-local and repartition freely.
 
 Determinism: centroids seed from the k lowest vec_ids; no RNG. Ranking by
 score DESC, cell ASC is realized as min_by over a (-score, cell) struct —
@@ -62,15 +66,40 @@ def _dot_flat(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
+def _dot_hof(a: Column, b: Column) -> Column:
+    """Full-width dot product as zip_with + aggregate left fold —
+    bit-identical to ``_dot_flat`` (((0+p₁)+p₂)+… in element order) with an
+    O(1) expression tree; used at FULL vector width where the flat 64-term
+    tree costs ~0.5 s of Catalyst analysis per site per invocation and the
+    r5/r6 A/B showed HOF execution also wins (subspace-width folds stay
+    flat)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _normalized(df: DataFrame, dim: int, vec_col: str = "emb") -> DataFrame:
-    """(vec_id, emb) L2-normalized, flat arithmetic, two projection stages
-    so the norm computes once per row."""
-    nrm = F.sqrt(_ss_flat(F.col(vec_col), dim))
+    """(vec_id, emb) L2-normalized via the HOF left fold + per-element
+    transform — bit-identical to the flat expansion (same ((0+x²)+x²)+…
+    association, same per-element division), but the expression tree is
+    O(1) instead of O(dim): the flat 64-wide form cost ~1 s of Catalyst
+    ANALYSIS per invocation (measured r9 — dominating the stored-index
+    serve path on a 5-row query side), exactly the full-width regime where
+    the r5/r6 A/B already showed the HOF form winning at execution too.
+    Subspace-width scoring (dl≤16 flat folds) stays flat — that's the
+    regime flat wins."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
     return df.select("vec_id", F.col(vec_col).alias("v"), nrm.alias("nrm")).select(
         "vec_id",
-        F.array(
-            *[F.element_at(F.col("v"), i + 1) / F.col("nrm") for i in range(dim)]
-        ).alias("emb"),
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("emb"),
     )
 
 
@@ -98,7 +127,7 @@ def _assign_top1(
         "vec_id",
         *(["emb"] if with_emb else []),
         "cell",
-        (-_dot_flat(F.col("emb"), F.col("cvec"), dim)).alias("nscore"),
+        (-_dot_hof(F.col("emb"), F.col("cvec"))).alias("nscore"),
     )
     aggs = [
         F.min_by(F.col("cell"), F.struct(F.col("nscore"), F.col("cell"))).alias(
@@ -137,6 +166,52 @@ def train_centroids(
     return cents
 
 
+def ivf_serve(
+    index: DataFrame,
+    cents_df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    nprobe: int = N_PROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """The SERVING half of IVF — probe + score over an already-encoded
+    index (vec_id, cell, emb-normalized) and trained centroids. Shared by
+    the train-inline path below and the persisted index store
+    (streaming/ann_index.py), which is what 100 TB serving actually runs:
+    train once, encode incrementally, pay only this stage per query. All
+    float ops are the same flat folds as training-time search, so results
+    from a parquet-round-tripped index are bit-identical (IEEE doubles
+    survive parquet exactly)."""
+    qn = _normalized(queries, dim).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    # query → nprobe cells: queries are the small side, a window is fine
+    qw = Window.partitionBy("q_id").orderBy(F.asc("nscore"), F.asc("cell"))
+    q_cells = (
+        qn.join(F.broadcast(cents_df), how="cross")
+        .select(
+            "q_id",
+            "cell",
+            (-_dot_hof(F.col("q_emb"), F.col("cvec"))).alias("nscore"),
+        )
+        .withColumn("crk", F.row_number().over(qw))
+        .where(F.col("crk") <= nprobe)
+        .select("q_id", "cell")
+    )
+    cand = q_cells.join(index, "cell").where(F.col("q_id") != F.col("vec_id"))
+    scored = cand.join(F.broadcast(qn), "q_id").select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(_dot_hof(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .orderBy("q_id", "rk")
+    )
+
+
 def ivf_search(
     emb: DataFrame,
     queries: DataFrame,
@@ -157,34 +232,7 @@ def ivf_search(
     index = _assign_top1(
         _normalized(emb.repartition(par), dim), cents_df, dim, with_emb=True
     )
-    qn = _normalized(queries, dim).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
-    )
-    # query → nprobe cells: queries are the small side, a window is fine
-    qw = Window.partitionBy("q_id").orderBy(F.asc("nscore"), F.asc("cell"))
-    q_cells = (
-        qn.join(F.broadcast(cents_df), how="cross")
-        .select(
-            "q_id",
-            "cell",
-            (-_dot_flat(F.col("q_emb"), F.col("cvec"), dim)).alias("nscore"),
-        )
-        .withColumn("crk", F.row_number().over(qw))
-        .where(F.col("crk") <= nprobe)
-        .select("q_id", "cell")
-    )
-    cand = q_cells.join(index, "cell").where(F.col("q_id") != F.col("vec_id"))
-    scored = cand.join(F.broadcast(qn), "q_id").select(
-        "q_id",
-        F.col("vec_id").alias("n_id"),
-        F.round(_dot_flat(F.col("q_emb"), F.col("emb"), dim), 6).alias("score"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= top_k)
-        .orderBy("q_id", "rk")
-    )
+    return ivf_serve(index, cents_df, queries, dim, nprobe, top_k)
 
 
 # The oracle replays the pipeline exactly: normalize, seed centroids from

@@ -91,19 +91,22 @@ def _d2_flat(svec: Column, cvec: Column, dl: int) -> Column:
 
 
 def _normalized_base(df: DataFrame, dim: int) -> DataFrame:
-    """(vec_id, emb) with emb L2-normalized via flat codegen arithmetic —
-    two projection stages so the norm is computed once per row, not once
-    per element. Bit-identical to a transform/aggregate form (same
-    left-fold sum of squares, same per-element division)."""
-    nrm = F.sqrt(_ss_flat(F.col("embedding"), 0, dim))
+    """(vec_id, emb) with emb L2-normalized via the HOF left fold +
+    per-element transform — bit-identical to the flat expansion (same
+    ((0+x²)+x²)+… association, same per-element division) with an O(1)
+    expression tree: the flat 64-wide form cost ~1 s of Catalyst ANALYSIS
+    per invocation (measured r9; see ann_ivf._normalized). Subspace-width
+    (dl) scoring folds stay flat — that's the regime flat wins."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
     return df.select("vec_id", "embedding", nrm.alias("nrm")).select(
         "vec_id",
-        F.array(
-            *[
-                F.element_at(F.col("embedding"), i + 1) / F.col("nrm")
-                for i in range(dim)
-            ]
-        ).alias("emb"),
+        F.transform(F.col("embedding"), lambda x: x / F.col("nrm")).alias("emb"),
     )
 
 
@@ -188,22 +191,20 @@ def train_codebook(base: DataFrame, dl: int) -> Codebook:
     return cb
 
 
-def pq_search(
-    emb: DataFrame, queries: DataFrame, top_k: int = TOP_K
+def pq_serve(
+    codes: DataFrame,
+    cb_df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    top_k: int = TOP_K,
 ) -> DataFrame:
-    """ADC search: (q_id, n_id, adc_score, rk), top_k per query."""
-    spark = emb.sparkSession
-    dim = _dim(emb)
+    """The SERVING half of PQ-ADC — per-query lookup table + code join over
+    already-encoded corpus codes (vec_id, sub, code) and a trained
+    codebook. Shared by the train-inline path below and the persisted
+    index store (streaming/ann_index.py): train once, encode
+    incrementally, pay only this stage per query. Bit-identical from a
+    parquet-round-tripped codebook (IEEE doubles survive parquet)."""
     dl = dim // M_SUB
-    sample = emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS)
-    cb = train_codebook(
-        _normalized_base(sample, dim).localCheckpoint(eager=True), dl
-    )
-    cb_df = _codebook_df(spark, cb)
-    # Corpus passes are row-local — parallelize freely.
-    par = spark.sparkContext.defaultParallelism
-    base = _normalized_base(emb.repartition(par), dim)
-    codes = _assign_codes(_subspaces_long(base, dl), cb_df, dl, with_svec=False)
     qsubs = _subspaces_long(_normalized_base(queries, dim), dl).select(
         F.col("vec_id").alias("q_id"), "sub", F.col("svec").alias("qvec")
     )
@@ -236,6 +237,25 @@ def pq_search(
         .where(F.col("rk") <= top_k)
         .orderBy("q_id", "rk")
     )
+
+
+def pq_search(
+    emb: DataFrame, queries: DataFrame, top_k: int = TOP_K
+) -> DataFrame:
+    """ADC search: (q_id, n_id, adc_score, rk), top_k per query."""
+    spark = emb.sparkSession
+    dim = _dim(emb)
+    dl = dim // M_SUB
+    sample = emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS)
+    cb = train_codebook(
+        _normalized_base(sample, dim).localCheckpoint(eager=True), dl
+    )
+    cb_df = _codebook_df(spark, cb)
+    # Corpus passes are row-local — parallelize freely.
+    par = spark.sparkContext.defaultParallelism
+    base = _normalized_base(emb.repartition(par), dim)
+    codes = _assign_codes(_subspaces_long(base, dl), cb_df, dl, with_svec=False)
+    return pq_serve(codes, cb_df, queries, dim, top_k)
 
 
 # --- DuckDB oracle: replay the identical pipeline ---------------------------

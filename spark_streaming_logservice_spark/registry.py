@@ -63,3 +63,6 @@ def load_all() -> None:
         text,
         vocab,
     )
+    from spark_streaming_logservice_spark.streaming import (  # noqa: F401
+        ann_index,  # registers the served-from-store ANN queries (s24/s25)
+    )

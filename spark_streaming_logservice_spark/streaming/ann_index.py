@@ -1,0 +1,369 @@
+"""Persisted ANN index store: train ONCE, encode incrementally, serve
+scoring-only — the way 100 TB vector serving actually runs (VERDICT r8
+item 3: s05/s07 previously re-ran k-means/codebook training inside every
+invocation; real serving trains once and maintains).
+
+Layout (all through the shared crash-safe swap machinery of
+streaming/rollup.py):
+
+    <table_dir>/centroids/data   IVF coarse centroids (cell, cvec) —
+                                 FROZEN at build time
+    <table_dir>/codebook/data    PQ codebook (sub, code, cvec) — FROZEN
+    <table_dir>/vectors/parts/…  encoded corpus (vec_id, cell, c0..c3,
+                                 emb-normalized), sharded by
+                                 vec_id DIV 1024
+
+Build = train (bounded id-prefix sample, same deterministic Lloyd as
+operators/ann_ivf.py + ann_pq.py) + bulk encode. Maintenance = the
+streaming face (``incremental_ann_writer``): each micro-batch's new
+vectors are encoded against the FROZEN artifacts — one broadcast join
+per batch, no retraining ever — and merged into the vectors store with
+batchId-idempotent replay. Because a row's encoding is a pure function of
+(embedding, frozen artifacts), replaying a batch is a mathematical no-op
+(the merge combiner is dropDuplicates on vec_id over identical rows), so
+a crash-retried merge converges with no extra bookkeeping; the
+append-mostly vec_id sharding means a batch rewrites only the tail
+shard(s), never the whole index — O(touched shards) per batch, exactly
+the rollup store's discipline.
+
+Serving reads the store and pays ONLY the probe/score stage
+(ann_ivf.ivf_serve / ann_pq.pq_serve). IEEE doubles survive the parquet
+round-trip bit-exactly, so index-served results are bit-identical to the
+train-inline s05/s07 pipelines — which is what lets the served queries
+below (s24/s25) reuse the FULL-pipeline DuckDB oracles as their
+correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark.operators.ann_ivf import (
+    K_CELLS,
+    N_ITERS,
+    N_PROBE,
+    N_QUERY,
+    TOP_K,
+    TRAIN_SAMPLE_IDS,
+    _assign_top1,
+    _centroids_df,
+    _normalized,
+    ivf_serve,
+    train_centroids,
+)
+from spark_streaming_logservice_spark.operators.ann_pq import (
+    M_SUB,
+    _assign_codes,
+    _codebook_df,
+    _subspaces_long,
+    pq_serve,
+    train_codebook,
+)
+from spark_streaming_logservice_spark.streaming.queries import (
+    idempotent_foreach_batch,
+)
+from spark_streaming_logservice_spark.streaming.rollup import (
+    _commit_swap,
+    merge_additive,
+    read_store,
+)
+
+CENT_SCHEMA = "cell INT, cvec ARRAY<DOUBLE>"
+CB_SCHEMA = "sub INT, code INT, cvec ARRAY<DOUBLE>"
+VEC_SCHEMA = (
+    "vec_id BIGINT, cell INT, c0 INT, c1 INT, c2 INT, c3 INT, "
+    "emb ARRAY<DOUBLE>"
+)
+VEC_SHARD = 1024  # vectors shard = vec_id DIV 1024: append-mostly tail
+
+
+def _centroids_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "centroids")
+
+
+def _codebook_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "codebook")
+
+
+def _vectors_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "vectors")
+
+
+def read_centroids(spark: SparkSession, table_dir: str) -> DataFrame:
+    return read_store(spark, _centroids_dir(table_dir), CENT_SCHEMA)
+
+
+def read_codebook(spark: SparkSession, table_dir: str) -> DataFrame:
+    return read_store(spark, _codebook_dir(table_dir), CB_SCHEMA)
+
+
+def read_vectors(spark: SparkSession, table_dir: str) -> DataFrame:
+    return read_store(spark, _vectors_dir(table_dir), VEC_SCHEMA)
+
+
+def encode_vectors(
+    emb: DataFrame, cents_df: DataFrame, cb_df: DataFrame, dim: int
+) -> DataFrame:
+    """(vec_id, cell, c0..c3, emb-normalized) for a batch of raw
+    (vec_id, embedding) rows against FROZEN artifacts: one broadcast
+    nearest-cell join + one broadcast nearest-codeword join, both
+    row-local w.r.t. vec_id — partitioning-insensitive, scales with the
+    batch, never the corpus."""
+    dl = dim // M_SUB
+    base = _normalized(
+        emb.select("vec_id", F.col("embedding").alias("emb")), dim
+    )
+    assigned = _assign_top1(base, cents_df, dim, with_emb=True)
+    wide = (
+        _assign_codes(_subspaces_long(base, dl), cb_df, dl, with_svec=False)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == m, F.col("code")))
+                .cast("int")
+                .alias(f"c{m}")
+                for m in range(M_SUB)
+            ]
+        )
+    )
+    return assigned.join(wide, "vec_id").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cell",
+        *[f"c{m}" for m in range(M_SUB)],
+        "emb",
+    )
+
+
+def _merge_vectors(table_dir: str, enc: DataFrame, batch_id: int | None) -> None:
+    merge_additive(
+        _vectors_dir(table_dir),
+        enc,
+        key_cols=["vec_id"],
+        sum_cols=[],
+        schema=VEC_SCHEMA,
+        batch_id=batch_id,
+        partition_expr=F.expr(f"vec_id DIV {VEC_SHARD}"),
+        # rows for the same vec_id are identical (pure function of the
+        # embedding + frozen artifacts) — dedup IS the idempotent merge
+        combiner=lambda both: both.dropDuplicates(["vec_id"]),
+    )
+
+
+def build_ann_index(spark: SparkSession, table_dir: str, emb: DataFrame) -> None:
+    """Train (bounded id-prefix sample, deterministic Lloyd — identical to
+    the s05/s07 inline pipelines) and bulk-encode ``emb`` (vec_id,
+    embedding) into the store. Frozen artifacts publish via the two-phase
+    swap; the encoded corpus merges through the sharded store."""
+    dim = emb.limit(1).select(F.size("embedding").alias("d")).first()["d"]
+    sample = _normalized(
+        emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS).select(
+            "vec_id", F.col("embedding").alias("emb")
+        ),
+        dim,
+    ).localCheckpoint(eager=True)
+    cents_df = _centroids_df(
+        spark, train_centroids(sample, dim, K_CELLS, N_ITERS)
+    )
+    cb_df = _codebook_df(spark, train_codebook(sample, dim // M_SUB))
+    _commit_swap(_centroids_dir(table_dir), cents_df, None)
+    _commit_swap(_codebook_dir(table_dir), cb_df, None)
+    par = spark.sparkContext.defaultParallelism
+    enc = encode_vectors(emb.repartition(par), cents_df, cb_df, dim)
+    _merge_vectors(table_dir, enc, batch_id=None)
+
+
+# collected frozen artifacts per (app, store, version): serving and the
+# incremental encoder pay the two artifact-collect jobs once per store
+# version, not once per call. Version = the centroids data dir's mtime —
+# the two-phase swap's final rename updates it on every rebuild.
+_ARTIFACT_CACHE: dict[tuple, tuple] = {}
+
+
+def _load_artifacts(spark: SparkSession, table_dir: str):
+    """(cents_df, cb_df, dim) with BOTH artifacts collected (k rows by
+    construction) and rebuilt as LocalRelations: serving then pays zero
+    artifact-scan jobs per query, and the plan shape matches the
+    train-inline path exactly (broadcast LocalRelation + min_by), so the
+    codegen cache is shared. IEEE doubles survive the parquet → collect →
+    createDataFrame round-trip unchanged."""
+    app = spark.sparkContext.applicationId
+    cdir = os.path.join(_centroids_dir(table_dir), "data")
+    try:
+        ver = os.stat(cdir).st_mtime_ns
+    except OSError:
+        ver = None
+    key = (app, os.path.realpath(table_dir), ver)
+    hit = _ARTIFACT_CACHE.get(key)
+    if hit is None:
+        for k in [k for k in _ARTIFACT_CACHE if k[0] != app or k[1] == key[1]]:
+            del _ARTIFACT_CACHE[k]
+        cents = [
+            (r["cell"], list(r["cvec"]))
+            for r in read_centroids(spark, table_dir).collect()
+        ]
+        cb = [
+            (r["sub"], r["code"], list(r["cvec"]))
+            for r in read_codebook(spark, table_dir).collect()
+        ]
+        hit = (cents, cb, len(cents[0][1]))
+        _ARTIFACT_CACHE[key] = hit
+    cents, cb, dim = hit
+    return (
+        spark.createDataFrame(cents, CENT_SCHEMA),
+        spark.createDataFrame(cb, CB_SCHEMA),
+        dim,
+    )
+
+
+def incremental_ann_writer(table_dir: str):
+    """foreachBatch function maintaining the vectors store: encode each
+    batch's (vec_id, embedding) rows against the FROZEN artifacts (built
+    once by :func:`build_ann_index`) and merge — batchId-idempotent, no
+    retraining ever. The batch pays one broadcast encode + an
+    O(touched-shards) merge."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        cents_df, cb_df, dim = _load_artifacts(spark, table_dir)
+        _merge_vectors(
+            table_dir,
+            encode_vectors(batch_df, cents_df, cb_df, dim),
+            batch_id=batch_id,
+        )
+
+    return idempotent_foreach_batch(
+        write, os.path.join(_vectors_dir(table_dir), "_markers")
+    )
+
+
+def ivf_search_from_store(
+    spark: SparkSession,
+    table_dir: str,
+    queries: DataFrame,
+    nprobe: int = N_PROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Scoring-only IVF: probe + score over the stored index. No training,
+    no corpus encode — the per-query cost real serving pays."""
+    cents_df, _, dim = _load_artifacts(spark, table_dir)
+    index = read_vectors(spark, table_dir).select("vec_id", "cell", "emb")
+    q = queries.select("vec_id", F.col("embedding").alias("emb"))
+    return ivf_serve(index, cents_df, q, dim, nprobe, top_k)
+
+
+def pq_search_from_store(
+    spark: SparkSession,
+    table_dir: str,
+    queries: DataFrame,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Scoring-only PQ-ADC over stored codes: the corpus side touches only
+    the 4 int codes per vector (the 128x compression point of PQ); the
+    wide→long unpivot is a row-local posexplode."""
+    _, cb_df, dim = _load_artifacts(spark, table_dir)
+    codes = read_vectors(spark, table_dir).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"c{m}") for m in range(M_SUB)])
+        ).alias("sub", "code"),
+    )
+    return pq_serve(codes, cb_df, queries, dim, top_k)
+
+
+# --- served queries (driver-gated): store-served results must equal the
+# --- FULL train-inline pipelines, so they reuse s05/s07's oracles verbatim
+
+
+# One built index per (application, corpus identity): the registered
+# queries below build on first use and serve afterwards — the bench's
+# serve-only figures and the driver's correctness rows both go through
+# this path. Keyed on part-file stats (not the directory inode — same
+# rationale as dedup.cluster_assignments).
+_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _corpus_key(spark: SparkSession, sf_dir: str) -> tuple:
+    p = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+    app = spark.sparkContext.applicationId
+    try:
+        if os.path.isdir(p):
+            stats = [
+                os.stat(os.path.join(p, f))
+                for f in sorted(os.listdir(p))
+                if not f.startswith((".", "_"))
+            ]
+            return (
+                app,
+                p,
+                len(stats),
+                max((s.st_mtime_ns for s in stats), default=0),
+                sum(s.st_size for s in stats),
+            )
+        st = os.stat(p)
+        return (app, p, 1, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (app, p, None, None, None)
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the persisted index for a corpus dir; returns the
+    store path. Bounded: ≤4 corpora, stale apps purged on miss."""
+    from spark_streaming_logservice_spark.tables import load_table
+
+    key = _corpus_key(spark, sf_dir)
+    table_dir = _INDEX_CACHE.get(key)
+    if table_dir is None:
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _INDEX_CACHE if k[0] != app]:
+            del _INDEX_CACHE[k]
+        while len(_INDEX_CACHE) >= 4:
+            del _INDEX_CACHE[next(iter(_INDEX_CACHE))]
+        table_dir = tempfile.mkdtemp(prefix="ann_index-")
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        build_ann_index(spark, table_dir, emb)
+        _INDEX_CACHE[key] = table_dir
+    return table_dir
+
+
+def _register() -> None:
+    from spark_streaming_logservice_spark.operators.ann_ivf import _S05_ORACLE
+    from spark_streaming_logservice_spark.operators.ann_pq import _S07_ORACLE
+    from spark_streaming_logservice_spark.registry import query
+    from spark_streaming_logservice_spark.tables import load_table
+
+    @query("s24_ann_ivf_served", oracle=_S05_ORACLE)
+    def s24_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF served from the PERSISTED index store (train-once): results
+        must be bit-identical to the full train-inline pipeline, so the
+        oracle is s05's full-pipeline CTE replay — a drifting stored
+        artifact, encode path, or serve stage all fail the hash."""
+        table_dir = ensure_index(spark, sf_dir)
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        return ivf_search_from_store(
+            spark, table_dir, e.where(F.col("vec_id") < N_QUERY)
+        )
+
+    @query("s25_ann_pq_served", oracle=_S07_ORACLE)
+    def s25_ann_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PQ-ADC served from the PERSISTED index store (train-once),
+        gated by s07's full-pipeline oracle — see s24."""
+        table_dir = ensure_index(spark, sf_dir)
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        return pq_search_from_store(
+            spark, table_dir, e.where(F.col("vec_id") < N_QUERY)
+        )
+
+
+_register()

@@ -41,10 +41,25 @@ import os
 import shutil
 import uuid
 
+import time as _t
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DIGEST_SCHEMA = "digest STRING"
+
+# bench hook (same contract as streaming/rollup.TIMINGS): set to {} before
+# driving batches to accumulate per-phase wall-clock; None = no-op. When
+# armed, the novel set is materialized by an explicit count so the dedup
+# phase (digest + collapse + store scan + anti-join) is attributed
+# separately from the downstream forward; unarmed, the forward's first
+# action materializes it (production path unchanged).
+TIMINGS: dict | None = None
+
+
+def _span(key: str, t0: float) -> None:
+    if TIMINGS is not None:
+        TIMINGS[key] = TIMINGS.get(key, 0.0) + (_t.perf_counter() - t0)
 
 
 def _store_files(digest_dir: str) -> list[str]:
@@ -117,10 +132,17 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
         # release. Crash ordering stays forward -> digests.
         novel.persist()
         try:
+            if TIMINGS is not None:
+                t0 = _t.perf_counter()
+                novel.count()  # materialize: attribute dedup vs forward
+                _span("dedup", t0)
+            t0 = _t.perf_counter()
             forward(novel.drop("__digest"), batch_id)
+            _span("forward", t0)
             final = os.path.join(
                 digest_dir, f"{namespace}-batch-{batch_id}.parquet"
             )
+            t0 = _t.perf_counter()
             if not os.path.exists(final):
                 staging = os.path.join(
                     digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
@@ -129,6 +151,7 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                     1
                 ).write.mode("overwrite").parquet(staging)
                 os.rename(staging, final)
+            _span("digests", t0)
             with open(marker, "w") as f:
                 f.write("ok")
         finally:

@@ -1,0 +1,133 @@
+"""Persisted ANN index store (streaming/ann_index.py): served results must
+be bit-identical to the train-inline s05/s07 pipelines, the streaming face
+must converge to the batch build (stream-equals-batch), replay must be a
+no-op, and serving must never retrain."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark import registry
+from spark_streaming_logservice_spark.streaming import ann_index as AI
+from spark_streaming_logservice_spark.tables import load_table
+
+registry.load_all()
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_store_served_equals_train_inline(spark, sf_dir, tmp_path):
+    """ivf/pq-from-store == the full train-inline pipelines, bit-for-bit
+    (IEEE doubles round-trip parquet exactly; same flat-fold float ops)."""
+    from spark_streaming_logservice_spark.operators.ann_ivf import (
+        N_QUERY,
+        s05_ann_ivf,
+    )
+    from spark_streaming_logservice_spark.operators.ann_pq import s07_ann_pq
+
+    table = str(tmp_path / "ann")
+    AI.build_ann_index(spark, table, _emb(spark, sf_dir))
+    q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERY)
+    assert _rows(AI.ivf_search_from_store(spark, table, q)) == _rows(
+        s05_ann_ivf(spark, sf_dir)
+    )
+    assert _rows(AI.pq_search_from_store(spark, table, q)) == _rows(
+        s07_ann_pq(spark, sf_dir)
+    )
+
+
+def test_stream_encode_equals_batch_build(spark, sf_dir, tmp_path):
+    """Artifacts trained once, corpus streamed in 3 micro-batches through
+    the incremental writer: the vectors store (and therefore every served
+    result) must equal the one-shot batch build."""
+    emb = _emb(spark, sf_dir)
+    batch_t = str(tmp_path / "batch")
+    AI.build_ann_index(spark, batch_t, emb)
+
+    stream_t = str(tmp_path / "stream")
+    # train on the same corpus, but encode nothing yet: build with an
+    # empty corpus slice... artifacts must come from the full sample, so
+    # train via build on the sample-bearing corpus, then reset vectors.
+    AI.build_ann_index(spark, stream_t, emb)
+    import shutil
+
+    shutil.rmtree(AI._vectors_dir(stream_t))
+    writer = AI.incremental_ann_writer(stream_t)
+    for i in range(3):
+        writer(emb.where(F.col("vec_id") % 3 == i), i)
+
+    assert _rows(AI.read_vectors(spark, stream_t)) == _rows(
+        AI.read_vectors(spark, batch_t)
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    assert _rows(AI.ivf_search_from_store(spark, stream_t, q)) == _rows(
+        AI.ivf_search_from_store(spark, batch_t, q)
+    )
+
+
+def test_replay_is_noop_and_merge_idempotent(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    table = str(tmp_path / "ann")
+    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 100))
+    writer = AI.incremental_ann_writer(table)
+    writer(emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), 0)
+    first = _rows(AI.read_vectors(spark, table))
+
+    # batchId redelivery: marker short-circuits
+    writer(emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), 0)
+    assert _rows(AI.read_vectors(spark, table)) == first
+
+    # even WITHOUT the marker: encoding is a pure function of the frozen
+    # artifacts, so re-merging the same rows as a new batch is a no-op
+    writer(emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), 1)
+    assert _rows(AI.read_vectors(spark, table)) == first
+
+
+def test_incremental_batch_touches_only_tail_shards(spark, sf_dir, tmp_path):
+    """The O(touched-shards) claim: a batch of new high-vec_id vectors must
+    not rewrite shards whose vec_id range it doesn't touch."""
+    emb = _emb(spark, sf_dir)
+    table = str(tmp_path / "ann")
+    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 300))
+    root = os.path.join(AI._vectors_dir(table), "parts")
+    before = {
+        d: os.stat(os.path.join(root, d, "data")).st_mtime_ns
+        for d in os.listdir(root)
+        if not d.startswith("_")
+    }
+    assert "0" in before  # vec_id < 1024 → shard 0
+
+    writer = AI.incremental_ann_writer(table)
+    # synthesize a tail batch beyond every existing shard
+    tail = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    writer(tail, 0)
+    after = {
+        d: os.stat(os.path.join(root, d, "data")).st_mtime_ns
+        for d in os.listdir(root)
+        if not d.startswith("_")
+    }
+    assert set(after) == set(before) | {"4"}  # 5000 DIV 1024 = 4
+    for d, m in before.items():
+        assert after[d] == m, f"untouched shard {d} was rewritten"
+
+
+def test_served_queries_registered_with_full_pipeline_oracles():
+    assert "s24_ann_ivf_served" in registry.QUERIES
+    assert "s25_ann_pq_served" in registry.QUERIES
+    from spark_streaming_logservice_spark.operators.ann_ivf import _S05_ORACLE
+    from spark_streaming_logservice_spark.operators.ann_pq import _S07_ORACLE
+
+    assert registry.ORACLES["s24_ann_ivf_served"] == _S05_ORACLE
+    assert registry.ORACLES["s25_ann_pq_served"] == _S07_ORACLE

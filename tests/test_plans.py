@@ -774,6 +774,9 @@ BNLJ_OK = {
     "l28_shard_balance",    # 1-row Gini + 1-row total aggregate broadcasts
     "l26_kmv_overlap",      # type pairs x k-row sketches: O(types^2 * k) rows
     "q31_revenue_concentration", "s01_cosine_topk", "s05_ann_ivf",
+    "s24_ann_ivf_served",  # same bounded sides as s05: N_QUERY-row query
+    # set x K_CELLS-row stored-centroid LocalRelation (the serve half of
+    # the identical plan shape)
     "s06_ann_ivf_recall", "s11_semdedup", "s12_semdedup_report",
     "s16_mips_topk", "s17_cosine_range_search", "s19_lsh_recall_at_k",
     "s22_multiprobe_lsh_recall",
