@@ -973,10 +973,17 @@ def _section_sweep() -> dict:
         "d24_dedup_funnel",
         "l29_error_incidents",
         "v10_vocab_overlap",
-        # round 9 (served from the persisted ANN index: first run pays the
-        # one-time build via ensure_index, keep-min reports serve-only)
+        # round 9 (s24-s26 serve from the persisted ANN index: first run
+        # pays the one-time build via ensure_index, keep-min reports
+        # serve-only)
         "s24_ann_ivf_served",
         "s25_ann_pq_served",
+        "s26_ivf_nprobe_sweep",
+        "e29_retention_matrix",
+        "e30_anomaly_attribution",
+        "l30_volume_forecast",
+        "t17_funnel_token_budget",
+        "d25_shingle_df_spectrum",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

@@ -264,7 +264,12 @@ _IVF_ITER = """
         FROM (SELECT cell, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cell)
     )"""
 
-_S05_ORACLE = (
+# raw → base (normalized) → trained centroids (c2) → full-corpus cell
+# assignment (idx) → query set (qv): the pipeline prefix shared by s05's
+# oracle and the stored-index serving oracles (streaming/ann_index.py
+# s26), which replay the same training because the store's artifacts ARE
+# this training's output, bit-for-bit.
+_IVF_ORACLE_CORE = (
     """
     WITH raw AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -302,7 +307,12 @@ _S05_ORACLE = (
     ),
     qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < """
     + str(N_QUERY)
-    + """),
+    + """)"""
+)
+
+_S05_ORACLE = (
+    _IVF_ORACLE_CORE
+    + """,
     qc AS (
         SELECT q_id, cell FROM (
             SELECT q.q_id, c.cell,

@@ -1815,9 +1815,62 @@ _register_d23()
 # map-side combine, and the owner relation is a per-digest min. The 4-dp
 # retention is integer half-up division.
 
-def _register_d24() -> None:
+def _funnel_stages(spark: SparkSession, sf_dir: str):
+    """(d, s1, s2, s3): the corpus and the per-stage survivor id sets of
+    the exact → near-dup → substring funnel (see d24 below for the stage
+    rules). Shared by d24 (per-source survivor counts) and t17 (the token
+    budget the survivors carry)."""
+    d = load_table(spark, sf_dir, "documents")
+    dg = d.select("doc_id", "source", F.md5("text").alias("dg"))
+    k1 = dg.groupBy("dg").agg(F.min("doc_id").alias("kid"))
+    s1 = dg.join(k1, "dg").where(F.col("doc_id") == F.col("kid")).select(
+        "doc_id", "source"
+    )
+    cc = cluster_assignments(spark, sf_dir)
+    s1g = s1.join(cc, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("cluster_id", "doc_id").alias("grp"),
+    )
+    k2 = s1g.groupBy("grp").agg(F.min("doc_id").alias("kid"))
+    s2 = (
+        s1g.join(k2, "grp")
+        .where(F.col("doc_id") == F.col("kid"))
+        .select("doc_id", "source")
+    )
+    # survivors re-join the corpus by id so text enters only the
+    # row-local window stage, never the keeper shuffles above
+    par = spark.sparkContext.defaultParallelism
+    s2t = d.join(s2.select("doc_id"), "doc_id", "left_semi").repartition(
+        par, "doc_id"
+    )
+    w = s2t.select(
+        "doc_id", F.explode(_window_hashes()).alias("wh")
+    ).distinct()
+    own = w.groupBy("wh").agg(F.min("doc_id").alias("owner"))
+    ext = (
+        w.join(own, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("owner") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_ext"),
+        )
+    )
+    s3 = (
+        s2.join(ext, "doc_id", "left")
+        .where(F.col("n").isNull() | (2 * F.col("n_ext") < F.col("n")))
+        .select("doc_id", "source")
+    )
+    return d, s1, s2, s3
+
+
+def _duckdb_funnel_ctes() -> str:
+    """The dgd..s3 funnel CTE chain (appended after the cluster CTEs) —
+    shared by d24's and t17's oracles."""
     W1, W2 = WINDOW_W - 2, WINDOW_W - 1
-    tail = f"""
+    return f"""
     , dgd AS (
       SELECT doc_id, source, text, md5(text) AS dg FROM documents
     ), s1 AS (
@@ -1848,7 +1901,12 @@ def _register_d24() -> None:
       SELECT s2.doc_id, s2.source FROM s2
         LEFT JOIN ext ON ext.doc_id = s2.doc_id
       WHERE ext.doc_id IS NULL OR 2 * ext.n_ext < ext.n
-    ), base AS (
+    )"""
+
+
+def _register_d24() -> None:
+    tail = _duckdb_funnel_ctes() + """
+    , base AS (
       SELECT source, count(*) AS n_docs FROM documents GROUP BY source
     ), c1 AS (
       SELECT source, count(*) AS n_exact FROM s1 GROUP BY source
@@ -1872,49 +1930,7 @@ def _register_d24() -> None:
 
     @query("d24_dedup_funnel", oracle=_duckdb_cluster_sql(tail))
     def d24_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
-        dg = d.select("doc_id", "source", F.md5("text").alias("dg"))
-        k1 = dg.groupBy("dg").agg(F.min("doc_id").alias("kid"))
-        s1 = dg.join(k1, "dg").where(F.col("doc_id") == F.col("kid")).select(
-            "doc_id", "source"
-        )
-        cc = cluster_assignments(spark, sf_dir)
-        s1g = s1.join(cc, "doc_id", "left").select(
-            "doc_id",
-            "source",
-            F.coalesce("cluster_id", "doc_id").alias("grp"),
-        )
-        k2 = s1g.groupBy("grp").agg(F.min("doc_id").alias("kid"))
-        s2 = (
-            s1g.join(k2, "grp")
-            .where(F.col("doc_id") == F.col("kid"))
-            .select("doc_id", "source")
-        )
-        # survivors re-join the corpus by id so text enters only the
-        # row-local window stage, never the keeper shuffles above
-        par = spark.sparkContext.defaultParallelism
-        s2t = d.join(s2.select("doc_id"), "doc_id", "left_semi").repartition(
-            par, "doc_id"
-        )
-        w = s2t.select(
-            "doc_id", F.explode(_window_hashes()).alias("wh")
-        ).distinct()
-        own = w.groupBy("wh").agg(F.min("doc_id").alias("owner"))
-        ext = (
-            w.join(own, "wh")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.when(F.col("owner") < F.col("doc_id"), 1).otherwise(0)
-                ).alias("n_ext"),
-            )
-        )
-        s3 = (
-            s2.join(ext, "doc_id", "left")
-            .where(F.col("n").isNull() | (2 * F.col("n_ext") < F.col("n")))
-            .select("doc_id", "source")
-        )
+        d, s1, s2, s3 = _funnel_stages(spark, sf_dir)
         base = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
         c1 = s1.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
         c2 = s2.groupBy("source").agg(F.count(F.lit(1)).alias("n_neardup"))
@@ -1943,3 +1959,130 @@ def _register_d24() -> None:
 
 
 _register_d24()
+
+
+# --- t17: funnel token budget -------------------------------------------------
+# The question the training-run planner actually asks after d24: how many
+# TOKENS survive the dedup funnel, per source — docs are not the budget
+# unit, tokens are. Whitespace tokenization (the d-family's unit, exactly
+# replayable in SQL); kept share is integer half-up 4-dp.
+#
+# 100 TB shape: the funnel's keeper sets are the d24 machinery (pinned
+# LSH+CC chain reused — one join, not a rebuild); token counting is one
+# row-local length pass over the corpus and one over the survivor
+# left-semi projection, both aggregated per source with map-side combine.
+
+def _register_t17() -> None:
+    tok_expr = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+    tail = _duckdb_funnel_ctes() + f"""
+    , tot AS (
+      SELECT source, sum({tok_expr}) AS tokens_total,
+             count(*) AS n_docs
+      FROM documents GROUP BY source
+    ), kept AS (
+      SELECT d.source, sum({tok_expr}) AS tokens_kept,
+             count(*) AS n_docs_kept
+      FROM documents d JOIN s3 ON s3.doc_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(t.tokens_total AS BIGINT) AS tokens_total,
+           CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           CAST((20000 * coalesce(k.tokens_kept, 0) + t.tokens_total)
+                // (2 * t.tokens_total) AS DOUBLE) / 10000.0 AS tokens_retained
+    FROM tot t LEFT JOIN kept k ON k.source = t.source
+    ORDER BY t.source
+    """
+
+    @query("t17_funnel_token_budget", oracle=_duckdb_cluster_sql(tail))
+    def t17_funnel_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d, _s1, _s2, s3 = _funnel_stages(spark, sf_dir)
+        n_tok = F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).cast("bigint")
+        tot = d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("tokens_total"),
+        )
+        kept = (
+            d.join(s3.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs_kept"),
+                F.sum(n_tok).alias("tokens_kept"),
+            )
+        )
+        ret = F.expr(
+            "(20000 * tokens_kept + tokens_total) DIV (2 * tokens_total)"
+        ).cast("double") / F.lit(10000.0)
+        return (
+            tot.join(kept, "source", "left")
+            .na.fill({"n_docs_kept": 0, "tokens_kept": 0})
+            .select(
+                "source",
+                "n_docs",
+                F.col("n_docs_kept").cast("bigint").alias("n_docs_kept"),
+                "tokens_total",
+                F.col("tokens_kept").cast("bigint").alias("tokens_kept"),
+                ret.alias("tokens_retained"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_t17()
+
+
+# --- d25: shingle document-frequency spectrum ---------------------------------
+# The boilerplate detector that calibrates d23's df-cap lever (and any
+# shingle-keyed join's skew exposure): how many 3-token shingles occur in
+# exactly df documents, with the share of all distinct shingles. A fat
+# high-df tail means template/boilerplate text — the thing that turns a
+# shingle-keyed pair join quadratic unless capped.
+#
+# 100 TB shape: shingling is row-local (within-doc distinct is computed
+# in-row by array_distinct, no per-doc explode+distinct shuffle); df is
+# ONE shingle-keyed count with map-side combine; the spectrum runs on
+# O(distinct df) rows and its total is a 1-row broadcast.
+
+@query(
+    "d25_shingle_df_spectrum",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), df AS (
+      SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+    ), spec AS (
+      SELECT df, count(*) AS n_shingles FROM df GROUP BY df
+    ), tot AS (
+      SELECT sum(n_shingles) AS t FROM spec
+    )
+    SELECT s.df, s.n_shingles,
+           CAST((20000 * s.n_shingles + t.t) // (2 * t.t) AS DOUBLE)
+             / 10000.0 AS shingle_share
+    FROM spec s CROSS JOIN tot t
+    ORDER BY s.df
+    """,
+)
+def d25_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(_shingles3()).alias("shingle"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    spec = df.groupBy("df").agg(F.count(F.lit(1)).alias("n_shingles"))
+    tot = spec.agg(F.sum("n_shingles").alias("t"))
+    share = F.expr("(20000 * n_shingles + t) DIV (2 * t)").cast(
+        "double"
+    ) / F.lit(10000.0)
+    return (
+        spec.join(F.broadcast(tot), how="cross")
+        .select("df", "n_shingles", share.alias("shingle_share"))
+        .orderBy("df")
+    )

@@ -1953,3 +1953,185 @@ def e28_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# --- e29: cohort retention matrix --------------------------------------------
+# The product-analytics staple the reference's users graduate to after e10
+# stickiness / e17 growth accounting: a (signup-cohort week x week-offset)
+# matrix of "what fraction of the cohort was still active k weeks later".
+#
+# 100 TB shape: the only corpus-sized stage is the distinct (user, week)
+# projection (map-side combine, O(users x weeks) out); cohort assignment is
+# a user-keyed min, and the matrix itself is O(weeks^2) rows. Retention is
+# integer half-up 4-dp division; every user is active in their cohort week
+# by construction, so the offset-0 column doubles as the cohort size.
+
+@query(
+    "e29_retention_matrix",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id
+    ), active AS (
+      SELECT c.cw AS cohort_week,
+             datediff('day', c.cw, u.wk) // 7 AS week_offset,
+             count(*) AS n_active
+      FROM uw u JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort_week, n_active AS n_cohort FROM active WHERE week_offset = 0
+    )
+    SELECT a.cohort_week, CAST(a.week_offset AS BIGINT) AS week_offset,
+           a.n_active, s.n_cohort,
+           CAST((20000 * a.n_active + s.n_cohort)
+                // (2 * s.n_cohort) AS DOUBLE) / 10000.0 AS retention
+    FROM active a JOIN sizes s USING (cohort_week)
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+)
+def e29_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    active = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.datediff("wk", "cw") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = active.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_cohort")
+    )
+    ret = F.expr("(20000 * n_active + n_cohort) DIV (2 * n_cohort)").cast(
+        "double"
+    ) / F.lit(10000.0)
+    return (
+        active.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            ret.alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --- e30: anomaly attribution -------------------------------------------------
+# e18 flags WHICH days are anomalous (robust z over daily totals); the
+# on-call question is WHY — which event type drove the excursion. Per day:
+# the total's robust z (same 0.6745*(n-med)/MAD estimator as e18, proven
+# cross-engine there), plus the top-contributing type by excess over its
+# own median daily volume. Excess is kept in exact x2 integer units
+# (2*count - 2*median is an exact-integer-valued double at these
+# magnitudes: percentile_cont interpolation is (a+b)/2 over bigints), so
+# the argmax tie-break (excess desc, type asc) is bit-deterministic.
+#
+# 100 TB shape: one (day, type) corpus aggregate with map-side combine;
+# medians, MAD, z and the per-day argmax all run on O(days x types) rows.
+
+E30_Z_CUT = 2.5
+
+
+@query(
+    "e30_anomaly_attribution",
+    oracle=f"""
+    WITH dt AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT day, sum(n) AS n_total FROM dt GROUP BY day
+    ), med AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n_total) AS med_n
+      FROM daily
+    ), mad AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(d.n_total - m.med_n)) AS mad_n
+      FROM daily d CROSS JOIN med m
+    ), tmed AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS tmed_n
+      FROM dt GROUP BY event_type
+    ), excess AS (
+      SELECT dt.day, dt.event_type,
+             CAST(2 * dt.n - 2 * t.tmed_n AS BIGINT) AS ex2
+      FROM dt JOIN tmed t USING (event_type)
+    ), top AS (
+      SELECT day, event_type AS top_type, ex2 FROM (
+        SELECT day, event_type, ex2,
+               row_number() OVER (
+                 PARTITION BY day ORDER BY ex2 DESC, event_type ASC
+               ) AS rk
+        FROM excess
+      ) WHERE rk = 1
+    )
+    SELECT d.day, CAST(d.n_total AS BIGINT) AS n_total,
+           round(0.6745 * (d.n_total - m.med_n) / md.mad_n, 4) + 0.0 AS robust_z,
+           abs(0.6745 * (d.n_total - m.med_n) / md.mad_n) > {E30_Z_CUT}
+             AS is_anomaly,
+           t.top_type,
+           CAST(t.ex2 AS DOUBLE) / 2.0 AS top_excess
+    FROM daily d CROSS JOIN med m CROSS JOIN mad md
+      JOIN top t USING (day)
+    WHERE md.mad_n > 0
+    ORDER BY d.day
+    """,
+)
+def e30_anomaly_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dt = (
+        e.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = dt.groupBy("day").agg(F.sum("n").alias("n_total"))
+    med = daily.agg(F.expr("percentile(n_total, 0.5)").alias("med_n"))
+    mad = (
+        daily.join(F.broadcast(med), how="cross")
+        .agg(
+            F.expr("percentile(abs(n_total - med_n), 0.5)").alias("mad_n")
+        )
+    )
+    tmed = dt.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("tmed_n")
+    )
+    excess = dt.join(F.broadcast(tmed), "event_type").select(
+        "day",
+        "event_type",
+        (2 * F.col("n") - 2 * F.col("tmed_n")).cast("bigint").alias("ex2"),
+    )
+    top = (
+        excess.groupBy("day")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("event_type").alias("top_type"),
+                    F.col("ex2"),
+                ),
+                F.struct((-F.col("ex2")).alias("nx"), F.col("event_type")),
+            ).alias("t")
+        )
+        .select("day", F.col("t.top_type").alias("top_type"), F.col("t.ex2"))
+    )
+    rz = 0.6745 * (F.col("n_total") - F.col("med_n")) / F.col("mad_n")
+    return (
+        daily.join(F.broadcast(med), how="cross")
+        .join(F.broadcast(mad), how="cross")
+        .join(top, "day")
+        .where(F.col("mad_n") > 0)
+        .select(
+            "day",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (F.round(rz, 4) + 0.0).alias("robust_z"),
+            (F.abs(rz) > E30_Z_CUT).alias("is_anomaly"),
+            "top_type",
+            (F.col("ex2").cast("double") / 2.0).alias("top_excess"),
+        )
+        .orderBy("day")
+    )

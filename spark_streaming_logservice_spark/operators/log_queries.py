@@ -1338,3 +1338,93 @@ def _register_l29() -> None:
 
 
 _register_l29()
+
+
+# --- l30: hour-of-week volume forecast + backtest ----------------------------
+# Capacity planning for the log platform: predict each test day's volume
+# with the seasonal-naive hour-of-week estimator (the mean of the SAME
+# weekday+hour over the 3 preceding weeks), then report the backtest
+# absolute-percentage error per day. No dow() functions anywhere — the
+# weekday alignment is pure date arithmetic (day-7/-14/-21 contribute to
+# day's forecast), which sidesteps the Spark-vs-DuckDB weekday-numbering
+# mismatch entirely, and the contribution union replaces three self-joins
+# (the l27 trick).
+#
+# 100 TB shape: ONE (day, hour) corpus aggregate with map-side combine
+# (O(days x 24) rows out); the shift-union, DIV-3 estimator, daily sums
+# and APE all run on that tiny relation. APE is integer half-up 4-dp.
+
+L30_TRAIN_END = "2024-01-21"  # weeks 1-3 (Jan 2024 starts on a Monday)
+L30_TEST_END = "2024-01-28"   # test week: Jan 22-28
+
+
+@query(
+    "l30_volume_forecast",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), contrib AS (
+      SELECT day + 7 AS day, hr, n FROM c
+      UNION ALL SELECT day + 14 AS day, hr, n FROM c
+      UNION ALL SELECT day + 21 AS day, hr, n FROM c
+    ), pred AS (
+      SELECT day, hr, sum(n) // 3 AS p
+      FROM contrib GROUP BY 1, 2
+    ), test_days AS (
+      SELECT day, sum(n) AS n_actual FROM c
+      WHERE day > DATE '{L30_TRAIN_END}' AND day <= DATE '{L30_TEST_END}'
+      GROUP BY day
+    ), pred_days AS (
+      SELECT day, sum(p) AS n_pred FROM pred
+      WHERE day > DATE '{L30_TRAIN_END}' AND day <= DATE '{L30_TEST_END}'
+      GROUP BY day
+    )
+    SELECT t.day, CAST(t.n_actual AS BIGINT) AS n_actual,
+           CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST((20000 * abs(t.n_actual - coalesce(p.n_pred, 0)) + t.n_actual)
+                // (2 * t.n_actual) AS DOUBLE) / 10000.0 AS ape
+    FROM test_days t LEFT JOIN pred_days p USING (day)
+    ORDER BY t.day
+    """,
+)
+def l30_volume_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.groupBy(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    contrib = None
+    for k in (7, 14, 21):
+        part = c.select(F.date_add("day", k).alias("day"), "hr", "n")
+        contrib = part if contrib is None else contrib.unionByName(part)
+    pred = contrib.groupBy("day", "hr").agg(
+        F.expr("sum(n) DIV 3").alias("p")
+    )
+    in_test = (F.col("day") > F.lit(L30_TRAIN_END).cast("date")) & (
+        F.col("day") <= F.lit(L30_TEST_END).cast("date")
+    )
+    test_days = (
+        c.where(in_test).groupBy("day").agg(F.sum("n").alias("n_actual"))
+    )
+    pred_days = (
+        pred.where(in_test).groupBy("day").agg(F.sum("p").alias("n_pred"))
+    )
+    ape = F.expr(
+        "(20000 * abs(n_actual - n_pred) + n_actual) DIV (2 * n_actual)"
+    ).cast("double") / F.lit(10000.0)
+    return (
+        test_days.join(pred_days, "day", "left")
+        .na.fill({"n_pred": 0})
+        .select(
+            "day",
+            F.col("n_actual").cast("bigint").alias("n_actual"),
+            F.col("n_pred").cast("bigint").alias("n_pred"),
+            ape.alias("ape"),
+        )
+        .orderBy("day")
+    )

@@ -365,5 +365,189 @@ def _register() -> None:
             spark, table_dir, e.where(F.col("vec_id") < N_QUERY)
         )
 
+    _register_s26()
+
+
+def _register_s26() -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.operators.ann_ivf import (
+        _IVF_ORACLE_CORE,
+        _dot_hof,
+        _normalized,
+    )
+    from spark_streaming_logservice_spark.registry import query
+    from spark_streaming_logservice_spark.tables import load_table
+
+    MAX_PROBE = 4
+    K_EVAL = 3
+
+    # The oracle replays training (the core CTEs) and sweeps nprobe 1..4 in
+    # one pass — exactly what the Spark side does against the STORED index.
+    oracle = (
+        _IVF_ORACLE_CORE
+        + f""",
+    probes AS (SELECT unnest(range(1, {MAX_PROBE} + 1)) AS np),
+    qr AS (
+        SELECT q.q_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_dot_product(q.q_emb, c.cvec) DESC, c.cell ASC
+               ) AS crk
+        FROM qv q CROSS JOIN c2 c
+    ),
+    cand AS (
+        SELECT qr.q_id, qr.crk, i.vec_id AS n_id,
+               round(list_dot_product(qv.q_emb, i.emb), 6) AS score
+        FROM qr JOIN idx i USING (cell) JOIN qv USING (q_id)
+        WHERE qr.crk <= {MAX_PROBE} AND qr.q_id <> i.vec_id
+    ),
+    approx AS (
+        SELECT np, q_id, n_id FROM (
+            SELECT p.np, c.q_id, c.n_id,
+                   row_number() OVER (
+                       PARTITION BY p.np, c.q_id
+                       ORDER BY c.score DESC, c.n_id ASC
+                   ) AS rk
+            FROM probes p JOIN cand c ON c.crk <= p.np
+        ) WHERE rk <= {K_EVAL}
+    ),
+    truth AS (
+        SELECT q_id, n_id FROM (
+            SELECT q.q_id, b.vec_id AS n_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_dot_product(q.q_emb, b.emb), 6) DESC,
+                                b.vec_id ASC
+                   ) AS rk
+            FROM qv q CROSS JOIN base b
+            WHERE q.q_id <> b.vec_id
+        ) WHERE rk <= {K_EVAL}
+    ),
+    nq AS (SELECT count(*) AS n FROM qv),
+    hits AS (
+        SELECT a.np, count(*) AS n_hits
+        FROM approx a JOIN truth t ON t.q_id = a.q_id AND t.n_id = a.n_id
+        GROUP BY a.np
+    ),
+    scanned AS (
+        SELECT p.np, count(*) AS n_cand
+        FROM probes p JOIN cand c ON c.crk <= p.np
+        GROUP BY p.np
+    )
+    SELECT CAST(p.np AS BIGINT) AS nprobe,
+           CAST((20000 * s.n_cand + q.n) // (2 * q.n) AS DOUBLE) / 10000.0
+             AS avg_candidates,
+           CAST((20000 * coalesce(h.n_hits, 0) + {K_EVAL} * q.n)
+                // (2 * {K_EVAL} * q.n) AS DOUBLE) / 10000.0 AS recall_at{K_EVAL}
+    FROM probes p CROSS JOIN nq q
+      LEFT JOIN hits h ON h.np = p.np
+      LEFT JOIN scanned s ON s.np = p.np
+    ORDER BY nprobe
+    """
+    )
+
+    @query("s26_ivf_nprobe_sweep", oracle=oracle)
+    def s26_ivf_nprobe_sweep(spark, sf_dir: str):
+        """The IVF serving trade-off knob, measured from the PERSISTED
+        index: recall@3 vs candidates scanned as nprobe grows 1..4. One
+        pass: candidates are scored ONCE with their probe rank attached,
+        each nprobe slice is a filter over that capped relation — never a
+        per-nprobe rebuild (the Catalyst-union-no-CSE lesson). Truth is
+        the exact top-3 over the stored vectors (one scored scan). At
+        100 TB the only corpus-sized stages are the nprobe<=4 candidate
+        join and the brute-force truth scan; everything else runs on
+        O(queries x candidates) rows."""
+        table_dir = ensure_index(spark, sf_dir)
+        cents_df, _, dim = _load_artifacts(spark, table_dir)
+        index = read_vectors(spark, table_dir).select("vec_id", "cell", "emb")
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        qn = _normalized(e.where(F.col("vec_id") < N_QUERY), dim).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+        qw = Window.partitionBy("q_id").orderBy(F.asc("nscore"), F.asc("cell"))
+        qr = (
+            qn.join(F.broadcast(cents_df), how="cross")
+            .select(
+                "q_id",
+                "cell",
+                (-_dot_hof(F.col("q_emb"), F.col("cvec"))).alias("nscore"),
+            )
+            .withColumn("crk", F.row_number().over(qw))
+            .where(F.col("crk") <= MAX_PROBE)
+            .select("q_id", "cell", "crk")
+        )
+        cand = (
+            qr.join(index, "cell")
+            .where(F.col("q_id") != F.col("vec_id"))
+            .join(F.broadcast(qn), "q_id")
+            .select(
+                "q_id",
+                "crk",
+                F.col("vec_id").alias("n_id"),
+                F.round(_dot_hof(F.col("q_emb"), F.col("emb")), 6).alias(
+                    "score"
+                ),
+            )
+        )
+        probes = spark.range(1, MAX_PROBE + 1).select(
+            F.col("id").alias("np")
+        )
+        swept = cand.join(
+            F.broadcast(probes), F.col("crk") <= F.col("np")
+        )
+        aw = Window.partitionBy("np", "q_id").orderBy(
+            F.desc("score"), F.asc("n_id")
+        )
+        approx = (
+            swept.withColumn("rk", F.row_number().over(aw))
+            .where(F.col("rk") <= K_EVAL)
+            .select("np", "q_id", "n_id")
+        )
+        tw = Window.partitionBy("q_id").orderBy(F.desc("tscore"), F.asc("n_id"))
+        truth = (
+            F.broadcast(qn)
+            .crossJoin(index.select(F.col("vec_id").alias("n_id"), "emb"))
+            .where(F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id",
+                "n_id",
+                F.round(_dot_hof(F.col("q_emb"), F.col("emb")), 6).alias(
+                    "tscore"
+                ),
+            )
+            .withColumn("rk", F.row_number().over(tw))
+            .where(F.col("rk") <= K_EVAL)
+            .select("q_id", "n_id", F.lit(1).alias("hit"))
+        )
+        nq = qn.agg(F.count(F.lit(1)).alias("n"))
+        hits = (
+            approx.join(truth, ["q_id", "n_id"], "left")
+            .groupBy("np")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        )
+        scanned = swept.groupBy("np").agg(F.count(F.lit(1)).alias("n_cand"))
+        avg_c = F.expr("(20000 * n_cand + n) DIV (2 * n)").cast(
+            "double"
+        ) / F.lit(10000.0)
+        rec = F.expr(
+            f"(20000 * n_hits + {K_EVAL} * n) DIV (2 * {K_EVAL} * n)"
+        ).cast("double") / F.lit(10000.0)
+        return (
+            probes.join(F.broadcast(nq), how="cross")
+            .join(hits, "np", "left")
+            .join(scanned, "np", "left")
+            .na.fill({"n_hits": 0, "n_cand": 0})
+            .select(
+                F.col("np").cast("bigint").alias("nprobe"),
+                avg_c.alias("avg_candidates"),
+                rec.alias(f"recall_at{K_EVAL}"),
+            )
+            .orderBy("nprobe")
+        )
+
 
 _register()

@@ -761,6 +761,10 @@ GLOBAL_WINDOW_OK = {
 BNLJ_OK = {
     "c04_snapshot_asof",
     "c06_cdc_net_effect",   # 1-row cut-bounds aggregate broadcast
+    "d25_shingle_df_spectrum",  # 1-row total-shingles aggregate broadcast
+    "e30_anomaly_attribution",  # 1-row median + 1-row MAD broadcasts
+    "s26_ivf_nprobe_sweep",  # N_QUERY-row query set x index (s01 shape),
+    # 4-row probes relation, 1-row query-count aggregate — all bounded
     "d18_cluster_size_histogram",
     "e26_autocorrelation",  # fixed 7-row lag relation broadcast
     "g06_degree_powerlaw",  # 1-row log-log OLS fit aggregate broadcast

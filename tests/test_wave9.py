@@ -168,10 +168,12 @@ def test_assign_cache_keys_on_part_file_stats(spark, tmp_path):
         50
     ).coalesce(1).write.parquet(corpus)
 
-    n0 = len(dedup._ASSIGN_CACHE)
+    def keys_here():
+        return {k for k in dedup._ASSIGN_CACHE if k[1].startswith(str(tmp_path))}
+
     dedup.cluster_assignments(spark, str(tmp_path))
-    assert len(dedup._ASSIGN_CACHE) == n0 + 1
-    key1 = [k for k in dedup._ASSIGN_CACHE if k[1].startswith(str(tmp_path))]
+    key1 = keys_here()
+    assert len(key1) == 1
 
     # in-place rewrite: touch a part file's mtime without renaming anything
     part = next(
@@ -181,5 +183,6 @@ def test_assign_cache_keys_on_part_file_stats(spark, tmp_path):
     os.utime(os.path.join(corpus, part), (t, t))
 
     dedup.cluster_assignments(spark, str(tmp_path))
-    key2 = [k for k in dedup._ASSIGN_CACHE if k[1].startswith(str(tmp_path))]
-    assert key1 != key2, "cache key must change when a part file is rewritten"
+    assert keys_here() - key1, (
+        "a NEW cache key must appear when a part file is rewritten in place"
+    )
