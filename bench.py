@@ -984,6 +984,8 @@ def _section_sweep() -> dict:
         "l30_volume_forecast",
         "t17_funnel_token_budget",
         "d25_shingle_df_spectrum",
+        "p24_sequence_packing",
+        "t18_quality_deciles",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run
@@ -1181,6 +1183,44 @@ def _section_sweep() -> dict:
                         "while distinct pairs stay 931 (verbatim replica), "
                         "so the pair shuffle is flat and the time is the "
                         "10x explode cost."
+                    ),
+                    "p15_curation_manifest": (
+                        "linear work, sub-second base: documents grow "
+                        "5,000 -> 50,000 — exactly 10.0x — through "
+                        "row-local rule evaluation + one per-source "
+                        "aggregate (sources flat); the 0.3 s 1x base is "
+                        "mostly the per-job scheduling floor, which "
+                        "inflates the ratio (10x run ~1.4 s on 10x rows "
+                        "is sublinear)."
+                    ),
+                    "l23_hourly_gap_fill": (
+                        "linear scan, flat gap-fill axis: the calendar "
+                        "hour spine stays exactly 720 hours at BOTH SFs "
+                        "(the fill is over time, not rows) while events "
+                        "grow 100k -> 1M; the 0.24 s 1x base is the "
+                        "job-scheduling floor, inflating the ratio."
+                    ),
+                    "e14_metric_correlation": (
+                        "linear scan, flat aggregate: the correlation "
+                        "runs on exactly 30 daily rows at BOTH SFs; "
+                        "events grow 100k -> 1M through one day-keyed "
+                        "aggregate; the 0.16 s 1x base is essentially "
+                        "pure scheduling floor — the ratio measures the "
+                        "floor, not the plan."
+                    ),
+                    "v07_bm25_scoring": (
+                        "linear work: token occurrences grow 270,704 -> "
+                        "2,707,040 — exactly 10.0x — while the vocabulary "
+                        "(df/idf relation) stays 31 types (verbatim "
+                        "replica); ~3.7x time on 10x token rows is "
+                        "sublinear."
+                    ),
+                    "d25_shingle_df_spectrum": (
+                        "linear work: shingle occurrences grow 260,388 "
+                        "(1x) -> 2,603,880 (10x) — exactly 10.0x — while "
+                        "distinct shingles stay 27,213 (verbatim replica), "
+                        "so the df shuffle is flat and the ~3x time is the "
+                        "10x in-row shingling + occurrence shuffle."
                     ),
                     "q28_waiting_suppliers": (
                         "linear work, saturated cores: the rewrite's one "

@@ -1902,3 +1902,127 @@ def _register_p22() -> None:
 
 
 _register_p22()
+
+
+# --- p24: sequence-packing plan -----------------------------------------------
+# The step between a curated corpus and a training run: concatenate each
+# source's documents (doc_id order) and split into fixed-length training
+# sequences (GPT-style concat-and-chunk packing). The planning report per
+# source: how many sequences the corpus yields, how many documents get
+# split across a sequence boundary (the attention-contamination lever),
+# and how full the final ragged sequence is.
+#
+# 100 TB shape: the per-source running token offset is the EXACT
+# distributed prefix sum (distributed_row_number's two-pass ranged
+# cumsum — no single-partition window anywhere); per-source totals are an
+# O(sources) relation and the source base offsets come from an
+# O(sources²) broadcast self-join, so subtracting them turns the global
+# cumsum into each source's own token stream. Everything else is integer
+# arithmetic on (start, end) offsets.
+
+P24_SEQ_LEN = 512
+
+
+@query(
+    "p24_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT source, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS e
+      FROM d
+    ), sp AS (
+      SELECT source, n_tok, e - n_tok AS s, e FROM c
+    ), per AS (
+      SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+             sum(CASE WHEN n_tok > 0
+                       AND s // {P24_SEQ_LEN} <> (e - 1) // {P24_SEQ_LEN}
+                      THEN 1 ELSE 0 END) AS n_split
+      FROM sp GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST((total_tokens + {P24_SEQ_LEN} - 1) // {P24_SEQ_LEN} AS BIGINT)
+             AS n_sequences,
+           CAST(n_split AS BIGINT) AS n_split_docs,
+           CAST((20000 * n_split + n_docs) // (2 * n_docs) AS DOUBLE)
+             / 10000.0 AS split_share,
+           CAST((20000 * (total_tokens
+                          - ((total_tokens + {P24_SEQ_LEN} - 1)
+                             // {P24_SEQ_LEN} - 1) * {P24_SEQ_LEN})
+                 + {P24_SEQ_LEN}) // (2 * {P24_SEQ_LEN}) AS DOUBLE)
+             / 10000.0 AS tail_fill
+    FROM per
+    ORDER BY source
+    """,
+)
+def p24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L = P24_SEQ_LEN
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).cast("bigint").alias("n_tok"),
+    )
+    ranked = distributed_row_number(
+        d,
+        [F.asc("source"), F.asc("doc_id")],
+        cumsum_col="n_tok",
+        cumsum_out="gcum",
+    )
+    totals = d.groupBy("source").agg(F.sum("n_tok").alias("tot"))
+    # base offset of each source's token stream inside the global order:
+    # sum of strictly-earlier sources' totals (O(sources^2) broadcast join)
+    t2 = totals.select(
+        F.col("source").alias("src2"), F.col("tot").alias("tot2")
+    )
+    offs = (
+        totals.join(
+            F.broadcast(t2), F.col("src2") < F.col("source"), "left"
+        )
+        .groupBy("source")
+        .agg(F.coalesce(F.sum("tot2"), F.lit(0)).alias("off"))
+    )
+    sp = ranked.join(F.broadcast(offs), "source").select(
+        "source",
+        "n_tok",
+        (F.col("gcum") - F.col("off") - F.col("n_tok")).alias("s"),
+        (F.col("gcum") - F.col("off")).alias("e"),
+    )
+    split = F.when(
+        (F.col("n_tok") > 0)
+        & (
+            F.expr(f"s DIV {L}") != F.expr(f"(e - 1) DIV {L}")
+        ),
+        1,
+    ).otherwise(0)
+    per = sp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(split).alias("n_split"),
+    )
+    nseq = F.expr(f"(total_tokens + {L} - 1) DIV {L}")
+    share = F.expr("(20000 * n_split + n_docs) DIV (2 * n_docs)").cast(
+        "double"
+    ) / F.lit(10000.0)
+    fill = F.expr(
+        f"(20000 * (total_tokens - ((total_tokens + {L} - 1) DIV {L} - 1)"
+        f" * {L}) + {L}) DIV (2 * {L})"
+    ).cast("double") / F.lit(10000.0)
+    return per.select(
+        "source",
+        "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        nseq.cast("bigint").alias("n_sequences"),
+        F.col("n_split").cast("bigint").alias("n_split_docs"),
+        share.alias("split_share"),
+        fill.alias("tail_fill"),
+    ).orderBy("source")

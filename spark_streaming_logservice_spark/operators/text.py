@@ -1104,3 +1104,122 @@ def t16_overlap_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- t18: quality deciles (perplexity-filter planning) ------------------------
+# t10 scores each document's mean unigram surprisal; the filter DESIGN
+# question is "where do I put the cutoff, and what do I lose": rank all
+# documents by score and report each decile's population, score range and
+# average length. Decile 0 = most predictable (kept by a CCNet-style
+# filter), decile 9 = the gibberish tail.
+#
+# 100 TB shape: scoring is t10's one model shuffle + one token join; the
+# global ranking is the EXACT distributed two-pass row_number (no
+# single-partition sort); scores are hardened to half-up 1e-4 integer
+# units BEFORE ranking and aggregation, so the decile cut and every
+# reported figure are bit-deterministic at any partitioning.
+
+@query(
+    "t18_quality_deciles",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), model AS (
+      SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), total AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM model
+    ), scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(floor(avg(-ln(CAST(m.cnt AS DOUBLE) / (SELECT n FROM total)))
+                        * 10000.0 + 0.5) AS BIGINT) AS units
+      FROM tok t JOIN model m USING (token)
+      GROUP BY t.doc_id
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY units ASC, doc_id ASC) AS rn,
+             count(*) OVER () AS nd
+      FROM scored
+    ), dec AS (
+      SELECT ((rn - 1) * 10) // nd AS decile, units, n_tokens FROM ranked
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_docs,
+           CAST(min(units) AS DOUBLE) / 10000.0 AS min_score,
+           CAST(max(units) AS DOUBLE) / 10000.0 AS max_score,
+           CAST((2 * sum(units) + count(*)) // (2 * count(*)) AS DOUBLE)
+             / 10000.0 AS avg_score,
+           CAST((20000 * sum(n_tokens) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_tokens
+    FROM dec
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def t18_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_logservice_spark.operators.pipeline_ops import (
+        distributed_row_number,
+    )
+
+    d = spread_rowlocal(load_table(spark, sf_dir, "documents"), key="doc_id")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("double").alias("n"))
+    nlp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    scored = (
+        tok.join(model, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nlp.alias("nlp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(F.avg("nlp") * 10000.0 + 0.5).cast("bigint").alias(
+                "units"
+            ),
+        )
+    )
+    ranked = distributed_row_number(
+        scored, [F.asc("units"), F.asc("doc_id")], out="rn"
+    )
+    nd = scored.agg(F.count(F.lit(1)).alias("nd"))
+    dec = ranked.join(F.broadcast(nd), how="cross").select(
+        F.expr("((rn - 1) * 10) DIV nd").alias("decile"),
+        "units",
+        "n_tokens",
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.min("units").cast("double") / 10000.0).alias("min_score"),
+            (F.max("units").cast("double") / 10000.0).alias("max_score"),
+            (
+                F.expr("(2 * sum(units) + count(1)) DIV (2 * count(1))").cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("avg_score"),
+            (
+                F.expr(
+                    "(20000 * sum(n_tokens) + count(1)) DIV (2 * count(1))"
+                ).cast("double")
+                / 10000.0
+            ).alias("avg_tokens"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "min_score",
+            "max_score",
+            "avg_score",
+            "avg_tokens",
+        )
+        .orderBy("decile")
+    )

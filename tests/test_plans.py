@@ -762,6 +762,8 @@ BNLJ_OK = {
     "c04_snapshot_asof",
     "c06_cdc_net_effect",   # 1-row cut-bounds aggregate broadcast
     "d25_shingle_df_spectrum",  # 1-row total-shingles aggregate broadcast
+    "p24_sequence_packing",  # O(sources)-row totals self-join (base offsets)
+    "t18_quality_deciles",   # 1-row vocab total + 1-row doc-count broadcasts
     "e30_anomaly_attribution",  # 1-row median + 1-row MAD broadcasts
     "s26_ivf_nprobe_sweep",  # N_QUERY-row query set x index (s01 shape),
     # 4-row probes relation, 1-row query-count aggregate — all bounded
