@@ -986,6 +986,9 @@ def _section_sweep() -> dict:
         "d25_shingle_df_spectrum",
         "p24_sequence_packing",
         "t18_quality_deciles",
+        "s27_adc_rank_fidelity",
+        "e31_experiment_power",
+        "p25_mixture_diversity",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

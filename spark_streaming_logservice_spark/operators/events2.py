@@ -2135,3 +2135,124 @@ def e30_anomaly_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- e31: experiment power / minimum detectable effect ------------------------
+# The experimentation-platform question that comes BEFORE e11's lift
+# readout: at this sample size and variance, what's the smallest true
+# effect this A/B could reliably detect (alpha=0.05 two-sided, power=0.8)?
+# MDE = (z_{alpha/2} + z_{power}) * SE of the mean difference — the Welch
+# standard error from the same per-arm sufficient statistics e11 uses
+# (same 'e11:' hash salt, so this audits the SAME experiment assignment).
+# `powered` says whether the observed lift clears the detectability bar.
+#
+# 100 TB shape: one user-keyed corpus aggregate; everything after runs on
+# the 2-row arm relation. Float arithmetic mirrors e11's proven
+# cross-engine expressions (same sums, one extra sqrt), 4-dp rounding.
+
+E31_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+E31_Z_POWER = 0.841621  # power = 0.8
+
+
+@query(
+    "e31_experiment_power",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5('e11:' || CAST(user_id AS VARCHAR)), 1, 2))::INTEGER
+               % 2 AS arm,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x
+      FROM events
+      GROUP BY user_id
+    ), arms AS (
+      SELECT arm, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+      FROM per_user GROUP BY arm
+    ), stats AS (
+      SELECT arm, n, s1 / n AS mean,
+             (s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1) AS var
+      FROM arms
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 4) AS mean_a,
+           round(sqrt(a.var / a.n + b.var / b.n), 4) AS se,
+           round(({E31_Z_ALPHA} + {E31_Z_POWER})
+                 * sqrt(a.var / a.n + b.var / b.n), 4) AS mde_abs,
+           round(({E31_Z_ALPHA} + {E31_Z_POWER})
+                 * sqrt(a.var / a.n + b.var / b.n) / a.mean, 4) AS mde_rel,
+           abs(b.mean - a.mean) >= ({E31_Z_ALPHA} + {E31_Z_POWER})
+                 * sqrt(a.var / a.n + b.var / b.n) AS powered
+    FROM stats a JOIN stats b ON a.arm = 0 AND b.arm = 1
+    """,
+)
+def e31_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("e11:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ).alias("x")
+        )
+        .select(arm.alias("arm"), "x")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    stats = arms.select(
+        "arm",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) ** 2)
+            * F.col("n")
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = stats.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a_raw"),
+        F.col("var").alias("var_a"),
+    )
+    b = stats.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b_raw"),
+        F.col("var").alias("var_b"),
+    )
+    z = F.lit(E31_Z_ALPHA) + F.lit(E31_Z_POWER)
+    se = F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.col("mean_a_raw"), 4).alias("mean_a"),
+            F.round(se, 4).alias("se"),
+            F.round(z * se, 4).alias("mde_abs"),
+            F.round(z * se / F.col("mean_a_raw"), 4).alias("mde_rel"),
+            (
+                F.abs(F.col("mean_b_raw") - F.col("mean_a_raw")) >= z * se
+            ).alias("powered"),
+        )
+    )

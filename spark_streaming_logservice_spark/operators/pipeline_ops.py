@@ -2026,3 +2026,80 @@ def p24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("split_share"),
         fill.alias("tail_fill"),
     ).orderBy("source")
+
+
+# --- p25: mixture diversity report ---------------------------------------------
+# The one-look health check of a training mixture: per-source share plus
+# the Shannon entropy of the mix and its "effective number of sources"
+# exp(H) — the number every mixture rebalance proposal gets compared
+# against (5 sources at effective 2.1 means three of them barely matter).
+#
+# Float discipline: the entropy is a sum of per-source -p·ln(p) terms;
+# a groupBy float sum would be partition-merge-order dependent, so BOTH
+# engines fold the terms in SOURCE ORDER over an explicitly sorted list
+# (array_sort + aggregate here, list(term ORDER BY source) + list_sum in
+# DuckDB) — bit-stable at any partitioning. Entropy/effective are stamped
+# on every row (the l28 Gini pattern).
+#
+# 100 TB shape: ONE per-source count with map-side combine; everything
+# after runs on the O(sources) relation.
+
+@query(
+    "p25_mixture_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(n) AS tot FROM c
+    ), terms AS (
+      SELECT source, n,
+             -(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)
+               AS term,
+             tot
+      FROM c CROSS JOIN t
+    ), ent AS (
+      SELECT list_sum(list(term ORDER BY source)) AS h FROM terms
+    )
+    SELECT tm.source, CAST(tm.n AS BIGINT) AS n_docs,
+           CAST((20000 * tm.n + tm.tot) // (2 * tm.tot) AS DOUBLE)
+             / 10000.0 AS share,
+           round(e.h, 6) AS entropy,
+           round(exp(e.h), 6) AS effective_sources
+    FROM terms tm CROSS JOIN ent e
+    ORDER BY tm.source
+    """,
+)
+def p25_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    terms = c.join(F.broadcast(t), how="cross").select(
+        "source",
+        "n",
+        "tot",
+        (
+            -(F.col("n").cast("double") / F.col("tot"))
+            * F.log(F.col("n").cast("double") / F.col("tot"))
+        ).alias("term"),
+    )
+    ent = terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("h")
+    )
+    share = F.expr("(20000 * n + tot) DIV (2 * tot)").cast("double") / F.lit(
+        10000.0
+    )
+    return (
+        terms.join(F.broadcast(ent), how="cross")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            share.alias("share"),
+            F.round(F.col("h"), 6).alias("entropy"),
+            F.round(F.exp(F.col("h")), 6).alias("effective_sources"),
+        )
+        .orderBy("source")
+    )

@@ -551,3 +551,178 @@ def _register_s26() -> None:
 
 
 _register()
+
+
+def _register_s27() -> None:
+    """s27: ADC rank-fidelity audit — does the 4-byte quantization preserve
+    the EXACT head ranking? Per query: take the exact-cosine top-SHORTLIST
+    from the stored index, re-rank those same candidates by their ADC
+    score, and report the Spearman rank agreement (exact bigint sufficient
+    statistics — the p22 pattern) plus whether the top-1 survives. The
+    quantization-quality number an ANN platform tracks per index build.
+
+    100 TB shape: the only corpus-sized stages are the exact scored scan
+    (WindowGroupLimit prunes to SHORTLIST per query before the shuffle)
+    and the code join against the broadcast shortlist; ranking, Spearman
+    and the verdict run on O(queries x SHORTLIST) rows. Serving reads the
+    stored index — no retraining (oracle replays the full pipeline, which
+    the store equals bit-for-bit)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.operators.ann_ivf import _dot_hof
+    from spark_streaming_logservice_spark.operators.ann_pq import (
+        _PQ_PARTS,
+        _dot_cols_flat,
+    )
+    from spark_streaming_logservice_spark.registry import query
+
+    SHORTLIST = 50
+
+    oracle = (
+        _PQ_PARTS
+        + f""",
+    ex AS (
+        SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+               round(list_dot_product(q.emb, b.emb), 6) AS exs
+        FROM base q JOIN base b ON b.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERY}
+    ),
+    short AS (
+        SELECT q_id, n_id, erk FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY exs DESC, n_id ASC
+                   ) AS erk
+            FROM ex
+        ) WHERE erk <= {SHORTLIST}
+    ),
+    sa AS (
+        SELECT s.q_id, s.n_id, s.erk,
+               row_number() OVER (
+                   PARTITION BY s.q_id
+                   ORDER BY round(p.t0 + p.t1 + p.t2 + p.t3, 6) DESC,
+                            s.n_id ASC
+               ) AS ark
+        FROM short s JOIN parts p ON p.q_id = s.q_id AND p.n_id = s.n_id
+    ),
+    st AS (
+        SELECT q_id, count(*) AS n,
+               sum(erk) AS sx, sum(ark) AS sy, sum(erk * ark) AS sxy,
+               sum(erk * erk) AS sxx, sum(ark * ark) AS syy,
+               max(CASE WHEN erk = 1 THEN n_id END) AS ex_top1,
+               max(CASE WHEN ark = 1 THEN n_id END) AS adc_top1
+        FROM sa GROUP BY q_id
+    )
+    SELECT q_id, CAST(n AS BIGINT) AS n_shortlist,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 + 0.0, 6) AS rank_corr,
+           ex_top1 = adc_top1 AS top1_same
+    FROM st
+    ORDER BY q_id
+    """
+    )
+
+    @query("s27_adc_rank_fidelity", oracle=oracle)
+    def s27_adc_rank_fidelity(spark, sf_dir: str):
+        table_dir = ensure_index(spark, sf_dir)
+        _, cb_df, dim = _load_artifacts(spark, table_dir)
+        dl = dim // M_SUB
+        vecs = read_vectors(spark, table_dir)
+        index = vecs.select("vec_id", "emb")
+        qn = index.where(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+        ew = Window.partitionBy("q_id").orderBy(F.desc("exs"), F.asc("n_id"))
+        short = (
+            F.broadcast(qn)
+            .crossJoin(index.select(F.col("vec_id").alias("n_id"), "emb"))
+            .where(F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id",
+                "n_id",
+                F.round(_dot_hof(F.col("q_emb"), F.col("emb")), 6).alias(
+                    "exs"
+                ),
+            )
+            .withColumn("erk", F.row_number().over(ew))
+            .where(F.col("erk") <= SHORTLIST)
+            .select("q_id", "n_id", "erk")
+        )
+        codes = vecs.select(
+            F.col("vec_id").alias("n_id"),
+            F.posexplode(
+                F.array(*[F.col(f"c{m}") for m in range(M_SUB)])
+            ).alias("sub", "code"),
+        )
+        qsubs = qn.select(
+            "q_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("q_emb"), m * dl + 1, dl)
+                        for m in range(M_SUB)
+                    ]
+                )
+            ).alias("sub", "qvec"),
+        )
+        tbl = qsubs.join(F.broadcast(cb_df), "sub").select(
+            "q_id",
+            "sub",
+            "code",
+            _dot_cols_flat(F.col("qvec"), F.col("cvec"), dl).alias("partial"),
+        )
+        parts = (
+            codes.join(F.broadcast(short), "n_id")
+            .join(F.broadcast(tbl), ["q_id", "sub", "code"])
+            .groupBy("q_id", "n_id", "erk")
+            .agg(
+                *[
+                    F.max(
+                        F.when(F.col("sub") == m, F.col("partial"))
+                    ).alias(f"t{m}")
+                    for m in range(M_SUB)
+                ]
+            )
+        )
+        adc = F.round(
+            F.col("t0") + F.col("t1") + F.col("t2") + F.col("t3"), 6
+        )
+        aw = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
+        sa = parts.select("q_id", "n_id", "erk", adc.alias("adc")).withColumn(
+            "ark", F.row_number().over(aw)
+        )
+        st = sa.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("erk").alias("sx"),
+            F.sum("ark").alias("sy"),
+            F.sum(F.col("erk") * F.col("ark")).alias("sxy"),
+            F.sum(F.col("erk") * F.col("erk")).alias("sxx"),
+            F.sum(F.col("ark") * F.col("ark")).alias("syy"),
+            F.max(F.when(F.col("erk") == 1, F.col("n_id"))).alias("ex_top1"),
+            F.max(F.when(F.col("ark") == 1, F.col("n_id"))).alias(
+                "adc_top1"
+            ),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+        return st.select(
+            "q_id",
+            F.col("n").alias("n_shortlist"),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)) + F.lit(0.0), 6).alias(
+                "rank_corr"
+            ),
+            (F.col("ex_top1") == F.col("adc_top1")).alias("top1_same"),
+        ).orderBy("q_id")
+
+
+_register_s27()

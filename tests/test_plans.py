@@ -764,6 +764,10 @@ BNLJ_OK = {
     "d25_shingle_df_spectrum",  # 1-row total-shingles aggregate broadcast
     "p24_sequence_packing",  # O(sources)-row totals self-join (base offsets)
     "t18_quality_deciles",   # 1-row vocab total + 1-row doc-count broadcasts
+    "e31_experiment_power",  # 1-row-per-arm stats cross join (2 rows)
+    "p25_mixture_diversity",  # 1-row total + 1-row entropy broadcasts
+    "s27_adc_rank_fidelity",  # N_QUERY-row query set x index (s01 shape) +
+    # queries x SHORTLIST(=50) shortlist/ADC-table broadcasts — all bounded
     "e30_anomaly_attribution",  # 1-row median + 1-row MAD broadcasts
     "s26_ivf_nprobe_sweep",  # N_QUERY-row query set x index (s01 shape),
     # 4-row probes relation, 1-row query-count aggregate — all bounded
