@@ -1187,6 +1187,23 @@ def _section_sweep() -> dict:
                         "so the pair shuffle is flat and the time is the "
                         "10x explode cost."
                     ),
+                    "v03_tfidf_top_terms": (
+                        "linear work, sub-second base: token occurrences "
+                        "grow 270,704 -> 2,707,040 — exactly 10.0x — "
+                        "while the (source, token) tf/idf relation stays "
+                        "flat (31 types, verbatim replica); the ratio on "
+                        "a ~0.2-1s base jitters run-to-run with the host "
+                        "(same mechanism as v05/v07/v08, which carry the "
+                        "same measured counts)."
+                    ),
+                    "q13_top_orders_per_customer": (
+                        "linear work: orders and customers both grow "
+                        "exactly 10.0x (150k -> 1.5M orders, 15k -> 150k "
+                        "customers) through one customer-keyed aggregate "
+                        "+ WindowGroupLimit top-k; ~3.5x time on 10x "
+                        "rows is sublinear, jittering around the bar on "
+                        "a sub-second base."
+                    ),
                     "p15_curation_manifest": (
                         "linear work, sub-second base: documents grow "
                         "5,000 -> 50,000 — exactly 10.0x — through "

@@ -1348,23 +1348,23 @@ _register_l29()
 # weekday alignment is pure date arithmetic (day-7/-14/-21 contribute to
 # day's forecast), which sidesteps the Spark-vs-DuckDB weekday-numbering
 # mismatch entirely, and the contribution union replaces three self-joins
-# (the l27 trick).
+# (the l27 trick). The test window is the LAST 7 days of data (derived,
+# not hardcoded — a regenerated fixture with shifted dates must not
+# silently empty the backtest).
 #
 # 100 TB shape: ONE (day, hour) corpus aggregate with map-side combine
 # (O(days x 24) rows out); the shift-union, DIV-3 estimator, daily sums
 # and APE all run on that tiny relation. APE is integer half-up 4-dp.
 
-L30_TRAIN_END = "2024-01-21"  # weeks 1-3 (Jan 2024 starts on a Monday)
-L30_TEST_END = "2024-01-28"   # test week: Jan 22-28
-
-
 @query(
     "l30_volume_forecast",
-    oracle=f"""
+    oracle="""
     WITH c AS (
       SELECT CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
              count(*) AS n
       FROM events GROUP BY 1, 2
+    ), mx AS (
+      SELECT max(day) AS md FROM c
     ), contrib AS (
       SELECT day + 7 AS day, hr, n FROM c
       UNION ALL SELECT day + 14 AS day, hr, n FROM c
@@ -1373,12 +1373,12 @@ L30_TEST_END = "2024-01-28"   # test week: Jan 22-28
       SELECT day, hr, sum(n) // 3 AS p
       FROM contrib GROUP BY 1, 2
     ), test_days AS (
-      SELECT day, sum(n) AS n_actual FROM c
-      WHERE day > DATE '{L30_TRAIN_END}' AND day <= DATE '{L30_TEST_END}'
+      SELECT day, sum(n) AS n_actual FROM c CROSS JOIN mx
+      WHERE day > md - 7
       GROUP BY day
     ), pred_days AS (
-      SELECT day, sum(p) AS n_pred FROM pred
-      WHERE day > DATE '{L30_TRAIN_END}' AND day <= DATE '{L30_TEST_END}'
+      SELECT day, sum(p) AS n_pred FROM pred CROSS JOIN mx
+      WHERE day > md - 7 AND day <= md
       GROUP BY day
     )
     SELECT t.day, CAST(t.n_actual AS BIGINT) AS n_actual,
@@ -1398,6 +1398,7 @@ def l30_volume_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    mx = c.agg(F.max("day").alias("md"))
     contrib = None
     for k in (7, 14, 21):
         part = c.select(F.date_add("day", k).alias("day"), "hr", "n")
@@ -1405,14 +1406,19 @@ def l30_volume_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = contrib.groupBy("day", "hr").agg(
         F.expr("sum(n) DIV 3").alias("p")
     )
-    in_test = (F.col("day") > F.lit(L30_TRAIN_END).cast("date")) & (
-        F.col("day") <= F.lit(L30_TEST_END).cast("date")
-    )
     test_days = (
-        c.where(in_test).groupBy("day").agg(F.sum("n").alias("n_actual"))
+        c.join(F.broadcast(mx), how="cross")
+        .where(F.col("day") > F.date_sub("md", 7))
+        .groupBy("day")
+        .agg(F.sum("n").alias("n_actual"))
     )
     pred_days = (
-        pred.where(in_test).groupBy("day").agg(F.sum("p").alias("n_pred"))
+        pred.join(F.broadcast(mx), how="cross")
+        .where(
+            (F.col("day") > F.date_sub("md", 7)) & (F.col("day") <= F.col("md"))
+        )
+        .groupBy("day")
+        .agg(F.sum("p").alias("n_pred"))
     )
     ape = F.expr(
         "(20000 * abs(n_actual - n_pred) + n_actual) DIV (2 * n_actual)"
