@@ -319,11 +319,20 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     key = _corpus_key(spark, sf_dir)
     table_dir = _INDEX_CACHE.get(key)
     if table_dir is None:
+        import shutil
+
         app = spark.sparkContext.applicationId
+
+        def _evict(k: tuple) -> None:
+            # reclaim the evicted build's disk too — an abandoned index
+            # dir (stale corpus version / LRU overflow) is never served
+            # again and would otherwise accumulate across corpora
+            shutil.rmtree(_INDEX_CACHE.pop(k), ignore_errors=True)
+
         for k in [k for k in _INDEX_CACHE if k[0] != app]:
-            del _INDEX_CACHE[k]
+            _evict(k)
         while len(_INDEX_CACHE) >= 4:
-            del _INDEX_CACHE[next(iter(_INDEX_CACHE))]
+            _evict(next(iter(_INDEX_CACHE)))
         table_dir = tempfile.mkdtemp(prefix="ann_index-")
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")

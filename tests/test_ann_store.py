@@ -55,9 +55,8 @@ def test_stream_encode_equals_batch_build(spark, sf_dir, tmp_path):
     AI.build_ann_index(spark, batch_t, emb)
 
     stream_t = str(tmp_path / "stream")
-    # train on the same corpus, but encode nothing yet: build with an
-    # empty corpus slice... artifacts must come from the full sample, so
-    # train via build on the sample-bearing corpus, then reset vectors.
+    # train the frozen artifacts via a normal build, then reset the
+    # vectors store so the stream below is its sole producer
     AI.build_ann_index(spark, stream_t, emb)
     import shutil
 
@@ -131,3 +130,39 @@ def test_served_queries_registered_with_full_pipeline_oracles():
 
     assert registry.ORACLES["s24_ann_ivf_served"] == _S05_ORACLE
     assert registry.ORACLES["s25_ann_pq_served"] == _S07_ORACLE
+
+
+def test_real_stream_drive_equals_batch_build(spark, sf_dir, tmp_path):
+    """Drive the incremental encoder through an actual readStream ->
+    foreachBatch query (availableNow, one file per trigger), not direct
+    writer calls — the vectors store must still equal the one-shot batch
+    build, and store-served search must be unchanged."""
+    emb = _emb(spark, sf_dir)
+    batch_t = str(tmp_path / "batch")
+    AI.build_ann_index(spark, batch_t, emb)
+
+    stream_t = str(tmp_path / "stream")
+    AI.build_ann_index(spark, stream_t, emb)  # train the frozen artifacts
+    import shutil
+
+    shutil.rmtree(AI._vectors_dir(stream_t))
+
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.parquet(src)
+    q = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(AI.incremental_ann_writer(stream_t))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(150)
+    assert _rows(AI.read_vectors(spark, stream_t)) == _rows(
+        AI.read_vectors(spark, batch_t)
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    assert _rows(AI.pq_search_from_store(spark, stream_t, queries)) == _rows(
+        AI.pq_search_from_store(spark, batch_t, queries)
+    )

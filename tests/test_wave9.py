@@ -186,3 +186,180 @@ def test_assign_cache_keys_on_part_file_stats(spark, tmp_path):
     assert keys_here() - key1, (
         "a NEW cache key must appear when a part file is rewritten in place"
     )
+
+
+# --- round-9 operator semantics on hand-computed fixtures ---------------------
+
+
+def _write(df, td, name):
+    df.write.parquet(os.path.join(td, f"{name}.parquet"))
+
+
+def test_e29_retention_matrix_semantics(spark, tmp_path):
+    """Two cohorts, hand-checked: users A,B first seen week0, only A
+    returns week1; user C first seen week1."""
+    import datetime as dt
+
+    w0, w1 = dt.datetime(2024, 1, 1, 12), dt.datetime(2024, 1, 8, 12)
+    rows = [
+        (1, w0, "A"), (2, w0, "B"),
+        (3, w1, "A"), (4, w1, "C"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, hash(u) % 1000 + ord(u[0]) * 1000) for i, ts, u in rows],
+        "event_id INT, ts TIMESTAMP, user_id INT",
+    ).withColumn("event_type", F.lit("view"))
+    _write(df, str(tmp_path), "events")
+    from spark_streaming_logservice_spark.operators.events2 import (
+        e29_retention_matrix,
+    )
+
+    got = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): (
+            r["n_active"],
+            r["n_cohort"],
+            r["retention"],
+        )
+        for r in e29_retention_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-08", 0): (1, 1, 1.0),
+    }
+
+
+def test_e30_top_contributor_and_tie_break(spark, tmp_path):
+    """The spiking type wins attribution; on equal excess the tie breaks
+    to the alphabetically-first type."""
+    import datetime as dt
+
+    # per-day (click, view) counts: varied baseline so MAD > 0, then a
+    # click spike on day 6. Daily totals [3,5,4,5,3,12]: median 4.5, MAD
+    # 1.0, day-6 robust z = .6745*7.5 = 5.06 > 2.5. Type medians: click
+    # 2.5 (of [2,3,2,3,2,10]), view 2 (of [1,2,2,2,1,2]).
+    plan = [(2, 1), (3, 2), (2, 2), (3, 2), (2, 1), (10, 2)]
+    rows = []
+    eid = 0
+    for day, (nc, nv) in enumerate(plan, start=1):
+        for t in ["click"] * nc + ["view"] * nv:
+            rows.append((eid, dt.datetime(2024, 2, day, 10), 1, t)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id INT, ts TIMESTAMP, user_id INT, event_type STRING"
+    )
+    _write(df, str(tmp_path), "events")
+    from spark_streaming_logservice_spark.operators.events2 import (
+        e30_anomaly_attribution,
+    )
+
+    out = {
+        r["day"].isoformat(): (r["top_type"], r["top_excess"], r["is_anomaly"])
+        for r in e30_anomaly_attribution(spark, str(tmp_path)).collect()
+    }
+    # day 6: click excess = 10 - 2.5 = 7.5, view excess = 0 -> click wins
+    assert out["2024-02-06"] == ("click", 7.5, True)
+    # day 2 (baseline): click excess 0.5 beats view 0; not anomalous
+    assert out["2024-02-02"] == ("click", 0.5, False)
+    # day 3 (baseline): click excess -0.5 loses to view 0
+    assert out["2024-02-03"] == ("view", 0.0, False)
+
+
+def test_p24_split_counting_by_hand(spark, tmp_path):
+    """Three 300-token docs in one source: boundaries at 512/1024 ->
+    exactly one doc straddles a boundary; 900 tokens -> 2 sequences,
+    tail fill 388/512."""
+    from spark_streaming_logservice_spark.operators.pipeline_ops import (
+        p24_sequence_packing,
+    )
+
+    text = " ".join(["tok"] * 300)
+    df = spark.createDataFrame(
+        [(i, "src", text) for i in range(3)],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    _write(df, str(tmp_path), "documents")
+    [r] = p24_sequence_packing(spark, str(tmp_path)).collect()
+    assert (r["n_docs"], r["total_tokens"], r["n_sequences"]) == (3, 900, 2)
+    # doc0 [0,300) no boundary; doc1 [300,600) crosses 512; doc2 [600,900)
+    # crosses neither 512 nor 1024
+    assert r["n_split_docs"] == 1
+    assert r["split_share"] == 0.3333
+    assert r["tail_fill"] == round((20000 * 388 + 512) // (2 * 512) / 10000, 4)
+
+
+def test_l30_constant_rate_forecasts_exactly(spark, tmp_path):
+    """A perfectly periodic signal (k events every hour, 28 days) makes
+    the seasonal-naive forecast exact: ape == 0 for all 7 test days."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 4)  # a Monday
+    for day in range(28):
+        for hr in range(0, 24, 6):  # 4 slots/day
+            for _ in range(3):
+                rows.append(
+                    (eid, base + dt.timedelta(days=day, hours=hr), 1, "view")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id INT, ts TIMESTAMP, user_id INT, event_type STRING"
+    )
+    _write(df, str(tmp_path), "events")
+    from spark_streaming_logservice_spark.operators.log_queries import (
+        l30_volume_forecast,
+    )
+
+    out = l30_volume_forecast(spark, str(tmp_path)).collect()
+    assert len(out) == 7
+    for r in out:
+        assert (r["n_actual"], r["n_pred"], r["ape"]) == (12, 12, 0.0)
+
+
+def test_p25_uniform_mix_has_full_effective_sources(spark, tmp_path):
+    """4 equally-sized sources: entropy = ln 4, effective sources = 4."""
+    import math
+
+    from spark_streaming_logservice_spark.operators.pipeline_ops import (
+        p25_mixture_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", "x") for i in range(40)],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    _write(df, str(tmp_path), "documents")
+    rows = p25_mixture_diversity(spark, str(tmp_path)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["share"] == 0.25
+        assert r["entropy"] == round(math.log(4), 6)
+        assert r["effective_sources"] == 4.0
+
+
+def test_ann_index_eviction_reclaims_disk(spark, tmp_path):
+    """Evicted index builds must be deleted, not abandoned (bounded cache
+    AND bounded disk)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    app = spark.sparkContext.applicationId
+    fake = str(tmp_path / "fake-index")
+    os.makedirs(fake)
+    # seed the cache to capacity with fake same-app entries
+    AI._INDEX_CACHE.clear()
+    for i in range(3):
+        d = str(tmp_path / f"old-{i}")
+        os.makedirs(d)
+        AI._INDEX_CACHE[(app, f"/nonexistent/{i}", 1, 1, 1)] = d
+    AI._INDEX_CACHE[(app, "/nonexistent/3", 1, 1, 1)] = fake
+    table = AI.ensure_index(spark, "/root/testdata/sf0.001")
+    assert os.path.isdir(table)
+    # at least one old entry was evicted AND its directory removed
+    gone = [
+        str(tmp_path / f"old-{i}")
+        for i in range(3)
+        if not os.path.exists(str(tmp_path / f"old-{i}"))
+    ] + ([fake] if not os.path.exists(fake) else [])
+    assert gone, "eviction must rmtree the abandoned index dir"
