@@ -989,6 +989,7 @@ def _section_sweep() -> dict:
         "s27_adc_rank_fidelity",
         "e31_experiment_power",
         "p25_mixture_diversity",
+        "g07_degree_assortativity",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

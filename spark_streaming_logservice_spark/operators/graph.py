@@ -789,3 +789,104 @@ def _register_g06() -> None:
 
 
 _register_g06()
+
+
+# --- g07: degree assortativity -----------------------------------------------
+# After g06 answers "how skewed are the degrees", the next structural
+# question is "do hubs attach to hubs?" — the degree assortativity
+# coefficient (Newman 2002): Pearson correlation of the endpoint degrees
+# over the symmetrized edge set. Positive = hub-hub (social-network-like),
+# negative = hub-leaf (dependency/star-like); it decides whether skew
+# handling must worry about hub-ADJACENT keys too.
+#
+# Exactness: degrees and edge counts are integers, and symmetrization
+# makes sx=sy / sxx=syy, so EVERY sufficient statistic is an exact bigint
+# sum and r = (n·sxy − sx²)/(n·sxx − sx²) touches floats only in the one
+# final division — bit-stable at any partitioning (the p22 discipline).
+#
+# 100 TB shape: degree is one node-keyed count over the edge ends; the
+# per-edge (deg_a, deg_b) lookup is two joins keyed by node id (AQE
+# broadcasts the degree relation when small); the statistics are one
+# map-side-combined aggregate to a single row.
+
+
+def _register_g07() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_linenumber <= 5 AND l_orderkey % 2 = 0
+    ), edges AS (
+      SELECT a.pk AS a, b.pk AS b
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    ), ends AS (
+      SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+    ), deg AS (
+      SELECT node, count(*) AS degree FROM ends GROUP BY node
+    ), st AS (
+      SELECT 2 * count(*) AS n,
+             sum(da.degree + db.degree) AS sx,
+             sum(2 * da.degree * db.degree) AS sxy,
+             sum(da.degree * da.degree + db.degree * db.degree) AS sxx
+      FROM edges e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ), nn AS (
+      SELECT count(*) AS n_nodes FROM deg
+    )
+    SELECT CAST(st.n // 2 AS BIGINT) AS n_edges,
+           CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+           round(CAST(st.n * st.sxy - st.sx * st.sx AS DOUBLE)
+                 / CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE)
+                 + 0.0, 6) AS assortativity,
+           CAST((20000 * st.n + 2 * nn.n_nodes) // (4 * nn.n_nodes)
+                AS DOUBLE) / 10000.0 AS mean_degree
+    FROM st CROSS JOIN nn
+    """
+
+    @query("g07_degree_assortativity", oracle=oracle)
+    def g07_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        edges = _copurchase_edges(spark, sf_dir)
+        ends = edges.select(F.col("a").alias("node")).unionByName(
+            edges.select(F.col("b").alias("node"))
+        )
+        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+        db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+        st = (
+            edges.join(da, "a")
+            .join(db, "b")
+            .agg(
+                (2 * F.count(F.lit(1))).alias("n"),
+                F.sum(F.col("da") + F.col("db")).alias("sx"),
+                F.sum(2 * F.col("da") * F.col("db")).alias("sxy"),
+                F.sum(
+                    F.col("da") * F.col("da") + F.col("db") * F.col("db")
+                ).alias("sxx"),
+            )
+        )
+        nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        r = (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        md = F.expr(
+            "(20000 * n + 2 * n_nodes) DIV (4 * n_nodes)"
+        ).cast("double") / F.lit(10000.0)
+        return st.crossJoin(F.broadcast(nn)).select(
+            F.expr("n DIV 2").cast("bigint").alias("n_edges"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.round(r + F.lit(0.0), 6).alias("assortativity"),
+            md.alias("mean_degree"),
+        )
+
+
+_register_g07()

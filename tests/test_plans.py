@@ -765,6 +765,7 @@ BNLJ_OK = {
     "p24_sequence_packing",  # O(sources)-row totals self-join (base offsets)
     "t18_quality_deciles",   # 1-row vocab total + 1-row doc-count broadcasts
     "e31_experiment_power",  # 1-row-per-arm stats cross join (2 rows)
+    "g07_degree_assortativity",  # 1-row stats x 1-row node-count broadcasts
     "l30_volume_forecast",   # 1-row max-day aggregate broadcast (test window)
     "p25_mixture_diversity",  # 1-row total + 1-row entropy broadcasts
     "s27_adc_rank_fidelity",  # N_QUERY-row query set x index (s01 shape) +
