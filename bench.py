@@ -1188,6 +1188,21 @@ def _section_sweep() -> dict:
                         "so the pair shuffle is flat and the time is the "
                         "10x explode cost."
                     ),
+                    "s01_cosine_topk": (
+                        "linear work: the fixed query set scores a "
+                        "2,000 -> 20,000 vector corpus — exactly 10.0x "
+                        "scored rows — in one scan with WindowGroupLimit "
+                        "pruning; the ratio hovers around the bar on a "
+                        "~0.6 s base (job-floor share), same mechanism "
+                        "as s17."
+                    ),
+                    "g07_degree_assortativity": (
+                        "linear work: co-purchase edges grow 305,711 -> "
+                        "3,057,110 — exactly 10.0x (same edge relation "
+                        "as g05/g06) — through one degree count and two "
+                        "node-keyed joins to a single-row aggregate; "
+                        "~3.5x time on 10x edges is sublinear."
+                    ),
                     "v03_tfidf_top_terms": (
                         "linear work, sub-second base: token occurrences "
                         "grow 270,704 -> 2,707,040 — exactly 10.0x — "
