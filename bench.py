@@ -329,22 +329,36 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
     n_docs = n_base * k
     from spark_streaming_logservice_spark.streaming import dedup_store as _DS
 
+    # A/B the store digest (VERDICT r9 item 6): the digest never crosses
+    # engines, so the impl is a pure cost knob — measure md5 (historical)
+    # vs the two-seed-xxhash64 128-bit default, best-of-2 fresh-store
+    # passes each; the headline figure is the adopted default's.
+    ab: dict[str, float] = {}
     dt, forwarded, dbreak = None, [], {}
-    for p in range(2):  # best-of-2 fresh-store passes, like the rollup
-        digest_dir = os.path.join(tmp_root, f"digest-store-{p}")
-        shutil.rmtree(digest_dir, ignore_errors=True)
-        fwd: list = []
-        ingest = dedup_on_ingest(
-            lambda df, bid: fwd.append(df.count()), digest_dir
-        )
-        _DS.TIMINGS = {}
-        t0 = _t.perf_counter()
-        for b in range(n_batches):
-            ingest(docs.where(F.col("doc_id") % n_batches == b), b)
-        d1 = _t.perf_counter() - t0
-        if dt is None or d1 < dt:
-            dt, forwarded = d1, fwd
-            dbreak = {k2: round(v, 3) for k2, v in _DS.TIMINGS.items()}
+    for impl in ("xxhash128", "md5"):
+        impl_dt, impl_fwd, impl_break = None, [], {}
+        for p in range(2):  # best-of-2 fresh-store passes, like the rollup
+            digest_dir = os.path.join(tmp_root, f"digest-store-{impl}-{p}")
+            shutil.rmtree(digest_dir, ignore_errors=True)
+            fwd: list = []
+            ingest = dedup_on_ingest(
+                lambda df, bid: fwd.append(df.count()),
+                digest_dir,
+                digest_impl=impl,
+            )
+            _DS.TIMINGS = {}
+            t0 = _t.perf_counter()
+            for b in range(n_batches):
+                ingest(docs.where(F.col("doc_id") % n_batches == b), b)
+            d1 = _t.perf_counter() - t0
+            if impl_dt is None or d1 < impl_dt:
+                impl_dt, impl_fwd = d1, fwd
+                impl_break = {
+                    k2: round(v, 3) for k2, v in _DS.TIMINGS.items()
+                }
+        ab[impl] = round(impl_dt, 3)
+        if impl == "xxhash128":  # the adopted default is the headline
+            dt, forwarded, dbreak = impl_dt, impl_fwd, impl_break
     _DS.TIMINGS = None
     out["dedup_store"] = {
         "rows": n_docs,
@@ -360,6 +374,11 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         # scan), forward = downstream count over the cached novel set,
         # digests = the 16-byte-key parquet append.
         "phase_sec": dbreak,
+        # md5 vs xxhash128 (two-seed xxhash64 pair), same 4-batch pass —
+        # the adopted default is whichever this A/B justifies (r10: the
+        # xxhash128 store path, same 128-bit birthday bound as md5).
+        "digest_ab_sec": ab,
+        "digest_impl": "xxhash128",
         "note": (
             "input replicated to ~100k unique rows (r7) so batches carry "
             "the same volume as the rollup bench — the r1-r6 figure "
@@ -644,6 +663,69 @@ def _maintenance_scale(spark, tmp_root: str, sf_dir: str) -> dict:
         "(KMV/sample stores share the same fixed-size-state argument)"
     )
     out["hll_store"] = hl
+
+    # ANN vectors store (VERDICT r9 item 5): merge the SAME encode batch
+    # into an index holding 1x vs 10x vectors. The claim under test is the
+    # append-mostly vec_id sharding (ann_index.VEC_SHARD): a batch of new
+    # high vec_ids rewrites only its own tail shard(s), so merge_sec is
+    # flat in index size.
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_emb = emb.count()
+    # offset stride aligned to whole shards so every history copy (and the
+    # probe) lands in fresh shards — the worst case for store size, the
+    # intended case for tail-append locality
+    stride = ((n_emb // AI.VEC_SHARD) + 1) * AI.VEC_SHARD
+    av: dict = {}
+    for hist in (1, 10):
+        table = os.path.join(tmp_root, f"annvec-hist-{hist}")
+        shutil.rmtree(table, ignore_errors=True)
+        AI.build_ann_index(spark, table, emb)  # trains + encodes copy 0
+        writer = AI.incremental_ann_writer(table)
+        for h in range(1, hist):
+            writer(
+                emb.select(
+                    (F.col("vec_id") + h * stride).alias("vec_id"),
+                    "embedding",
+                ),
+                h,
+            )
+        n_shards = len(
+            [
+                d
+                for d in os.listdir(os.path.join(table, "vectors", "parts"))
+                if not d.startswith("_")
+            ]
+        )
+        sec = None
+        for rep in range(2):  # best-of-2, same warmup rationale as rollup
+            probe = emb.select(
+                (F.col("vec_id") + (hist + rep) * stride).alias("vec_id"),
+                "embedding",
+            )
+            t0 = _t.perf_counter()
+            writer(probe, hist + rep)
+            d1 = round(_t.perf_counter() - t0, 3)
+            sec = d1 if sec is None else min(sec, d1)
+        av[f"history_{hist}x"] = {
+            "index_vectors": n_emb * hist,
+            "store_shards": n_shards,
+            "merge_sec": sec,
+            "runs": 2,
+            "agg": "min",
+        }
+    av["note"] = (
+        "same new-id batch encoded (broadcast join against the FROZEN "
+        "artifacts — batch-sized, index-independent) and merged into a 1x "
+        "vs 10x vectors store: the batch's vec_ids map to fresh tail "
+        "shards, so the merge rewrites O(batch shards) regardless of "
+        "index size — flat merge_sec is the append-mostly claim "
+        "(ann_index.py VEC_SHARD) holding empirically"
+    )
+    out["ann_vectors"] = av
     return out
 
 
@@ -1378,6 +1460,23 @@ def main() -> None:
         }
         if isinstance(prev.get("value"), (int, float)):
             out["vs_prev_total"] = round(out["value"] - prev["value"], 3)
+    # Round-over-round claims are made on the CALIBRATED ratio (headline /
+    # lineitem-full-scan yardstick), not the raw delta: the same code
+    # measured ±20% headline spread across environments (r8), so a raw
+    # delta inside that band is noise (VERDICT r9 items 1+3).
+    hoc = out.get("calibration", {}).get("headline_over_calibration")
+    prev_hoc = prev.get("headline_over_calibration") if prev else None
+    if isinstance(hoc, (int, float)) and isinstance(prev_hoc, (int, float)):
+        out["vs_prev_calibrated"] = {
+            "headline_over_calibration": hoc,
+            "prev_headline_over_calibration": prev_hoc,
+            "ratio_delta_pct": round(100.0 * (hoc / prev_hoc - 1.0), 1),
+            "note": (
+                "negative = faster per unit of environment speed; raw "
+                "vs_prev_total deltas within the documented ±20% "
+                "cross-environment spread are noise — judge the ratio"
+            ),
+        }
 
     # Full detail goes to a side file; stdout gets a COMPACT line. The
     # driver keeps only the last ~2 KB of stdout — r4's full-detail line
@@ -1405,6 +1504,9 @@ def main() -> None:
         compact["headline_over_calibration"] = cal.get(
             "headline_over_calibration"
         )
+    vpc = out.get("vs_prev_calibrated", {})
+    if isinstance(vpc.get("ratio_delta_pct"), (int, float)):
+        compact["calibrated_vs_prev_pct"] = vpc["ratio_delta_pct"]
     ann = out.get("ann_store", {})
     if isinstance(ann.get("pq_serve_sec"), (int, float)):
         compact["ann_pq_serve_sec"] = ann["pq_serve_sec"]

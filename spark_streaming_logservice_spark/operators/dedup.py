@@ -611,37 +611,26 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``neardup_clusters(load_table(spark, sf_dir, "documents"))``."""
     import os as _os
 
-    p = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
+    from spark_streaming_logservice_spark.tables import dataset_content_key
+
     app = spark.sparkContext.applicationId
-    # Identity = the CONTENTS of the dataset, not the directory inode: a
-    # corpus regenerated by rewriting part files in place under the same
-    # names leaves the directory mtime unchanged, so key on the max
-    # mtime_ns and total size across the part files (plus the file count).
-    try:
-        if _os.path.isdir(p):
-            stats = [
-                _os.stat(_os.path.join(p, f))
-                for f in sorted(_os.listdir(p))
-                if not f.startswith((".", "_"))
-            ]
-            key = (
-                app,
-                p,
-                len(stats),
-                max((s.st_mtime_ns for s in stats), default=0),
-                sum(s.st_size for s in stats),
-            )
-        else:
-            st = _os.stat(p)
-            key = (app, p, 1, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (app, p, None, None, None)
+    key = (app,) + dataset_content_key(
+        _os.path.join(sf_dir, "documents.parquet")
+    )
     df = _ASSIGN_CACHE.get(key)
     if df is None:
 
         def _evict(k: tuple) -> None:
             old = _ASSIGN_CACHE.pop(k)
             if k[0] == app:  # dead sessions' blocks died with their JVM
+                try:
+                    # DataFrame.unpersist only clears cacheManager entries;
+                    # the localCheckpoint's RDD blocks live on the
+                    # checkpointed RDD itself (LogicalRDD.rdd), so unpersist
+                    # THAT to actually reclaim executor storage (ADVICE r9).
+                    old._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                except Exception:
+                    pass
                 try:
                     old.unpersist(blocking=False)
                 except Exception:

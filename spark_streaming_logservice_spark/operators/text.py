@@ -1116,8 +1116,13 @@ def t16_overlap_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB shape: scoring is t10's one model shuffle + one token join; the
 # global ranking is the EXACT distributed two-pass row_number (no
 # single-partition sort); scores are hardened to half-up 1e-4 integer
-# units BEFORE ranking and aggregation, so the decile cut and every
-# reported figure are bit-deterministic at any partitioning.
+# units BEFORE ranking and aggregation, so everything downstream of the
+# quantization (the decile cut, every reported figure) is deterministic.
+# The per-doc avg(nlp) feeding the quantizer is itself an order-dependent
+# float mean (same accepted posture as t10): a score within an ulp of a
+# .00005 boundary could in principle flip a unit across partitionings —
+# kept because both engines agree on these fixtures and the alternative
+# (order-fixed folds over collected per-doc terms) is corpus-sized.
 
 @query(
     "t18_quality_deciles",

@@ -7,7 +7,8 @@ That state can't live in the streaming state store (unbounded); the standard
 shape is an external digest table:
 
     per micro-batch:
-      1. digest rows (md5 of the content column — 16 bytes/doc),
+      1. digest rows (128-bit content digest — two-seed xxhash64 by
+         default, md5 selectable; see DIGEST_IMPLS),
       2. collapse duplicates within the batch (keep lowest id),
       3. anti-join against the persistent digest table,
       4. forward only the novel rows to the downstream writer,
@@ -46,7 +47,37 @@ import time as _t
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DIGEST_SCHEMA = "digest STRING"
+DIGEST_SCHEMA = "digest STRING"  # md5 impl (back-compat alias)
+
+# Digest implementations for the store path (the digest never crosses
+# engines — stream-equals-batch is pytest-pinned, not oracle-replayed —
+# so a cheaper JVM hash is semantically free; VERDICT r9 item 6):
+# - "md5": 128-bit, hex STRING (32 chars/row in the store). The
+#   historical default.
+# - "xxhash128": two independently-seeded xxhash64 passes packed into two
+#   BIGINTs — 128 bits of digest (same birthday bound as md5: a SINGLE
+#   64-bit hash would expect real collisions at 10^10 docs, i.e. silent
+#   false-dedup at 100 TB) at xxhash speed, 16 bytes/row in the store.
+# The A/B lives in BENCH_DETAIL.json maintenance.dedup_store.digest_ab.
+DIGEST_IMPLS = {
+    "md5": ("digest STRING", ("__d0",)),
+    "xxhash128": ("d0 BIGINT, d1 BIGINT", ("__d0", "__d1")),
+}
+DEFAULT_DIGEST_IMPL = "xxhash128"
+
+
+def _digest_exprs(text_col: str, impl: str) -> list:
+    if impl == "md5":
+        return [F.md5(F.col(text_col)).alias("__d0")]
+    # two fixed distinct salt literals give two independent 64-bit streams
+    return [
+        F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)).alias("__d0"),
+        F.xxhash64(F.lit(0x85EBCA6B), F.col(text_col)).alias("__d1"),
+    ]
+
+
+def _store_cols(impl: str) -> list[str]:
+    return [c.split()[0] for c in DIGEST_IMPLS[impl][0].split(", ")]
 
 # bench hook (same contract as streaming/rollup.TIMINGS): set to {} before
 # driving batches to accumulate per-phase wall-clock; None = no-op. When
@@ -73,7 +104,11 @@ def _store_files(digest_dir: str) -> list[str]:
 
 
 def dedup_against_store(
-    batch_df: DataFrame, digest_dir: str, text_col: str, id_col: str
+    batch_df: DataFrame,
+    digest_dir: str,
+    text_col: str,
+    id_col: str,
+    digest_impl: str = DEFAULT_DIGEST_IMPL,
 ) -> DataFrame:
     """The batch's novel rows: within-batch collapse (keep the lowest id per
     digest — one batch-keyed shuffle via a partitioned row_number), then an
@@ -83,9 +118,12 @@ def dedup_against_store(
     from pyspark.sql.window import Window
 
     spark = batch_df.sparkSession
-    digested = batch_df.withColumn("__digest", F.md5(F.col(text_col)))
+    schema, dcols = DIGEST_IMPLS[digest_impl]
+    digested = batch_df.select(
+        "*", *_digest_exprs(text_col, digest_impl)
+    )
     # within-batch: keep the lowest id per digest (deterministic winner)
-    w = Window.partitionBy("__digest").orderBy(F.asc(id_col))
+    w = Window.partitionBy(*dcols).orderBy(F.asc(id_col))
     fresh = (
         digested.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -94,30 +132,53 @@ def dedup_against_store(
     files = _store_files(digest_dir)
     if not files:
         return fresh
-    seen = spark.read.schema(DIGEST_SCHEMA).parquet(*files)
-    probe = fresh.select(F.col("__digest").alias("digest"))
-    hits = seen.join(F.broadcast(probe), "digest", "left_semi")
-    return fresh.join(
-        F.broadcast(hits), fresh["__digest"] == hits["digest"], "left_anti"
+    seen = spark.read.schema(schema).parquet(*files)
+    scols = _store_cols(digest_impl)
+    probe = fresh.select(
+        *[F.col(d).alias(s) for d, s in zip(dcols, scols)]
     )
+    hits = seen.join(F.broadcast(probe), scols, "left_semi")
+    cond = None
+    for d, s in zip(dcols, scols):
+        eq = fresh[d] == hits[s]
+        cond = eq if cond is None else (cond & eq)
+    return fresh.join(F.broadcast(hits), cond, "left_anti")
 
 
 def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
-                    id_col: str = "doc_id", namespace: str = "q"):
+                    id_col: str = "doc_id", namespace: str = "q",
+                    digest_impl: str = DEFAULT_DIGEST_IMPL):
     """foreachBatch function factory: forward only never-seen-before rows
     downstream and remember their digests durably.
 
     ``forward(novel_df, batch_id)`` receives the novel rows WITHOUT the
-    internal ``__digest`` column and must be replay-idempotent (see module
+    internal digest column(s) and must be replay-idempotent (see module
     docstring for the crash contract). ``namespace`` disambiguates batch
     ids when several streaming queries feed ONE shared digest store — the
     same lesson the logstore sink's commit markers learned (two queries
     both have a batch 0; an unqualified marker would read the other
-    query's progress as its own replay).
+    query's progress as its own replay). ``digest_impl`` picks the store
+    digest (see DIGEST_IMPLS); ONE impl per store — the first batch pins
+    it in a ``_digest_impl`` meta file and later batches must match.
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(digest_dir, exist_ok=True)
+        # one digest impl per store, pinned by the first writer: a store
+        # probed with a different hash than it was built with would
+        # silently forward every duplicate
+        impl_file = os.path.join(digest_dir, "_digest_impl")
+        if os.path.exists(impl_file):
+            with open(impl_file) as f:
+                pinned = f.read().strip()
+            if pinned != digest_impl:
+                raise ValueError(
+                    f"digest store {digest_dir} is pinned to {pinned!r}; "
+                    f"got digest_impl={digest_impl!r}"
+                )
+        else:
+            with open(impl_file, "w") as f:
+                f.write(digest_impl)
         # sweep staging orphans from crashed attempts (same recovery rule as
         # the logstore sink: anything not renamed to final never happened)
         for f in os.listdir(digest_dir):
@@ -126,7 +187,9 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
         marker = os.path.join(digest_dir, f"{namespace}-batch-{batch_id}.done")
         if os.path.exists(marker):
             return
-        novel = dedup_against_store(batch_df, digest_dir, text_col, id_col)
+        novel = dedup_against_store(
+            batch_df, digest_dir, text_col, id_col, digest_impl
+        )
         # one computation per batch: cache novel across the forward and the
         # digest append (the forward's first action materializes it), then
         # release. Crash ordering stays forward -> digests.
@@ -136,8 +199,9 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                 t0 = _t.perf_counter()
                 novel.count()  # materialize: attribute dedup vs forward
                 _span("dedup", t0)
+            schema, dcols = DIGEST_IMPLS[digest_impl]
             t0 = _t.perf_counter()
-            forward(novel.drop("__digest"), batch_id)
+            forward(novel.drop(*dcols), batch_id)
             _span("forward", t0)
             final = os.path.join(
                 digest_dir, f"{namespace}-batch-{batch_id}.parquet"
@@ -147,9 +211,10 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                 staging = os.path.join(
                     digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
                 )
-                novel.select(F.col("__digest").alias("digest")).coalesce(
-                    1
-                ).write.mode("overwrite").parquet(staging)
+                scols = _store_cols(digest_impl)
+                novel.select(
+                    *[F.col(d).alias(s) for d, s in zip(dcols, scols)]
+                ).coalesce(1).write.mode("overwrite").parquet(staging)
                 os.rename(staging, final)
             _span("digests", t0)
             with open(marker, "w") as f:
@@ -175,9 +240,14 @@ def compact_digest_store(spark, digest_dir: str) -> int:
     files = _store_files(digest_dir)
     if len(files) <= 1:
         return 0
+    impl_file = os.path.join(digest_dir, "_digest_impl")
+    impl = DEFAULT_DIGEST_IMPL
+    if os.path.exists(impl_file):
+        with open(impl_file) as f:
+            impl = f.read().strip()
     staging = os.path.join(digest_dir, f"_staging-compact-{uuid.uuid4().hex}")
     (
-        spark.read.schema(DIGEST_SCHEMA)
+        spark.read.schema(DIGEST_IMPLS[impl][0])
         .parquet(*files)
         .distinct()
         .write.mode("overwrite")

@@ -156,3 +156,36 @@ def test_compaction_preserves_dedup_and_replay(spark, tmp_path):
     # replay of a pre-compaction batch is still a marker no-op
     ingest(batch([(1, "aa"), (2, "bb")]), 0)
     assert seen[-1] == [6], "replayed batch must not re-forward"
+
+
+def test_digest_impls_agree_and_store_is_pinned(spark, tmp_path):
+    """md5 and xxhash128 stores forward the identical novel sets (the
+    digest never crosses engines, so the impl is a pure cost knob), and a
+    store probed with the wrong impl is rejected instead of silently
+    forwarding every duplicate."""
+    batches = [
+        [(5, "aa"), (3, "aa"), (7, "bb")],
+        [(9, "aa"), (10, "cc"), (11, "cc")],
+        [(12, "bb"), (13, "dd")],
+    ]
+    results = {}
+    for impl in ("md5", "xxhash128"):
+        forwarded, forward = _collector()
+        apply = dedup_on_ingest(
+            forward, str(tmp_path / impl), digest_impl=impl
+        )
+        for i, rows in enumerate(batches):
+            apply(_batch(spark, rows), i)
+        results[impl] = forwarded
+    assert results["md5"] == results["xxhash128"]
+    assert results["md5"] == [
+        (0, [(3, "aa"), (7, "bb")]),
+        (1, [(10, "cc")]),
+        (2, [(13, "dd")]),
+    ]
+    # impl pin: reusing the xxhash128 store with md5 must raise
+    other = dedup_on_ingest(
+        lambda df, bid: None, str(tmp_path / "xxhash128"), digest_impl="md5"
+    )
+    with pytest.raises(ValueError, match="pinned"):
+        other(_batch(spark, [(1, "zz")]), 99)

@@ -337,29 +337,62 @@ def test_p25_uniform_mix_has_full_effective_sources(spark, tmp_path):
         assert r["effective_sources"] == 4.0
 
 
-def test_ann_index_eviction_reclaims_disk(spark, tmp_path):
-    """Evicted index builds must be deleted, not abandoned (bounded cache
-    AND bounded disk)."""
-    from pyspark.sql import functions as F
+def test_ann_index_eviction_reclaims_disk(spark, tmp_path, monkeypatch):
+    """The store root is bounded: LRU overflow and crashed half-builds are
+    rmtree'd, and their collected-artifact cache entries purged."""
+    import json
+    import time
 
     from spark_streaming_logservice_spark.streaming import ann_index as AI
 
-    app = spark.sparkContext.applicationId
-    fake = str(tmp_path / "fake-index")
-    os.makedirs(fake)
-    # seed the cache to capacity with fake same-app entries
+    root = str(tmp_path / "stores")
+    os.makedirs(root)
+    monkeypatch.setenv("SPARK_GRAFT_ANN_STORE_ROOT", root)
     AI._INDEX_CACHE.clear()
-    for i in range(3):
-        d = str(tmp_path / f"old-{i}")
+    # 4 fake complete stores (oldest first) + one crashed half-build
+    old_dirs = []
+    for i in range(4):
+        d = os.path.join(root, f"fake-{i}")
         os.makedirs(d)
-        AI._INDEX_CACHE[(app, f"/nonexistent/{i}", 1, 1, 1)] = d
-    AI._INDEX_CACHE[(app, "/nonexistent/3", 1, 1, 1)] = fake
+        with open(os.path.join(d, AI._INDEX_MARKER), "w") as f:
+            json.dump([f"/nonexistent/{i}", 1, 1, 1], f)
+        t = time.time() - 1000 + i
+        os.utime(os.path.join(d, AI._INDEX_MARKER), (t, t))
+        old_dirs.append(d)
+        AI._ARTIFACT_CACHE[("appX", os.path.realpath(d), 1)] = ([], [], 8)
+    half = os.path.join(root, "half-build.build-999")
+    os.makedirs(half)
+
     table = AI.ensure_index(spark, "/root/testdata/sf0.001")
     assert os.path.isdir(table)
-    # at least one old entry was evicted AND its directory removed
-    gone = [
-        str(tmp_path / f"old-{i}")
-        for i in range(3)
-        if not os.path.exists(str(tmp_path / f"old-{i}"))
-    ] + ([fake] if not os.path.exists(fake) else [])
-    assert gone, "eviction must rmtree the abandoned index dir"
+    assert not os.path.exists(half), "crashed half-build must be reclaimed"
+    # LRU: with the new store kept, only _MAX_STORES-1 old stores survive
+    survivors = [d for d in old_dirs if os.path.exists(d)]
+    assert len(survivors) == AI._MAX_STORES - 1
+    assert not os.path.exists(old_dirs[0]), "oldest store evicted first"
+    # artifact-cache entries for evicted dirs are purged (ADVICE r9)
+    for d in old_dirs:
+        if not os.path.exists(d):
+            assert ("appX", os.path.realpath(d), 1) not in AI._ARTIFACT_CACHE
+    for d in survivors:
+        del AI._ARTIFACT_CACHE[("appX", os.path.realpath(d), 1)]
+    AI._INDEX_CACHE.clear()
+
+
+def test_ann_index_reattach_same_app(spark, tmp_path, monkeypatch):
+    """Second ensure_index call (memo cleared — simulates a fresh process
+    in-process) must reattach to the existing store, not rebuild: the
+    marker mtime is touched but the store contents stay byte-identical."""
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    root = str(tmp_path / "stores")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_STORE_ROOT", root)
+    AI._INDEX_CACHE.clear()
+    t1 = AI.ensure_index(spark, "/root/testdata/sf0.001")
+    data = os.path.join(t1, "centroids", "data")
+    built_mtime = os.stat(data).st_mtime_ns
+    AI._INDEX_CACHE.clear()  # forget the in-process memo
+    t2 = AI.ensure_index(spark, "/root/testdata/sf0.001")
+    assert t2 == t1
+    assert os.stat(data).st_mtime_ns == built_mtime, "reattach must not rebuild"
+    AI._INDEX_CACHE.clear()
