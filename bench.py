@@ -1072,6 +1072,17 @@ def _section_sweep() -> dict:
         "e31_experiment_power",
         "p25_mixture_diversity",
         "g07_degree_assortativity",
+        # round 10 (s28/s29 serve from the persisted ANN index)
+        "s28_ivf_cell_balance",
+        "s29_pq_reconstruction_error",
+        "g08_ra_link_prediction",
+        "e32_burstiness_fano",
+        "q33_brand_repeat_share",
+        "p26_epoch_allocation",
+        "sql10_qualify_topn",
+        "t19_positional_drift",
+        "d26_prefix_dedup",
+        "v11_char_bigram_entropy",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run
@@ -1482,6 +1493,13 @@ def main() -> None:
     # driver keeps only the last ~2 KB of stdout — r4's full-detail line
     # (~2.8 KB) was clipped mid-line and recorded as ``parsed: null``.
     here = os.path.dirname(os.path.abspath(__file__))
+    # Merge the one-off 100x audit (scripts/scale100.py) so it survives
+    # per-round BENCH_DETAIL rewrites.
+    try:
+        with open(os.path.join(here, "SCALE100.json")) as f:
+            out["scale100"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     try:
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
             json.dump(out, f, indent=1)

@@ -1,0 +1,183 @@
+"""One-off 100x scale audit (VERDICT r9 item 4): push the adversarial-
+growth queries one more decade past the per-round 10x replica.
+
+The per-round bench replays the full surface at a 10x key-consistent
+replica of the bench SF; the queries whose TRUE work grows superlinearly
+there (the LSH pair family s03/s18 on duplicate-candidate structure, d10
+on duplicated window hashes, d23's df/CAP bounds, g02's O(E^1.5) wedge
+bound) are exactly the ones that decide 100 TB viability — so run them,
+plus the most expensive 10x extras (g01/g03/q25), at a 100x replica
+(~6M orders / 60M lineitem / 100M events, the sf10-equivalent the verdict
+asked for) and record measured work-growth counters next to the timings.
+
+Writes SCALE100.json at the repo root; bench.py merges it into
+BENCH_DETAIL.json under "scale100" so the one-off survives per-round
+bench reruns. Usage:
+
+    python scripts/scale100.py            # factor 100 of $SPARK_GRAFT_SF_DIR
+    SPARK_GRAFT_SCALE100_RUNS=1 python scripts/scale100.py   # single-run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE100_FACTOR", "100"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE100_RUNS", "2"))
+
+# the adversarial-growth set + the top-5 most expensive 10x extras
+QUERIES = [
+    "s03_cosine_neardup_pairs",
+    "s18_threshold_sweep",
+    "d10_window_dedup",
+    "d23_containment",
+    "g02_triangle_count",
+    "g01_pagerank",
+    "g03_khop_reachability",
+    "q25_salted_skew_join",
+]
+
+
+def _work_counters(spark, sf_dir: str) -> dict:
+    """The TRUE-work measurements that explain the timing curves."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_logservice_spark.operators import dedup as dd
+    from spark_streaming_logservice_spark.operators import graph as g
+    from spark_streaming_logservice_spark.operators import similarity as sim
+    from spark_streaming_logservice_spark.tables import load_table
+
+    out: dict = {}
+    try:
+        # s03/s18's candidate volume: same-LSH-cell pairs (the pair join's
+        # actual row count — what adaptive_n_planes is supposed to bound)
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        planes, _ = sim._corpus_stats(e, cache_key=sf_dir)
+        out["lsh_n_planes"] = planes
+        out["lsh_same_cell_pairs"] = (
+            e.withColumn("cell", sim._cell_expr(planes))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("p"))
+            .first()["p"]
+        )
+    except Exception as ex:  # counter failures must not kill the audit
+        out["lsh_error"] = f"{type(ex).__name__}: {ex}"
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        out["d10_duplicated_window_hashes"] = (
+            d.select(
+                "doc_id", F.explode(dd._window_hashes()).alias("wh")
+            )
+            .distinct()
+            .groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where("n >= 2")
+            .count()
+        )
+    except Exception as ex:
+        out["d10_error"] = f"{type(ex).__name__}: {ex}"
+    try:
+        out["copurchase_edges"] = g._copurchase_edges(spark, sf_dir).count()
+    except Exception as ex:
+        out["graph_error"] = f"{type(ex).__name__}: {ex}"
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from spark_streaming_logservice_spark import registry
+    from spark_streaming_logservice_spark.scaledata import make_scaled
+    from spark_streaming_logservice_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="scale100")
+
+    scale_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_scale_{FACTOR}x"
+    )
+    t0 = time.perf_counter()
+    make_scaled(sf_dir, scale_dir, FACTOR)
+    build_sec = round(time.perf_counter() - t0, 1)
+
+    # base (1x) timings in THIS session, same run count, so the curvature
+    # compares like with like (the codegen-warmup gotcha)
+    def timed(d: str) -> dict:
+        res: dict = {}
+        for name in QUERIES:
+            best = None
+            for _ in range(RUNS):
+                t = time.perf_counter()
+                registry.QUERIES[name](spark, d).count()
+                dt = time.perf_counter() - t
+                best = dt if best is None else min(best, dt)
+            res[name] = round(best, 3)
+            print(f"  {name} @ {d}: {res[name]}s", flush=True)
+        return res
+
+    print("work counters @ 1x", flush=True)
+    work1 = _work_counters(spark, sf_dir)
+    print("timings @ 1x", flush=True)
+    base = timed(sf_dir)
+    print(f"replica built in {build_sec}s; work counters @ {FACTOR}x", flush=True)
+    workN = _work_counters(spark, scale_dir)
+    print(f"timings @ {FACTOR}x", flush=True)
+    scaled = timed(scale_dir)
+
+    out = {
+        "factor": FACTOR,
+        "base_sf_dir": sf_dir,
+        "runs": RUNS,
+        "agg": "min",
+        "replica_build_sec": build_sec,
+        "base_sec": base,
+        "scaled_sec": scaled,
+        "scaling_vs_base": {
+            n: round(scaled[n] / base[n], 2) for n in QUERIES if base.get(n)
+        },
+        "work_1x": work1,
+        f"work_{FACTOR}x": workN,
+        "notes": {
+            "s03_s18": (
+                "verbatim replication makes every vector a factor-way "
+                "duplicate: identical vectors share an LSH cell at ANY "
+                "plane count, so same-cell pairs grow ~factor^2/2 per "
+                "original — see lsh_same_cell_pairs 1x vs 100x. This is "
+                "TRUE duplicate structure (the work a dedup pipeline "
+                "exists to find), not plan curvature; adaptive_n_planes "
+                "(lsh_n_planes) bounds ORGANIC growth."
+            ),
+            "d10": (
+                "same mechanism on token-window digests — duplicated "
+                "window hashes measured at both scales."
+            ),
+            "d23": (
+                "the df-cap bounds candidate pairs per shingle at CAP^2 "
+                "regardless of corpus size — the time curve is the scan, "
+                "not the pair join."
+            ),
+            "g01_g02_g03": (
+                "copurchase_edges measures the true edge growth; g02's "
+                "wedge bound is O(E^1.5), g01/g03 are rounds x O(E) "
+                "joins."
+            ),
+            "q25": "deliberate 8x salt replication at every scale.",
+        },
+    }
+    with open(os.path.join(REPO, "SCALE100.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps({k: out[k] for k in ("factor", "scaling_vs_base")}))
+
+
+if __name__ == "__main__":
+    main()

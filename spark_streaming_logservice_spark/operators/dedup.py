@@ -2075,3 +2075,77 @@ def d25_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("df", "n_shingles", share.alias("shingle_share"))
         .orderBy("df")
     )
+
+
+# --- d26: boilerplate prefix collapse -----------------------------------------
+# Crawl corpora carry families of documents that OPEN identically (site
+# navigation, license headers, generated-page templates) even when their
+# bodies differ — full-text dedup (d01) and window dedup (d10) both miss
+# them. d26 keys every document on the md5 of its first PREFIX_K tokens
+# and reports each non-trivial prefix family: canonical member (min
+# doc_id), size, and how many sources it spans (a cross-source prefix
+# family is template syndication, not coincidence).
+#
+# 100 TB shape: the key is row-local (slice + concat + md5 over ≤K
+# tokens); ONE prefix-keyed aggregate (map-side combined) produces the
+# families; output is O(families). The md5 is the grouping key exactly as
+# the digest store's — 128-bit, collision-safe at corpus scale.
+
+
+def _register_d26() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    PREFIX_K = 3
+
+    oracle = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+                 list_filter(string_split(text, ' '), t -> t <> '')[1:{PREFIX_K}],
+                 ' ')) AS pk
+      FROM documents
+    )
+    SELECT min(doc_id) AS canonical_doc_id,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM keyed
+    GROUP BY pk
+    HAVING count(*) >= 2
+    ORDER BY canonical_doc_id
+    """
+
+    @query("d26_prefix_dedup", oracle=oracle)
+    def d26_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        keyed = d.select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.filter(
+                            F.split(F.col("text"), " "), lambda t: t != ""
+                        ),
+                        1,
+                        PREFIX_K,
+                    ),
+                )
+            ).alias("pk"),
+        )
+        return (
+            keyed.groupBy("pk")
+            .agg(
+                F.min("doc_id").alias("canonical_doc_id"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("source").alias("n_sources"),
+            )
+            .where(F.col("n_docs") >= 2)
+            .select("canonical_doc_id", "n_docs", "n_sources")
+            .orderBy("canonical_doc_id")
+        )
+
+
+_register_d26()

@@ -2256,3 +2256,86 @@ def e31_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("powered"),
         )
     )
+
+
+# --- e32: burstiness (Fano factor) per event type -----------------------------
+# Traffic-shape classifier: Fano factor = variance/mean of per-minute event
+# counts. ~1 = Poisson (organic traffic), >> 1 = bursty (incidents,
+# batch jobs, retry storms), << 1 = metronomic (bots, schedulers) —
+# complements e25 (per-user regularity) with the per-TYPE arrival-process
+# view an SRE dashboard tracks.
+#
+# Exactness: minute counts are integers; Fano over the observed minutes is
+# the rational (n·Σx² − (Σx)²) / (n·Σx), computed entirely in BIGINT
+# sufficient statistics with one half-up integer division to 1e-4 units —
+# bit-stable at any partitioning, no float sums anywhere.
+#
+# 100 TB shape: the corpus collapses to the (type, minute) rollup in ONE
+# aggregate (map-side partials; output is O(types × observed minutes) —
+# calendar-bounded, not corpus-bounded); the sufficient statistics are a
+# second tiny aggregate over that rollup.
+
+
+def _register_e32() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+    from spark_streaming_logservice_spark.tables import load_table
+
+    oracle = """
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx,
+             max(x) AS peak
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_minutes,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST((20000 * sx + n) // (2 * n) AS DOUBLE) / 10000.0
+             AS mean_per_minute,
+           CAST((20000 * (n * sxx - sx * sx) + n * sx) // (2 * n * sx)
+                AS DOUBLE) / 10000.0 AS fano_factor,
+           CAST(peak AS BIGINT) AS peak_minute
+    FROM st
+    ORDER BY event_type
+    """
+
+    @query("e32_burstiness_fano", oracle=oracle)
+    def e32_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+        m = e.groupBy(
+            "event_type",
+            F.date_trunc("minute", "ts")
+            .cast("timestamp_ntz")
+            .alias("minute"),
+        ).agg(F.count(F.lit(1)).alias("x"))
+        st = m.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.max("x").alias("peak"),
+        )
+        return st.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_minutes"),
+            F.col("sx").cast("bigint").alias("n_events"),
+            (
+                F.expr("(20000 * sx + n) DIV (2 * n)").cast("double")
+                / F.lit(10000.0)
+            ).alias("mean_per_minute"),
+            (
+                F.expr(
+                    "(20000 * (n * sxx - sx * sx) + n * sx) DIV (2 * n * sx)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("fano_factor"),
+            F.col("peak").cast("bigint").alias("peak_minute"),
+        ).orderBy("event_type")
+
+
+_register_e32()

@@ -890,3 +890,125 @@ def _register_g07() -> None:
 
 
 _register_g07()
+
+
+# --- g08: resource-allocation link prediction --------------------------------
+# "Which parts are NOT yet co-purchased but share many co-purchase
+# neighbors?" — the classic link-prediction / recommendation primitive.
+# Score = the Resource Allocation index (Zhou, Lü, Zhang 2009): for a
+# candidate pair (u, v), sum over common neighbors w of 1/deg(w) — common
+# neighbors weighted so promiscuous hubs contribute least. RA is chosen
+# over Adamic-Adar deliberately: 1/deg is EXACT in integer units
+# (10^9 DIV deg), where AA's 1/ln(deg) would put a cross-engine libm ulp
+# into every summand.
+
+
+def _register_g08() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    CENTER_CAP = 64  # wedge centers above this degree are skipped
+    TOP = 20
+    UNITS = 1_000_000_000
+
+    oracle = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_linenumber <= 5 AND l_orderkey % 2 = 0
+    ), edges AS (
+      SELECT DISTINCT i1.pk AS a, i2.pk AS b
+      FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+    ), adj AS (
+      SELECT a AS w, b AS n FROM edges
+      UNION ALL SELECT b AS w, a AS n FROM edges
+    ), deg AS (
+      SELECT w, count(*) AS d FROM adj GROUP BY w
+    ), centers AS (
+      SELECT w, {UNITS} // d AS u FROM deg WHERE d <= {CENTER_CAP}
+    ), wedge AS (
+      SELECT a1.n AS u, a2.n AS v, c.u AS units
+      FROM centers c
+        JOIN adj a1 ON a1.w = c.w
+        JOIN adj a2 ON a2.w = c.w AND a1.n < a2.n
+    ), cand AS (
+      SELECT u, v, sum(units) AS score_units, count(*) AS n_common
+      FROM wedge
+      GROUP BY u, v
+    ), nonedge AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.a = c.u AND e.b = c.v
+      )
+    )
+    SELECT u AS part_a, v AS part_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(score_units AS DOUBLE) / {UNITS} AS ra_score
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY score_units DESC, u ASC, v ASC
+      ) AS rk
+      FROM nonedge
+    ) WHERE rk <= {TOP}
+    ORDER BY ra_score DESC, part_a, part_b
+    """
+
+    @query("g08_ra_link_prediction", oracle=oracle)
+    def g08_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-20 non-adjacent part pairs by Resource Allocation score over
+        the co-purchase graph.
+
+        100 TB shape: wedge enumeration through each center w costs
+        O(Σ min(deg(w), CAP)²) — the CENTER_CAP bounds the quadratic
+        per-center fan-out exactly the way d23 caps containment (hubs
+        carry the least RA weight by construction, so the cap removes the
+        most expensive, least informative wedges first). The candidate
+        aggregate shuffles on (u, v); the non-edge filter is an anti-join
+        against the (already canonical a < b) edge relation; the top-20 is
+        a WindowGroupLimit-pruned global rank over the aggregated
+        candidates. All score arithmetic is exact BIGINT (1e9 DIV degree
+        units), so the result is bit-stable at any partitioning."""
+        edges = _copurchase_edges(spark, sf_dir)
+        adj = edges.select(F.col("a").alias("w"), F.col("b").alias("n")).unionByName(
+            edges.select(F.col("b").alias("w"), F.col("a").alias("n"))
+        )
+        deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+        centers = deg.where(F.col("d") <= CENTER_CAP).select(
+            "w", F.expr(f"{UNITS} DIV d").alias("units")
+        )
+        a1 = adj.select("w", F.col("n").alias("u"))
+        a2 = adj.select("w", F.col("n").alias("v"))
+        wedge = (
+            centers.join(a1, "w")
+            .join(a2, "w")
+            .where(F.col("u") < F.col("v"))
+            .select("u", "v", "units")
+        )
+        cand = wedge.groupBy("u", "v").agg(
+            F.sum("units").alias("score_units"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+        nonedge = cand.join(
+            edges,
+            (cand["u"] == edges["a"]) & (cand["v"] == edges["b"]),
+            "left_anti",
+        )
+        # global top-20 via sort+limit (TakeOrderedAndProject): each task
+        # keeps its local top-20, the driver merges O(partitions x 20) rows
+        # — no partition-less window over the corpus-sized candidate set
+        return (
+            nonedge.orderBy(F.desc("score_units"), F.asc("u"), F.asc("v"))
+            .limit(TOP)
+            .select(
+                F.col("u").alias("part_a"),
+                F.col("v").alias("part_b"),
+                F.col("n_common").cast("bigint").alias("n_common"),
+                (F.col("score_units").cast("double") / F.lit(UNITS)).alias(
+                    "ra_score"
+                ),
+            )
+            .orderBy(F.desc("ra_score"), "part_a", "part_b")
+        )
+
+
+_register_g08()

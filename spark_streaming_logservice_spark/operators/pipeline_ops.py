@@ -2103,3 +2103,102 @@ def p25_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- p26: data-constrained epoch allocation -----------------------------------
+# The pretraining budgeting calculation (Muennighoff et al. 2023, "Scaling
+# Data-Constrained Language Models"): given a total token budget, split it
+# into equal per-source shares, let each source spend at most MAX_EPOCHS
+# passes over its own tokens (repeating data beyond ~4 epochs stops
+# helping), and report what each source actually contributes. Small
+# sources hit the epoch cap (data-constrained); large sources are
+# truncated to their share (budget-constrained).
+#
+# Exactness: everything is BIGINT — token counts, the integer equal share,
+# LEAST(cap, share), and the half-up 1e-4-unit epoch ratio. 100 TB shape:
+# one row-local token count + one O(sources) aggregate; the allocation
+# math runs on the O(sources) rollup.
+
+
+def _register_p26() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+    from spark_streaming_logservice_spark.tables import load_table
+
+    MAX_EPOCHS = 4
+    BUDGET_EPOCHS = 2  # total budget = 2x the corpus token count
+
+    oracle = f"""
+    WITH tok AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tok
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source
+    ), tot AS (
+      SELECT CAST({BUDGET_EPOCHS} AS BIGINT) * sum(n_tokens) AS budget,
+             count(*) AS n_sources
+      FROM src
+    ), alloc AS (
+      SELECT s.source, s.n_tokens,
+             t.budget // t.n_sources AS equal_share,
+             least({MAX_EPOCHS} * s.n_tokens, t.budget // t.n_sources)
+               AS allocated_tokens
+      FROM src s CROSS JOIN tot t
+    )
+    SELECT source, n_tokens, equal_share, allocated_tokens,
+           CAST((20000 * allocated_tokens + n_tokens) // (2 * n_tokens)
+                AS DOUBLE) / 10000.0 AS epochs,
+           allocated_tokens = {MAX_EPOCHS} * n_tokens AS data_constrained
+    FROM alloc
+    ORDER BY source
+    """
+
+    @query("p26_epoch_allocation", oracle=oracle)
+    def p26_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        src = d.select(
+            "source",
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("n_tok"),
+        ).groupBy("source").agg(
+            F.sum("n_tok").cast("bigint").alias("n_tokens")
+        )
+        tot = src.agg(
+            (F.lit(BUDGET_EPOCHS).cast("bigint") * F.sum("n_tokens")).alias(
+                "budget"
+            ),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        alloc = src.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_tokens",
+            F.expr("budget DIV n_sources").alias("equal_share"),
+            F.least(
+                F.lit(MAX_EPOCHS) * F.col("n_tokens"),
+                F.expr("budget DIV n_sources"),
+            ).alias("allocated_tokens"),
+        )
+        return alloc.select(
+            "source",
+            "n_tokens",
+            "equal_share",
+            "allocated_tokens",
+            (
+                F.expr(
+                    "(20000 * allocated_tokens + n_tokens) DIV (2 * n_tokens)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("epochs"),
+            (
+                F.col("allocated_tokens")
+                == F.lit(MAX_EPOCHS) * F.col("n_tokens")
+            ).alias("data_constrained"),
+        ).orderBy("source")
+
+
+_register_p26()

@@ -995,3 +995,80 @@ def q32_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- q33: brand repeat-purchase rate ------------------------------------------
+# Customer-loyalty analytics over the full star: for each part brand, how
+# many distinct customers bought it, how many came back for it in a SECOND
+# distinct order, and the repeat share. The retention counterpart of q26's
+# revenue ranking.
+#
+# 100 TB shape: lineitem ⋈ orders is the one fact-fact shuffle (both sides
+# hash on l_orderkey/o_orderkey — co-partitionable/bucketable in a real
+# deployment); part broadcasts (BROADCAST_TABLES); the distinct-order
+# count groups on (brand, custkey) — O(customers × brands-touched) — and
+# the final rollup is O(brands). Repeat share is exact half-up integer
+# division to 1e-4 units.
+
+
+@query(
+    "q33_brand_repeat_share",
+    oracle="""
+    WITH bo AS (
+      SELECT DISTINCT p.p_brand, o.o_custkey, o.o_orderkey
+      FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ), bc AS (
+      SELECT p_brand, o_custkey, count(*) AS n_orders
+      FROM bo GROUP BY 1, 2
+    )
+    SELECT p_brand,
+           count(*) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST((20000 * sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+             AS repeat_share
+    FROM bc
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q33_brand_repeat_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bo = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("p_brand", "o_custkey", "o_orderkey")
+        .distinct()
+    )
+    bc = bo.groupBy("p_brand", "o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return (
+        bc.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rep.cast("bigint").alias("n_repeat"),
+        )
+        .select(
+            "p_brand",
+            "n_customers",
+            "n_repeat",
+            (
+                F.expr(
+                    "(20000 * n_repeat + n_customers) DIV (2 * n_customers)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("repeat_share"),
+        )
+        .orderBy("p_brand")
+    )

@@ -194,3 +194,34 @@ query("sql06_lateral_topn", oracle=SQL06)(_sql_query(SQL06))
 query("sql07_window_battery", oracle=SQL07)(_sql_query(SQL07))
 query("sql08_range_frame", oracle=SQL08)(_sql_query(SQL08))
 query("sql09_unpivot", oracle=SQL09)(_sql_query(SQL09))
+
+
+# QUALIFY: DuckDB (like Snowflake/BigQuery) filters on window results with
+# the QUALIFY clause; Spark 4 has no QUALIFY, so the engine's rewrite is
+# the standard derived-table form — window in a subquery, predicate
+# outside. Registering BOTH texts pins the rewrite's equivalence: the
+# oracle runs the native QUALIFY, the Spark side runs the rewrite. The
+# window partitions by customer (hash-partitioned top-k, WindowGroupLimit
+# prunes to 2 rows per customer map-side — no global sort at any scale).
+SQL10_DUCK = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER w AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+QUALIFY rn <= 2
+ORDER BY o_custkey, rn
+"""
+
+SQL10_SPARK = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn
+  FROM orders
+) WHERE rn <= 2
+ORDER BY o_custkey, rn
+"""
+
+query("sql10_qualify_topn", oracle=SQL10_DUCK)(_sql_query(SQL10_SPARK))

@@ -1228,3 +1228,118 @@ def t18_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- t19: positional vocabulary drift ----------------------------------------
+# Template/boilerplate detector: compare the token distribution of the
+# FIRST half of each document against the SECOND half, per source, as an
+# L1 distance. Sources whose docs open with fixed headers/navigation
+# (or end with fixed footers/license blocks) show high drift; organically
+# written prose shows low drift — a cheap structural-quality signal a
+# crawl pipeline uses to pick boilerplate-stripping candidates.
+#
+# Determinism: per-token |c1/N1 − c2/N2| is computed from exact BIGINT
+# counts (both engines produce the identical correctly-rounded doubles),
+# quantized to integer 1e-6 units PER TOKEN, then summed as BIGINT — the
+# corpus-wide aggregate is associative, immune to partition merge order,
+# and overflow-safe at any corpus size (unlike a cross-multiplied
+# |c1·N2 − c2·N1| numerator, which overflows int64 near N1·N2 ≈ 6e14).
+#
+# 100 TB shape: one row-local posexplode + half-flag, one (source, token)
+# aggregate (the only corpus-sized shuffle, map-side combined), then
+# O(sources)-row joins.
+
+
+def _register_t19() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = """
+    WITH arrs AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS arr
+      FROM documents
+    ), toks AS (
+      SELECT source, unnest(arr) AS token,
+             unnest(range(0, len(arr))) AS pos, len(arr) AS n
+      FROM arrs
+    ), tc AS (
+      SELECT source, token,
+             sum(CASE WHEN 2 * pos < n THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN 2 * pos < n THEN 0 ELSE 1 END) AS c2
+      FROM toks GROUP BY source, token
+    ), tot AS (
+      SELECT source, greatest(sum(c1), 1) AS n1, greatest(sum(c2), 1) AS n2,
+             count(*) AS n_terms
+      FROM tc GROUP BY source
+    ), units AS (
+      SELECT t.source, tt.n1, tt.n2, tt.n_terms,
+             CAST(floor(abs(CAST(t.c1 AS DOUBLE) / tt.n1
+                            - CAST(t.c2 AS DOUBLE) / tt.n2) * 1e6 + 0.5)
+                  AS BIGINT) AS u
+      FROM tc t JOIN tot tt USING (source)
+    )
+    SELECT source,
+           CAST(max(n1) AS BIGINT) AS n_first_half,
+           CAST(max(n2) AS BIGINT) AS n_second_half,
+           CAST(max(n_terms) AS BIGINT) AS n_terms,
+           CAST(sum(u) AS DOUBLE) / 1e6 AS l1_drift
+    FROM units
+    GROUP BY source
+    ORDER BY source
+    """
+
+    @query("t19_positional_drift", oracle=oracle)
+    def t19_positional_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = spread_rowlocal(
+            load_table(spark, sf_dir, "documents"), key="doc_id"
+        )
+        arrs = d.select(
+            "source",
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            ).alias("arr"),
+        )
+        toks = arrs.select(
+            "source",
+            F.size("arr").alias("n"),
+            F.posexplode("arr").alias("pos", "token"),
+        )
+        tc = toks.groupBy("source", "token").agg(
+            F.sum(
+                F.when(2 * F.col("pos") < F.col("n"), 1).otherwise(0)
+            ).alias("c1"),
+            F.sum(
+                F.when(2 * F.col("pos") < F.col("n"), 0).otherwise(1)
+            ).alias("c2"),
+        )
+        tot = tc.groupBy("source").agg(
+            F.greatest(F.sum("c1"), F.lit(1)).alias("n1"),
+            F.greatest(F.sum("c2"), F.lit(1)).alias("n2"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        diff = F.abs(
+            F.col("c1").cast("double") / F.col("n1")
+            - F.col("c2").cast("double") / F.col("n2")
+        )
+        units = tc.join(F.broadcast(tot), "source").select(
+            "source",
+            "n1",
+            "n2",
+            "n_terms",
+            F.floor(diff * 1e6 + 0.5).cast("bigint").alias("u"),
+        )
+        return (
+            units.groupBy("source")
+            .agg(
+                F.max("n1").cast("bigint").alias("n_first_half"),
+                F.max("n2").cast("bigint").alias("n_second_half"),
+                F.max("n_terms").cast("bigint").alias("n_terms"),
+                (F.sum("u").cast("double") / F.lit(1e6)).alias("l1_drift"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_t19()

@@ -836,3 +836,95 @@ def _register_v10() -> None:
 
 
 _register_v10()
+
+
+# --- v11: character-bigram entropy --------------------------------------------
+# Compressibility proxy per source: the Shannon entropy (nats) of the
+# character-bigram distribution. Low entropy = repetitive/templated text
+# (compresses well, weak training signal); entropy near the uniform bound
+# = diverse prose. The gzip-ratio heuristic of quality filtering without
+# external codecs — pure SQL over positional substrings.
+#
+# Determinism: bigram counts are exact BIGINTs; each distribution term
+# c·ln(c) is computed from the same integer on both engines and quantized
+# to 1e-6 integer units PER BIGRAM before the associative BIGINT sum
+# (the t10 ln posture); entropy = ln(N) − S/(1e6·N) with one final 4-dp
+# half-up rounding on identical inputs.
+#
+# 100 TB shape: the positional explode is row-local (length(text)−1 rows
+# per doc); the only corpus-sized shuffle is the (source, bigram)
+# aggregate (map-side combined, ≤ alphabet² distinct keys per source);
+# everything after runs on the O(sources × alphabet²) rollup.
+
+
+def _register_v11() -> None:
+    from pyspark.sql import SparkSession
+
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = """
+    WITH bg AS (
+      SELECT source, substr(text, CAST(i AS INTEGER), 2) AS bigram
+      FROM documents
+        CROSS JOIN LATERAL unnest(range(1, length(text))) AS t(i)
+      WHERE length(text) >= 2
+    ), bc AS (
+      SELECT source, bigram, count(*) AS c
+      FROM bg GROUP BY source, bigram
+    ), st AS (
+      SELECT source,
+             sum(c) AS n,
+             count(*) AS n_distinct,
+             sum(CAST(floor(c * ln(c) * 1e6 + 0.5) AS BIGINT)) AS s_units
+      FROM bc GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_bigrams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(ln(n) - CAST(s_units AS DOUBLE) / (1e6 * n) + 0.0, 4)
+             AS entropy_nats
+    FROM st
+    ORDER BY source
+    """
+
+    @query("v11_char_bigram_entropy", oracle=oracle)
+    def v11_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spark_streaming_logservice_spark.operators.text import (
+            spread_rowlocal,
+        )
+
+        d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+        bg = d.where(F.length("text") >= 2).select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 1), "
+                    "i -> substr(text, i, 2))"
+                )
+            ).alias("bigram"),
+        )
+        bc = bg.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("c"))
+        st = bc.groupBy("source").agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.floor(
+                    F.col("c") * F.log(F.col("c").cast("double")) * 1e6
+                    + 0.5
+                ).cast("bigint")
+            ).alias("s_units"),
+        )
+        return st.select(
+            "source",
+            F.col("n").cast("bigint").alias("n_bigrams"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - F.col("s_units").cast("double") / (F.lit(1e6) * F.col("n"))
+                + F.lit(0.0),
+                4,
+            ).alias("entropy_nats"),
+        ).orderBy("source")
+
+
+_register_v11()

@@ -802,3 +802,155 @@ def _register_s27() -> None:
 
 
 _register_s27()
+
+
+def _register_s28() -> None:
+    """s28: IVF cell-balance histogram from the PERSISTED index — the
+    index-health metric an ANN platform tracks per build (a skewed cell
+    histogram means hot probes scan far more than corpus/K_CELLS vectors
+    and the nprobe/recall frontier of s26 degrades). Output is the exact
+    integer histogram (cell size -> number of cells), so the driver hash
+    is float-free.
+
+    100 TB shape: one groupBy(cell) count over the stored vectors (a
+    column-pruned scan of a single INT column), then an O(K_CELLS)
+    re-aggregate — nothing else touches the corpus. The oracle replays the
+    full training pipeline (the store equals it bit-for-bit)."""
+    from spark_streaming_logservice_spark.operators.ann_ivf import (
+        _IVF_ORACLE_CORE,
+    )
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = (
+        _IVF_ORACLE_CORE
+        + """,
+    sizes AS (SELECT cell, count(*) AS n FROM idx GROUP BY cell)
+    SELECT CAST(n AS BIGINT) AS cell_size,
+           count(*) AS n_cells
+    FROM sizes
+    GROUP BY n
+    ORDER BY cell_size
+    """
+    )
+
+    @query("s28_ivf_cell_balance", oracle=oracle)
+    def s28_ivf_cell_balance(spark, sf_dir: str):
+        table_dir = ensure_index(spark, sf_dir)
+        sizes = (
+            read_vectors(spark, table_dir)
+            .select("cell")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            sizes.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+            .select(F.col("n").cast("bigint").alias("cell_size"), "n_cells")
+            .orderBy("cell_size")
+        )
+
+
+_register_s28()
+
+
+def _register_s29() -> None:
+    """s29: PQ reconstruction error from the PERSISTED index — the
+    quantization-distortion number (avg/max squared L2 between each
+    vector's normalized subspace slice and its assigned codeword) a vector
+    platform reports per codebook build, per subspace. Complements s27:
+    s27 asks "does ADC preserve the ranking", s29 asks "how much geometry
+    does the 1-byte code destroy".
+
+    Determinism: the per-row squared distance is the exact flat-fold
+    expression the assignment stage itself uses (bit-identical across
+    engines), quantized to integer 1e-9 units PER ROW before the
+    corpus-wide sum — the aggregate is an associative BIGINT sum, immune
+    to partition merge order; avg is integer half-up division.
+
+    100 TB shape: one scan of the stored vectors joined against the
+    broadcast K_SUB x M_SUB codebook; everything after the per-row math is
+    an O(M_SUB) aggregate. The oracle replays the training pipeline
+    (store-equals-inline is s24/s25's proven contract)."""
+    from spark_streaming_logservice_spark.operators.ann_pq import (
+        _PQ_BASE,
+        _d2_flat,
+    )
+    from spark_streaming_logservice_spark.registry import query
+
+    oracle = (
+        _PQ_BASE
+        + """,
+    err AS (
+        SELECT s.sub,
+               CAST(floor((list_sum(list_transform(s.svec, x -> x * x))
+                           + list_sum(list_transform(c.cvec, x -> x * x))
+                           - 2 * list_dot_product(s.svec, c.cvec)) * 1e9
+                          + 0.5) AS BIGINT) AS u
+        FROM subs s
+          JOIN codes k ON k.vec_id = s.vec_id AND k.sub = s.sub
+          JOIN pc2 c ON c.sub = k.sub AND c.code = k.code
+    )
+    SELECT CAST(sub AS INTEGER) AS sub,
+           count(*) AS n_vectors,
+           CAST((2 * sum(u) + count(*)) // (2 * count(*)) AS DOUBLE) / 1e9
+             AS avg_sq_error,
+           CAST(max(u) AS DOUBLE) / 1e9 AS max_sq_error
+    FROM err
+    GROUP BY sub
+    ORDER BY sub
+    """
+    )
+
+    @query("s29_pq_reconstruction_error", oracle=oracle)
+    def s29_pq_reconstruction_error(spark, sf_dir: str):
+        table_dir = ensure_index(spark, sf_dir)
+        _, cb_df, dim = _load_artifacts(spark, table_dir)
+        dl = dim // M_SUB
+        vecs = read_vectors(spark, table_dir)
+        slices = vecs.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("sub_"),
+                            F.col(f"c{m}").alias("code"),
+                            F.slice(F.col("emb"), m * dl + 1, dl).alias(
+                                "svec"
+                            ),
+                        )
+                        for m in range(M_SUB)
+                    ]
+                )
+            ).alias("_p", "s"),
+        ).select(
+            F.col("s.sub_").alias("sub"),
+            F.col("s.code").alias("code"),
+            F.col("s.svec").alias("svec"),
+        )
+        err = slices.join(F.broadcast(cb_df), ["sub", "code"]).select(
+            "sub",
+            F.floor(_d2_flat(F.col("svec"), F.col("cvec"), dl) * 1e9 + 0.5)
+            .cast("bigint")
+            .alias("u"),
+        )
+        return (
+            err.groupBy("sub")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.expr("(2 * sum(u) + count(1)) DIV (2 * count(1))")
+                .cast("double")
+                .alias("avg_u"),
+                F.max("u").cast("double").alias("max_u"),
+            )
+            .select(
+                F.col("sub").cast("int").alias("sub"),
+                "n_vectors",
+                (F.col("avg_u") / F.lit(1e9)).alias("avg_sq_error"),
+                (F.col("max_u") / F.lit(1e9)).alias("max_sq_error"),
+            )
+            .orderBy("sub")
+        )
+
+
+_register_s29()
