@@ -2139,13 +2139,15 @@ def _register_p26() -> None:
       SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM tok GROUP BY source
     ), tot AS (
-      SELECT CAST({BUDGET_EPOCHS} AS BIGINT) * sum(n_tokens) AS budget,
+      -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas can't carry
+      SELECT CAST({BUDGET_EPOCHS} * sum(n_tokens) AS BIGINT) AS budget,
              count(*) AS n_sources
       FROM src
     ), alloc AS (
       SELECT s.source, s.n_tokens,
-             t.budget // t.n_sources AS equal_share,
-             least({MAX_EPOCHS} * s.n_tokens, t.budget // t.n_sources)
+             CAST(t.budget // t.n_sources AS BIGINT) AS equal_share,
+             CAST(least({MAX_EPOCHS} * s.n_tokens,
+                        t.budget // t.n_sources) AS BIGINT)
                AS allocated_tokens
       FROM src s CROSS JOIN tot t
     )
