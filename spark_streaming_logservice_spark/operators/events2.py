@@ -2268,7 +2268,10 @@ def e31_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness: minute counts are integers; Fano over the observed minutes is
 # the rational (n·Σx² − (Σx)²) / (n·Σx), computed entirely in BIGINT
 # sufficient statistics with one half-up integer division to 1e-4 units —
-# bit-stable at any partitioning, no float sums anywhere.
+# bit-stable at any partitioning, no float sums anywhere. Headroom: n·Σx²
+# stays inside int64 while minutes·peak² < ~9e18 (e.g. a year of minutes
+# at ~4M events/minute); past that, promote the statistics to
+# DECIMAL(38,0) — the shape is unchanged.
 #
 # 100 TB shape: the corpus collapses to the (type, minute) rollup in ONE
 # aggregate (map-side partials; output is O(types × observed minutes) —
