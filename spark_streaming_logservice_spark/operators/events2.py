@@ -2266,12 +2266,15 @@ def e31_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # view an SRE dashboard tracks.
 #
 # Exactness: minute counts are integers; Fano over the observed minutes is
-# the rational (n·Σx² − (Σx)²) / (n·Σx), computed entirely in BIGINT
-# sufficient statistics with one half-up integer division to 1e-4 units —
-# bit-stable at any partitioning, no float sums anywhere. Headroom: n·Σx²
-# stays inside int64 while minutes·peak² < ~9e18 (e.g. a year of minutes
-# at ~4M events/minute); past that, promote the statistics to
-# DECIMAL(38,0) — the shape is unchanged.
+# the rational (n·Σx² − (Σx)²) / (n·Σx), computed entirely in exact
+# integer sufficient statistics with one half-up integer division to 1e-4
+# units — bit-stable at any partitioning, no float sums anywhere. The
+# statistics are DECIMAL(38,0) on the Spark side (HUGEINT in DuckDB —
+# both exact integer arithmetic): int64 would wrap at Σx ≈ 3e9 events per
+# type (sx² term), i.e. within 100 TB reach, and Spark 4's ANSI default
+# turns that into a runtime ArithmeticException; 38 digits of headroom
+# moves the bound to ~1e17 events per type through the quantized
+# expression.
 #
 # 100 TB shape: the corpus collapses to the (type, minute) rollup in ONE
 # aggregate (map-side partials; output is O(types × observed minutes) —
@@ -2317,10 +2320,13 @@ def _register_e32() -> None:
             .cast("timestamp_ntz")
             .alias("minute"),
         ).agg(F.count(F.lit(1)).alias("x"))
+        dec = "decimal(38,0)"
         st = m.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+            F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+            .cast(dec)
+            .alias("sxx"),
             F.max("x").alias("peak"),
         )
         return st.select(

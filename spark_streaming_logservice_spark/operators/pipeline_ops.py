@@ -2152,8 +2152,10 @@ def _register_p26() -> None:
       FROM src s CROSS JOIN tot t
     )
     SELECT source, n_tokens, equal_share, allocated_tokens,
-           CAST((20000 * allocated_tokens + n_tokens) // (2 * n_tokens)
-                AS DOUBLE) / 10000.0 AS epochs,
+           -- HUGEINT multiplier: 20000 * allocated would wrap int64 at
+           -- ~4.6e14 tokens (inside 100 TB reach)
+           CAST((CAST(20000 AS HUGEINT) * allocated_tokens + n_tokens)
+                // (2 * n_tokens) AS DOUBLE) / 10000.0 AS epochs,
            allocated_tokens = {MAX_EPOCHS} * n_tokens AS data_constrained
     FROM alloc
     ORDER BY source
@@ -2191,8 +2193,11 @@ def _register_p26() -> None:
             "equal_share",
             "allocated_tokens",
             (
+                # DECIMAL(38,0) multiplier mirrors the oracle's HUGEINT:
+                # exact past int64's ~4.6e14-token wrap point
                 F.expr(
-                    "(20000 * allocated_tokens + n_tokens) DIV (2 * n_tokens)"
+                    "(20000 * CAST(allocated_tokens AS DECIMAL(38,0)) "
+                    "+ n_tokens) DIV (2 * n_tokens)"
                 ).cast("double")
                 / F.lit(10000.0)
             ).alias("epochs"),

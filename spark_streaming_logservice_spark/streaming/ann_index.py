@@ -333,14 +333,37 @@ def _evict_store(table_dir: str) -> None:
         del _INDEX_CACHE[k]
 
 
+# A marker-less dir younger than this is a build possibly IN PROGRESS in
+# another application sharing the root — leave it alone; older, it is a
+# crashed build's leftover. A complete store attached more recently than
+# this may be actively served by another app, so LRU overflow skips it
+# (the root can transiently exceed _MAX_STORES rather than yank parquet
+# files out from under a live query).
+_BUILD_GRACE_SEC = 3600.0
+_ACTIVE_LEASE_SEC = 600.0
+
+
+def _touch(path: str) -> None:
+    """LRU touch; never lets bookkeeping break serving (read-only roots
+    are a supported deployment for prebuilt indexes)."""
+    try:
+        os.utime(path)
+    except OSError:
+        pass
+
+
 def _evict_lru_stores(root: str, keep_dir: str) -> None:
     """Bound the store root to _MAX_STORES complete stores (LRU by marker
-    mtime — reattach touches the marker); half-built leftovers from a
-    crashed build (no marker) are reclaimed unconditionally."""
+    mtime — every attach touches the marker); stale half-built leftovers
+    from crashed builds (marker-less, past the build grace period) are
+    reclaimed."""
+    import time as _time
+
     try:
         entries = sorted(os.listdir(root))
     except OSError:
         return
+    now = _time.time()
     complete: list[tuple[float, str]] = []
     for name in entries:
         d = os.path.join(root, name)
@@ -348,9 +371,17 @@ def _evict_lru_stores(root: str, keep_dir: str) -> None:
             continue
         marker = os.path.join(d, _INDEX_MARKER)
         try:
-            complete.append((os.stat(marker).st_mtime, d))
+            mtime = os.stat(marker).st_mtime
         except OSError:
-            _evict_store(d)  # crashed build: never serveable, reclaim
+            try:
+                young = now - os.stat(d).st_mtime < _BUILD_GRACE_SEC
+            except OSError:
+                continue  # vanished concurrently
+            if not young:  # crashed build: never serveable, reclaim
+                _evict_store(d)
+            continue
+        if now - mtime >= _ACTIVE_LEASE_SEC:  # lease expired: evictable
+            complete.append((mtime, d))
     complete.sort()
     while len(complete) > _MAX_STORES - 1:
         _evict_store(complete.pop(0)[1])
@@ -371,28 +402,35 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
     from spark_streaming_logservice_spark.tables import load_table
 
+    import uuid
+
     key = _corpus_key(sf_dir)
     root = os.environ.get("SPARK_GRAFT_ANN_STORE_ROOT", ANN_STORE_ROOT)
     table_dir = _store_dir_for(key, root)
     marker = os.path.join(table_dir, _INDEX_MARKER)
     if _INDEX_CACHE.get(key) == table_dir and os.path.exists(marker):
+        _touch(marker)  # keep the active-lease fresh across long sessions
         return table_dir
-    if os.path.exists(marker):
+
+    def _matches() -> bool:
         try:
             with open(marker) as f:
-                recorded = json.load(f)
+                return json.load(f) == list(key)
         except (OSError, ValueError):
-            recorded = None
-        if recorded == list(key):
+            return False
+
+    if os.path.exists(marker):
+        if _matches():
             # reattach: the store was built (possibly by another
             # application) from exactly this corpus content — serve it.
-            os.utime(marker)  # LRU touch
+            _touch(marker)
             _INDEX_CACHE[key] = table_dir
             return table_dir
         _evict_store(table_dir)  # stale/foreign content under our hash
     os.makedirs(root, exist_ok=True)
-    build_dir = table_dir + f".build-{os.getpid()}"
-    shutil.rmtree(build_dir, ignore_errors=True)
+    # unique per process AND per call: two threads of one application
+    # building concurrently must not rmtree each other's staging
+    build_dir = table_dir + f".build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -400,7 +438,16 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(build_dir, _INDEX_MARKER), "w") as f:
         json.dump(list(key), f)
     shutil.rmtree(table_dir, ignore_errors=True)
-    os.rename(build_dir, table_dir)
+    try:
+        os.rename(build_dir, table_dir)
+    except OSError:
+        # a concurrent builder of the SAME corpus published between our
+        # rmtree and rename; the path is content-keyed, so the store that
+        # won is equivalent — discard ours and serve theirs
+        if _matches():
+            shutil.rmtree(build_dir, ignore_errors=True)
+        else:
+            raise
     _purge_artifact_cache(build_dir)  # collected under the pre-rename path
     _evict_lru_stores(root, keep_dir=table_dir)
     _INDEX_CACHE[key] = table_dir

@@ -59,11 +59,18 @@ DIGEST_SCHEMA = "digest STRING"  # md5 impl (back-compat alias)
 #   64-bit hash would expect real collisions at 10^10 docs, i.e. silent
 #   false-dedup at 100 TB) at xxhash speed, 16 bytes/row in the store.
 # The A/B lives in BENCH_DETAIL.json maintenance.dedup_store.digest_ab.
+# impl -> (store schema DDL, batch-side column names, store-side column
+# names). Store columns are listed explicitly — nothing re-parses the DDL.
 DIGEST_IMPLS = {
-    "md5": ("digest STRING", ("__d0",)),
-    "xxhash128": ("d0 BIGINT, d1 BIGINT", ("__d0", "__d1")),
+    "md5": ("digest STRING", ("__d0",), ("digest",)),
+    "xxhash128": ("d0 BIGINT, d1 BIGINT", ("__d0", "__d1"), ("d0", "d1")),
 }
 DEFAULT_DIGEST_IMPL = "xxhash128"
+# stores created before the impl pin existed carry md5 'digest STRING'
+# files and no _digest_impl file — that absence means md5, NOT the current
+# default (reading md5 files with the xxhash schema would NULL every join
+# key, re-forward all history, and let compaction destroy the store).
+_LEGACY_IMPL = "md5"
 
 
 def _digest_exprs(text_col: str, impl: str) -> list:
@@ -76,8 +83,32 @@ def _digest_exprs(text_col: str, impl: str) -> list:
     ]
 
 
-def _store_cols(impl: str) -> list[str]:
-    return [c.split()[0] for c in DIGEST_IMPLS[impl][0].split(", ")]
+def _store_cols(impl: str) -> tuple[str, ...]:
+    return DIGEST_IMPLS[impl][2]
+
+
+def _pinned_impl(digest_dir: str) -> str | None:
+    """The impl this store is committed to: the _digest_impl pin if
+    present, the legacy default if the store has files but no pin, None
+    for a store that doesn't exist yet."""
+    impl_file = os.path.join(digest_dir, "_digest_impl")
+    if os.path.exists(impl_file):
+        with open(impl_file) as f:
+            pinned = f.read().strip()
+        if pinned not in DIGEST_IMPLS:
+            raise ValueError(
+                f"digest store {digest_dir} pinned to unknown impl {pinned!r}"
+            )
+        return pinned
+    if _store_files(digest_dir):
+        return _LEGACY_IMPL
+    return None
+
+
+def _to_store(df: DataFrame, impl: str) -> DataFrame:
+    """Project a digested batch relation onto the store's column names."""
+    _, dcols, scols = DIGEST_IMPLS[impl]
+    return df.select(*[F.col(d).alias(s) for d, s in zip(dcols, scols)])
 
 # bench hook (same contract as streaming/rollup.TIMINGS): set to {} before
 # driving batches to accumulate per-phase wall-clock; None = no-op. When
@@ -108,17 +139,30 @@ def dedup_against_store(
     digest_dir: str,
     text_col: str,
     id_col: str,
-    digest_impl: str = DEFAULT_DIGEST_IMPL,
+    digest_impl: str | None = None,
 ) -> DataFrame:
     """The batch's novel rows: within-batch collapse (keep the lowest id per
     digest — one batch-keyed shuffle via a partitioned row_number), then an
     anti-join on the persistent digest table arranged so the STORE side is
     a single map-only scan: hits = store ⋉ broadcast(batch digests), then
-    batch ⋉̸ broadcast(hits). Both broadcast sides are micro-batch-sized."""
+    batch ⋉̸ broadcast(hits). Both broadcast sides are micro-batch-sized.
+
+    ``digest_impl=None`` resolves to the store's own pin (legacy md5 for
+    pre-pin stores, the default for new stores); passing an impl that
+    contradicts an existing store's pin raises — probing md5 files with
+    the xxhash schema would silently report every duplicate as novel."""
     from pyspark.sql.window import Window
 
     spark = batch_df.sparkSession
-    schema, dcols = DIGEST_IMPLS[digest_impl]
+    pinned = _pinned_impl(digest_dir)
+    if digest_impl is None:
+        digest_impl = pinned or DEFAULT_DIGEST_IMPL
+    elif pinned is not None and digest_impl != pinned:
+        raise ValueError(
+            f"digest store {digest_dir} is pinned to {pinned!r}; "
+            f"got digest_impl={digest_impl!r}"
+        )
+    schema, dcols, scols = DIGEST_IMPLS[digest_impl]
     digested = batch_df.select(
         "*", *_digest_exprs(text_col, digest_impl)
     )
@@ -133,11 +177,9 @@ def dedup_against_store(
     if not files:
         return fresh
     seen = spark.read.schema(schema).parquet(*files)
-    scols = _store_cols(digest_impl)
-    probe = fresh.select(
-        *[F.col(d).alias(s) for d, s in zip(dcols, scols)]
+    hits = seen.join(
+        F.broadcast(_to_store(fresh, digest_impl)), list(scols), "left_semi"
     )
-    hits = seen.join(F.broadcast(probe), scols, "left_semi")
     cond = None
     for d, s in zip(dcols, scols):
         eq = fresh[d] == hits[s]
@@ -166,18 +208,16 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
         os.makedirs(digest_dir, exist_ok=True)
         # one digest impl per store, pinned by the first writer: a store
         # probed with a different hash than it was built with would
-        # silently forward every duplicate
-        impl_file = os.path.join(digest_dir, "_digest_impl")
-        if os.path.exists(impl_file):
-            with open(impl_file) as f:
-                pinned = f.read().strip()
-            if pinned != digest_impl:
-                raise ValueError(
-                    f"digest store {digest_dir} is pinned to {pinned!r}; "
-                    f"got digest_impl={digest_impl!r}"
-                )
-        else:
-            with open(impl_file, "w") as f:
+        # silently forward every duplicate. A pre-pin store with files
+        # resolves to the legacy md5 (never the current default).
+        pinned = _pinned_impl(digest_dir)
+        if pinned is not None and pinned != digest_impl:
+            raise ValueError(
+                f"digest store {digest_dir} is pinned to {pinned!r}; "
+                f"got digest_impl={digest_impl!r}"
+            )
+        if pinned is None:
+            with open(os.path.join(digest_dir, "_digest_impl"), "w") as f:
                 f.write(digest_impl)
         # sweep staging orphans from crashed attempts (same recovery rule as
         # the logstore sink: anything not renamed to final never happened)
@@ -199,7 +239,7 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                 t0 = _t.perf_counter()
                 novel.count()  # materialize: attribute dedup vs forward
                 _span("dedup", t0)
-            schema, dcols = DIGEST_IMPLS[digest_impl]
+            dcols = DIGEST_IMPLS[digest_impl][1]
             t0 = _t.perf_counter()
             forward(novel.drop(*dcols), batch_id)
             _span("forward", t0)
@@ -211,10 +251,9 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                 staging = os.path.join(
                     digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
                 )
-                scols = _store_cols(digest_impl)
-                novel.select(
-                    *[F.col(d).alias(s) for d, s in zip(dcols, scols)]
-                ).coalesce(1).write.mode("overwrite").parquet(staging)
+                _to_store(novel, digest_impl).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(staging)
                 os.rename(staging, final)
             _span("digests", t0)
             with open(marker, "w") as f:
@@ -240,11 +279,10 @@ def compact_digest_store(spark, digest_dir: str) -> int:
     files = _store_files(digest_dir)
     if len(files) <= 1:
         return 0
-    impl_file = os.path.join(digest_dir, "_digest_impl")
-    impl = DEFAULT_DIGEST_IMPL
-    if os.path.exists(impl_file):
-        with open(impl_file) as f:
-            impl = f.read().strip()
+    # resolve the store's OWN impl (legacy md5 for pre-pin stores) —
+    # compacting md5 files through the wrong schema would read all-NULL
+    # keys and irreversibly destroy the dedup history
+    impl = _pinned_impl(digest_dir) or DEFAULT_DIGEST_IMPL
     staging = os.path.join(digest_dir, f"_staging-compact-{uuid.uuid4().hex}")
     (
         spark.read.schema(DIGEST_IMPLS[impl][0])

@@ -189,3 +189,41 @@ def test_digest_impls_agree_and_store_is_pinned(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="pinned"):
         other(_batch(spark, [(1, "zz")]), 99)
+
+
+def test_legacy_unpinned_store_resolves_md5_not_default(spark, tmp_path):
+    """A store from before the impl pin existed (md5 files, no _digest_impl)
+    must resolve to md5 everywhere: the default-impl ingest path raises
+    loudly instead of silently re-forwarding all history, direct
+    dedup_against_store probes with md5, and compaction preserves the
+    digests rather than reading NULL keys through the wrong schema."""
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        compact_digest_store,
+        dedup_against_store,
+    )
+
+    store = str(tmp_path / "legacy")
+    forwarded, forward = _collector()
+    apply = dedup_on_ingest(forward, store, digest_impl="md5")
+    apply(_batch(spark, [(1, "aa"), (2, "bb")]), 0)
+    apply(_batch(spark, [(3, "cc")]), 1)
+    os.remove(os.path.join(store, "_digest_impl"))  # simulate pre-pin store
+
+    # (a) default-impl ingest raises instead of destroying history
+    other = dedup_on_ingest(forward, store)  # default xxhash128
+    with pytest.raises(ValueError, match="pinned"):
+        other(_batch(spark, [(4, "dd")]), 2)
+
+    # (b) direct probe with no impl resolves md5: 'aa' is suppressed
+    novel = dedup_against_store(
+        _batch(spark, [(5, "aa"), (6, "ee")]), store, "text", "doc_id"
+    )
+    assert sorted(r.doc_id for r in novel.collect()) == [6]
+
+    # (c) compaction through the resolved impl keeps all 3 digests
+    assert compact_digest_store(spark, store) == 2
+    novel2 = dedup_against_store(
+        _batch(spark, [(7, "aa"), (8, "bb"), (9, "cc"), (10, "ff")]),
+        store, "text", "doc_id",
+    )
+    assert sorted(r.doc_id for r in novel2.collect()) == [10]

@@ -360,12 +360,19 @@ def test_ann_index_eviction_reclaims_disk(spark, tmp_path, monkeypatch):
         os.utime(os.path.join(d, AI._INDEX_MARKER), (t, t))
         old_dirs.append(d)
         AI._ARTIFACT_CACHE[("appX", os.path.realpath(d), 1)] = ([], [], 8)
+    # a STALE marker-less dir (crashed build) must be reclaimed; a YOUNG
+    # one may be another application's build in progress — left alone
     half = os.path.join(root, "half-build.build-999")
     os.makedirs(half)
+    t = time.time() - 2 * AI._BUILD_GRACE_SEC
+    os.utime(half, (t, t))
+    young = os.path.join(root, "young.build-998")
+    os.makedirs(young)
 
     table = AI.ensure_index(spark, "/root/testdata/sf0.001")
     assert os.path.isdir(table)
-    assert not os.path.exists(half), "crashed half-build must be reclaimed"
+    assert not os.path.exists(half), "stale crashed half-build reclaimed"
+    assert os.path.exists(young), "in-progress build must be left alone"
     # LRU: with the new store kept, only _MAX_STORES-1 old stores survive
     survivors = [d for d in old_dirs if os.path.exists(d)]
     assert len(survivors) == AI._MAX_STORES - 1
