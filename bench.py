@@ -1485,7 +1485,13 @@ def main() -> None:
             "note": (
                 "negative = faster per unit of environment speed; raw "
                 "vs_prev_total deltas within the documented ±20% "
-                "cross-environment spread are noise — judge the ratio"
+                "cross-environment spread are noise — judge the ratio. "
+                "Caveat (r10, measured): the calibration scan itself "
+                "showed ~33% same-code spread across two local runs "
+                "(0.0806 vs 0.1076 s best-of-3), so ratio deltas under "
+                "~±15% are STILL noise; the ratio separates real "
+                "regressions from the 2x-class environment swings, not "
+                "from single-digit ones"
             ),
         }
 

@@ -1001,3 +1001,93 @@ def _register_s29() -> None:
 
 
 _register_s29()
+
+
+# --- index drift monitor (retrain trigger) ------------------------------------
+# The operational question a frozen-artifact index must keep answering:
+# "is the data the encoder sees still the data the centroids were trained
+# on?" An IVF index trained once serves correctly only while incoming
+# vectors spread over cells roughly the way the training corpus did —
+# when a modality shift / new data source concentrates fresh vectors into
+# a few cells, probe recall degrades and cell scans grow hot. This
+# monitor scores a batch BEFORE it is merged: assign it against the
+# FROZEN centroids (the exact encode expression, one broadcast join) and
+# compare its cell distribution to the stored index's as an L1 distance —
+# the retrain-trigger signal, computed on O(K_CELLS) rows.
+
+
+def index_cell_histogram(spark: SparkSession, table_dir: str) -> DataFrame:
+    """(cell, n) over the stored vectors — one column-pruned aggregate."""
+    return (
+        read_vectors(spark, table_dir)
+        .select("cell")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def batch_cell_drift(
+    spark: SparkSession, table_dir: str, batch_df: DataFrame
+) -> DataFrame:
+    """One-row report: (batch_vectors, index_vectors, l1_drift,
+    top_cell, top_cell_batch_share). L1 is the t19/vocab_drift
+    discipline — per-cell |b/Nb − p/Np| from exact BIGINT counts,
+    quantized to 1e-6 units before the (K_CELLS-row) sum; 0 = the batch
+    lands exactly like the index, 2 = fully disjoint cells. ``top_cell``
+    is the batch's hottest cell with its share — the skew headline an
+    alert message carries.
+
+    Shape: the batch pays one broadcast centroid assign (identical to the
+    encoder's); the index side is the O(K_CELLS) histogram; everything
+    downstream is K_CELLS rows."""
+    cents_df, _, dim = _load_artifacts(spark, table_dir)
+    base = _normalized(
+        batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ),
+        dim,
+    )
+    b = (
+        _assign_top1(base, cents_df, dim, with_emb=False)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bc"))
+    )
+    p = index_cell_histogram(spark, table_dir).withColumnRenamed("n", "pc")
+    both = b.join(p, "cell", "full_outer").select(
+        "cell",
+        F.coalesce(F.col("bc"), F.lit(0)).alias("bc"),
+        F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
+    )
+    tot = both.agg(
+        F.greatest(F.sum("bc"), F.lit(1)).alias("nb"),
+        F.greatest(F.sum("pc"), F.lit(1)).alias("np"),
+    )
+    diff = F.abs(
+        F.col("bc").cast("double") / F.col("nb")
+        - F.col("pc").cast("double") / F.col("np")
+    )
+    units = both.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "bc",
+        "nb",
+        "np",
+        F.floor(diff * 1e6 + 0.5).cast("bigint").alias("u"),
+    )
+    top = F.max(
+        F.struct(F.col("bc").alias("bc"), (-F.col("cell")).alias("negcell"))
+    ).alias("t")
+    return units.agg(
+        F.max("nb").cast("bigint").alias("batch_vectors"),
+        F.max("np").cast("bigint").alias("index_vectors"),
+        (F.sum("u").cast("double") / F.lit(1e6)).alias("l1_drift"),
+        top,
+    ).select(
+        "batch_vectors",
+        "index_vectors",
+        "l1_drift",
+        (-F.col("t.negcell")).cast("int").alias("top_cell"),
+        (
+            F.col("t.bc").cast("double")
+            / F.col("batch_vectors").cast("double")
+        ).alias("top_cell_batch_share"),
+    )

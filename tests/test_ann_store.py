@@ -166,3 +166,38 @@ def test_real_stream_drive_equals_batch_build(spark, sf_dir, tmp_path):
     assert _rows(AI.pq_search_from_store(spark, stream_t, queries)) == _rows(
         AI.pq_search_from_store(spark, batch_t, queries)
     )
+
+
+def test_batch_cell_drift_zero_for_index_corpus_and_spikes_on_skew(
+    spark, sf_dir, tmp_path
+):
+    """The retrain-trigger monitor: re-scoring the index's own corpus
+    drifts 0.0 (same assignment expression, same distribution); a batch
+    drawn from a single cell drifts hard and names that cell as the
+    hottest."""
+    emb = _emb(spark, sf_dir)
+    table = str(tmp_path / "ann")
+    AI.build_ann_index(spark, table, emb)
+
+    same = AI.batch_cell_drift(spark, table, emb).collect()[0]
+    assert same["batch_vectors"] == same["index_vectors"]
+    assert same["l1_drift"] == 0.0
+
+    # craft a skewed batch: every vector already assigned to ONE cell
+    hist = AI.index_cell_histogram(spark, table).collect()
+    hot = max(hist, key=lambda r: (r["n"], -r["cell"]))["cell"]
+    ids = [
+        r["vec_id"]
+        for r in AI.read_vectors(spark, table)
+        .where(F.col("cell") == hot)
+        .select("vec_id")
+        .collect()
+    ]
+    skewed = emb.where(F.col("vec_id").isin(ids))
+    rep = AI.batch_cell_drift(spark, table, skewed).collect()[0]
+    assert rep["top_cell"] == hot
+    assert rep["top_cell_batch_share"] == 1.0
+    # L1 = (1 - p_hot) + sum_{other cells} p_c = 2 * (1 - p_hot) > 0
+    n_total = sum(r["n"] for r in hist)
+    p_hot = dict((r["cell"], r["n"]) for r in hist)[hot] / n_total
+    assert abs(rep["l1_drift"] - 2 * (1 - p_hot)) < 1e-4
