@@ -2099,6 +2099,10 @@ def _register_d26() -> None:
 
     PREFIX_K = 3
 
+    # NULL-text docs are excluded on BOTH sides: Spark's concat_ws over a
+    # NULL array yields '' (merging NULLs into the empty-prefix family)
+    # while DuckDB's array_to_string yields NULL (its own group) — the
+    # engines only agree if NULL text never reaches the key (ADVICE r10).
     oracle = f"""
     WITH keyed AS (
       SELECT doc_id, source,
@@ -2106,6 +2110,7 @@ def _register_d26() -> None:
                  list_filter(string_split(text, ' '), t -> t <> '')[1:{PREFIX_K}],
                  ' ')) AS pk
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT min(doc_id) AS canonical_doc_id,
            count(*) AS n_docs,
@@ -2118,7 +2123,9 @@ def _register_d26() -> None:
 
     @query("d26_prefix_dedup", oracle=oracle)
     def d26_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
+        d = load_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        )
         keyed = d.select(
             "doc_id",
             "source",

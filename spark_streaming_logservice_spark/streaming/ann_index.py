@@ -102,6 +102,10 @@ def read_codebook(spark: SparkSession, table_dir: str) -> DataFrame:
 
 
 def read_vectors(spark: SparkSession, table_dir: str) -> DataFrame:
+    # refresh the active-lease on the serve path too (ADVICE r10): an app
+    # that attached >_ACTIVE_LEASE_SEC ago but is still querying must not
+    # have its store LRU-evicted out from under the scan by another app
+    _touch(os.path.join(table_dir, _INDEX_MARKER))
     return read_store(spark, _vectors_dir(table_dir), VEC_SCHEMA)
 
 
@@ -191,6 +195,9 @@ def _load_artifacts(spark: SparkSession, table_dir: str):
     codegen cache is shared. IEEE doubles survive the parquet → collect →
     createDataFrame round-trip unchanged."""
     app = spark.sparkContext.applicationId
+    # serving refreshes the active-lease (ADVICE r10): long-lived apps
+    # that query without re-calling ensure_index stay eviction-immune
+    _touch(os.path.join(table_dir, _INDEX_MARKER))
     cdir = os.path.join(_centroids_dir(table_dir), "data")
     try:
         ver = os.stat(cdir).st_mtime_ns
@@ -333,12 +340,16 @@ def _evict_store(table_dir: str) -> None:
         del _INDEX_CACHE[k]
 
 
-# A marker-less dir younger than this is a build possibly IN PROGRESS in
-# another application sharing the root — leave it alone; older, it is a
-# crashed build's leftover. A complete store attached more recently than
-# this may be actively served by another app, so LRU overflow skips it
-# (the root can transiently exceed _MAX_STORES rather than yank parquet
-# files out from under a live query).
+# A marker-less dir with ANY write activity (recursive newest mtime —
+# see _newest_mtime) within this window is a build possibly IN PROGRESS
+# in another application sharing the root — leave it alone; quiet longer,
+# it is a crashed build's leftover. A complete store whose marker was
+# touched more recently than the lease may be actively served by another
+# app, so LRU overflow skips it (the root can transiently exceed
+# _MAX_STORES rather than yank parquet files out from under a live
+# query). The lease refreshes on attach (ensure_index) AND on the serve
+# paths (read_vectors / _load_artifacts), so a long-lived app that only
+# queries stays covered between calls.
 _BUILD_GRACE_SEC = 3600.0
 _ACTIVE_LEASE_SEC = 600.0
 
@@ -352,10 +363,31 @@ def _touch(path: str) -> None:
         pass
 
 
+def _newest_mtime(d: str) -> float:
+    """Newest mtime anywhere under ``d`` (0.0 if nothing is statable).
+    A long build writes DEEP — encode parts land under
+    ``vectors/parts/<shard>/data/`` — while the top-level dir's mtime goes
+    stale as soon as the subdir skeleton exists, so liveness for a
+    marker-less dir must be judged recursively (ADVICE r10: keying
+    build-grace on the top-level mtime alone let a legitimate >1h build be
+    reclaimed mid-build by a concurrent application's eviction)."""
+    newest = 0.0
+    for walk_root, _dirs, files in os.walk(d):
+        for p in [walk_root, *(os.path.join(walk_root, f) for f in files)]:
+            try:
+                m = os.stat(p).st_mtime
+            except OSError:
+                continue
+            if m > newest:
+                newest = m
+    return newest
+
+
 def _evict_lru_stores(root: str, keep_dir: str) -> None:
     """Bound the store root to _MAX_STORES complete stores (LRU by marker
-    mtime — every attach touches the marker); stale half-built leftovers
-    from crashed builds (marker-less, past the build grace period) are
+    mtime — every attach AND every serve-path read touches the marker);
+    stale half-built leftovers from crashed builds (marker-less, with no
+    write activity anywhere in the tree for the build grace period) are
     reclaimed."""
     import time as _time
 
@@ -373,12 +405,14 @@ def _evict_lru_stores(root: str, keep_dir: str) -> None:
         try:
             mtime = os.stat(marker).st_mtime
         except OSError:
-            try:
-                young = now - os.stat(d).st_mtime < _BUILD_GRACE_SEC
-            except OSError:
+            # marker-less: in-progress build or crashed leftover. An
+            # active build keeps SOME file's mtime fresh (parquet parts
+            # stream in), so the recursive newest-mtime is the heartbeat.
+            heartbeat = _newest_mtime(d)
+            if heartbeat == 0.0:
                 continue  # vanished concurrently
-            if not young:  # crashed build: never serveable, reclaim
-                _evict_store(d)
+            if now - heartbeat >= _BUILD_GRACE_SEC:
+                _evict_store(d)  # crashed build: never serveable, reclaim
             continue
         if now - mtime >= _ACTIVE_LEASE_SEC:  # lease expired: evictable
             complete.append((mtime, d))
@@ -1090,4 +1124,47 @@ def batch_cell_drift(
             F.col("t.bc").cast("double")
             / F.col("batch_vectors").cast("double")
         ).alias("top_cell_batch_share"),
+    )
+
+
+def gated_ann_writer(table_dir: str, on_alert, threshold: float = 0.5):
+    """foreachBatch factory wiring :func:`batch_cell_drift` into the
+    index-maintenance path as an ADMISSION GATE (the retrain trigger's
+    last mile, VERDICT r10 item 6): each (vec_id, embedding) micro-batch's
+    cell distribution is scored against the index histogram BEFORE the
+    encode+merge.
+
+    - ``l1_drift >= threshold``: the batch is NOT merged — the frozen
+      centroids no longer describe the incoming distribution, so encoding
+      against them would pile vectors into a few hot cells and erode IVF
+      probe quality. ``on_alert(batch_id, report)`` receives the one-row
+      drift dict (batch_vectors, index_vectors, l1_drift, top_cell,
+      top_cell_batch_share) — the operator's signal to retrain
+      (``build_ann_index`` on the grown corpus) and replay the
+      quarantined range.
+    - Below threshold: exactly :func:`incremental_ann_writer` — one
+      broadcast encode against the frozen artifacts + the
+      O(touched-shards) merge.
+
+    Replay-idempotent via the vectors store's own batch markers (shared
+    with the plain writer — the gate IS the writer plus the gate), so a
+    crash retry neither double-merges nor double-alerts."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        report = batch_cell_drift(spark, table_dir, batch_df).collect()[0]
+        if report["l1_drift"] >= threshold:
+            on_alert(batch_id, report.asDict())
+            return
+        cents_df, cb_df, dim = _load_artifacts(spark, table_dir)
+        _merge_vectors(
+            table_dir,
+            encode_vectors(batch_df, cents_df, cb_df, dim),
+            batch_id=batch_id,
+        )
+
+    return idempotent_foreach_batch(
+        write, os.path.join(_vectors_dir(table_dir), "_markers")
     )

@@ -83,6 +83,16 @@ def _digest_exprs(text_col: str, impl: str) -> list:
     ]
 
 
+def _null_digest_exprs(impl: str) -> list:
+    """Typed NULL digest columns for the NULL-text pass-through rows —
+    NOT the digest exprs over NULL text (md5(NULL) is NULL but xxhash64
+    skips NULL inputs and hashes just the salt, which is exactly the
+    impl divergence the pass-through exists to remove)."""
+    _, dcols, _ = DIGEST_IMPLS[impl]
+    typ = "string" if impl == "md5" else "bigint"
+    return [F.lit(None).cast(typ).alias(d) for d in dcols]
+
+
 def _store_cols(impl: str) -> tuple[str, ...]:
     return DIGEST_IMPLS[impl][2]
 
@@ -150,7 +160,18 @@ def dedup_against_store(
     ``digest_impl=None`` resolves to the store's own pin (legacy md5 for
     pre-pin stores, the default for new stores); passing an impl that
     contradicts an existing store's pin raises — probing md5 files with
-    the xxhash schema would silently report every duplicate as novel."""
+    the xxhash schema would silently report every duplicate as novel.
+
+    NULL-text rows have no content to compare, so they are PASSED THROUGH
+    untouched: always forwarded, never deduplicated (within the batch or
+    against history), never written to the digest store. This is explicit
+    because the two impls would otherwise silently disagree (ADVICE r10):
+    md5(NULL) is NULL — the NULL-keyed anti-join never matches, so md5
+    re-forwards one NULL row per batch — while Spark's xxhash64 SKIPS
+    NULL inputs, hashing just the salt, which would collapse every
+    NULL-text row in history to one. Pass-through makes the semantics
+    impl-independent and loss-free (a pipeline that wants NULLs dropped
+    filters them upstream)."""
     from pyspark.sql.window import Window
 
     spark = batch_df.sparkSession
@@ -163,8 +184,12 @@ def dedup_against_store(
             f"got digest_impl={digest_impl!r}"
         )
     schema, dcols, scols = DIGEST_IMPLS[digest_impl]
-    digested = batch_df.select(
+    digested = batch_df.where(F.col(text_col).isNotNull()).select(
         "*", *_digest_exprs(text_col, digest_impl)
+    )
+    # NULL-text pass-through: forwarded every batch, never stored
+    passthrough = batch_df.where(F.col(text_col).isNull()).select(
+        "*", *_null_digest_exprs(digest_impl)
     )
     # within-batch: keep the lowest id per digest (deterministic winner)
     w = Window.partitionBy(*dcols).orderBy(F.asc(id_col))
@@ -175,7 +200,7 @@ def dedup_against_store(
     )
     files = _store_files(digest_dir)
     if not files:
-        return fresh
+        return fresh.unionByName(passthrough)
     seen = spark.read.schema(schema).parquet(*files)
     hits = seen.join(
         F.broadcast(_to_store(fresh, digest_impl)), list(scols), "left_semi"
@@ -184,7 +209,9 @@ def dedup_against_store(
     for d, s in zip(dcols, scols):
         eq = fresh[d] == hits[s]
         cond = eq if cond is None else (cond & eq)
-    return fresh.join(F.broadcast(hits), cond, "left_anti")
+    return fresh.join(F.broadcast(hits), cond, "left_anti").unionByName(
+        passthrough
+    )
 
 
 def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
@@ -251,9 +278,11 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                 staging = os.path.join(
                     digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
                 )
-                _to_store(novel, digest_impl).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(staging)
+                # NULL-text pass-through rows carry NULL digests and must
+                # never enter the store (they are not dedup state)
+                _to_store(
+                    novel.where(F.col(dcols[0]).isNotNull()), digest_impl
+                ).coalesce(1).write.mode("overwrite").parquet(staging)
                 os.rename(staging, final)
             _span("digests", t0)
             with open(marker, "w") as f:

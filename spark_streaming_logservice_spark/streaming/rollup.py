@@ -224,13 +224,23 @@ def _shard_dirs(table_dir: str) -> list[str]:
     )
 
 
-def store_data_dirs(table_dir: str) -> list[str]:
+def store_data_dirs(table_dir: str, buckets=None) -> list[str]:
     """Readable data dirs of a store in either layout (single or sharded).
     A shard torn between ``rename(data, old)`` and ``rename(tmp, data)`` is
     served from its ``.old`` (read-only heal — the next merge restores it
-    durably)."""
+    durably).
+
+    ``buckets`` (optional collection of partition-value strings) prunes the
+    sharded layout at the DIRECTORY level: only the named shards are
+    listed, so a reader that knows which buckets its keys hash into never
+    opens the others' files. A legacy single-dir store has no shard
+    structure to prune, so the filter is ignored there (correctness over
+    pruning — the caller's row-level predicate still applies)."""
+    want = None if buckets is None else {str(b) for b in buckets}
     dirs = []
     for shard in _shard_dirs(table_dir):
+        if want is not None and os.path.basename(shard) not in want:
+            continue
         data = os.path.join(shard, "data")
         if os.path.exists(data):
             dirs.append(data)
@@ -242,9 +252,13 @@ def store_data_dirs(table_dir: str) -> list[str]:
     return dirs
 
 
-def read_store(spark: SparkSession, table_dir: str, schema: str) -> DataFrame:
-    """The store's current contents under either layout (empty if absent)."""
-    dirs = store_data_dirs(table_dir)
+def read_store(
+    spark: SparkSession, table_dir: str, schema: str, buckets=None
+) -> DataFrame:
+    """The store's current contents under either layout (empty if absent).
+    ``buckets`` prunes a sharded store to the named shard dirs before the
+    scan even lists files — see ``store_data_dirs``."""
+    dirs = store_data_dirs(table_dir, buckets)
     if not dirs:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*dirs)

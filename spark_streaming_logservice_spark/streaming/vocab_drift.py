@@ -79,8 +79,29 @@ def incremental_vocab_writer(table_dir: str):
     return idempotent_foreach_batch(write, os.path.join(table_dir, "_markers"))
 
 
-def read_vocab_profile(spark: SparkSession, table_dir: str) -> DataFrame:
-    return read_store(spark, table_dir, _SCHEMA)
+def read_vocab_profile(
+    spark: SparkSession, table_dir: str, sources=None
+) -> DataFrame:
+    """The accumulated profile; with ``sources`` given, only the shard
+    buckets those sources hash into are even LISTED (directory-level
+    pruning via ``_source_buckets`` — the Python mirror of the merge's
+    ``crc32(source) % N_BUCKETS`` partition expr)."""
+    buckets = None if sources is None else _source_buckets(sources)
+    return read_store(spark, table_dir, _SCHEMA, buckets=buckets)
+
+
+def _source_buckets(sources) -> set[str]:
+    """Shard-bucket ids for a set of source names, computed driver-side.
+    ``zlib.crc32`` over UTF-8 bytes equals Spark's ``F.crc32`` (both are
+    the IEEE CRC-32 of the string's bytes; Python 3 returns it unsigned,
+    matching Spark's non-negative bigint), so this is exactly the bucket
+    the merge's ``partition_expr`` routed each source to —
+    ``tests/test_vocab_drift.py`` pins the Python/Spark agreement."""
+    import zlib
+
+    return {
+        str(zlib.crc32(s.encode("utf-8")) % N_BUCKETS) for s in sources
+    }
 
 
 def batch_drift(
@@ -94,18 +115,29 @@ def batch_drift(
     source absent from the profile scores 1.0 (its whole batch mass is
     novel, with no profile mass to miss).
 
-    Shape: the batch side is batch-sized; the profile side reads only the
-    source buckets the batch touches (bucket filter pushed to the sharded
-    scan via the partition value); the join keys on (source, token) —
-    O(vocabulary) rows, never corpus rows."""
+    Shape: the batch side is batch-sized; the profile side reads ONLY the
+    shard buckets the batch's sources hash into — the bucket ids are
+    computed driver-side (``_source_buckets``, the zlib mirror of the
+    merge's ``crc32(source) % N_BUCKETS``) and passed to ``read_store`` as
+    a directory filter, so untouched buckets are never listed or opened;
+    the residual ``source IN (...)`` predicate then drops same-bucket
+    strangers. The join keys on (source, token) — O(vocabulary) rows,
+    never corpus rows."""
     b = vocab_partials(batch_df, text_col, source_col).withColumnRenamed(
         "c", "bc"
     )
-    prof = read_vocab_profile(spark, table_dir).withColumnRenamed("c", "pc")
-    # restrict the profile to the batch's sources (O(batch sources) list,
-    # collected once — semi-join would also work; the IN-filter keeps the
-    # sharded scan prunable)
-    srcs = [r["source"] for r in b.select("source").distinct().collect()]
+    # the batch's sources (O(batch sources) list, collected once) drive
+    # both the directory-level bucket pruning and the row-level IN-filter
+    # NULL sources can never be in the profile (crc32(NULL) is NULL and
+    # the sharded merge rejects NULL partition values), so drop them here
+    srcs = [
+        r["source"]
+        for r in b.select("source").distinct().collect()
+        if r["source"] is not None
+    ]
+    prof = read_vocab_profile(
+        spark, table_dir, sources=srcs
+    ).withColumnRenamed("c", "pc")
     prof = prof.where(F.col("source").isin(srcs)) if srcs else prof.limit(0)
     both = b.join(prof, ["source", "token"], "full_outer").select(
         "source",
@@ -138,3 +170,70 @@ def batch_drift(
         )
         .orderBy("source")
     )
+
+
+def admission_gate(
+    table_dir: str,
+    forward,
+    on_alert,
+    threshold: float = 0.5,
+    min_profile_tokens: int = 1,
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """foreachBatch factory wiring :func:`batch_drift` into the ingest
+    path as an ADMISSION GATE (the monitor's last mile, VERDICT r10
+    item 6): each micro-batch is scored per source against the
+    accumulated profile BEFORE anything is admitted.
+
+    - Sources with ``l1_drift >= threshold`` are QUARANTINED: their rows
+      are handed to ``on_alert(batch_id, score_rows)`` (each score row is
+      the batch_drift dict: source, batch_tokens, profile_tokens,
+      n_terms, l1_drift) and are neither forwarded downstream nor merged
+      into the profile — a broken crawler must not teach the profile its
+      own breakage.
+    - Clean sources are forwarded via ``forward(clean_df, batch_id)`` and
+      merged into the profile (same bucket-sharded additive merge as
+      :func:`incremental_vocab_writer`).
+    - Bootstrap rule: a source the profile barely knows
+      (``profile_tokens <= min_profile_tokens`` — a never-seen source
+      reads as 1 via the division clamp) is admitted on trust and seeds
+      the profile; drift is only meaningful against history.
+
+    Replay-idempotent through the same batchId-marker protocol as the
+    plain writer (markers under ``<table_dir>/_markers``), so a crash
+    retry neither double-forwards nor double-alerts."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scores = batch_drift(
+            spark, table_dir, batch_df, text_col, source_col
+        ).collect()  # O(batch sources) rows
+        flagged = {
+            r["source"]
+            for r in scores
+            if r["profile_tokens"] > min_profile_tokens
+            and r["l1_drift"] >= threshold
+        }
+        if flagged:
+            on_alert(
+                batch_id,
+                [r.asDict() for r in scores if r["source"] in flagged],
+            )
+            clean = batch_df.where(
+                ~F.col(source_col).isin(sorted(flagged))
+            )
+        else:
+            clean = batch_df
+        forward(clean, batch_id)
+        merge_additive(
+            table_dir,
+            vocab_partials(clean, text_col, source_col),
+            key_cols=["source", "token"],
+            sum_cols=["c"],
+            schema=_SCHEMA,
+            batch_id=batch_id,
+            partition_expr=F.crc32(F.col("source")) % N_BUCKETS,
+        )
+
+    return idempotent_foreach_batch(apply, os.path.join(table_dir, "_markers"))

@@ -201,3 +201,105 @@ def test_batch_cell_drift_zero_for_index_corpus_and_spikes_on_skew(
     n_total = sum(r["n"] for r in hist)
     p_hot = dict((r["cell"], r["n"]) for r in hist)[hot] / n_total
     assert abs(rep["l1_drift"] - 2 * (1 - p_hot)) < 1e-4
+
+
+def test_active_build_with_stale_toplevel_mtime_survives_eviction(tmp_path):
+    """ADVICE r10 (medium): a marker-less build dir whose TOP-LEVEL mtime
+    is past the grace window but whose deep encode parts are still being
+    written (fresh mtimes under vectors/parts/.../data/) is an ACTIVE
+    build — eviction must leave it alone. Only a tree with no write
+    activity anywhere for the full grace period is a crashed leftover."""
+    import time
+
+    root = tmp_path / "annroot"
+    keep = root / "store-keep"
+    os.makedirs(keep)
+    open(os.path.join(keep, AI._INDEX_MARKER), "w").write("[]")
+
+    old = time.time() - AI._BUILD_GRACE_SEC - 60
+    # active long build: stale skeleton, one fresh deep file
+    active = root / "store-A.build-1-abc"
+    deep = active / "vectors" / "parts" / "7" / "data"
+    os.makedirs(deep)
+    open(os.path.join(deep, "part-0.parquet"), "w").write("x")
+    for d in [
+        active,
+        active / "vectors",
+        active / "vectors" / "parts",
+        active / "vectors" / "parts" / "7",
+    ]:
+        os.utime(d, (old, old))  # skeleton mtimes all stale
+    # the deep file keeps its fresh mtime — that's the heartbeat
+
+    # genuinely crashed build: every path stale
+    crashed = root / "store-B.build-2-def"
+    cdeep = crashed / "vectors" / "parts" / "3" / "data"
+    os.makedirs(cdeep)
+    open(os.path.join(cdeep, "part-0.parquet"), "w").write("x")
+    for walk_root, dirs, files in os.walk(crashed):
+        for p in [walk_root] + [os.path.join(walk_root, f) for f in files]:
+            os.utime(p, (old, old))
+
+    AI._evict_lru_stores(str(root), keep_dir=str(keep))
+    assert os.path.isdir(active), "active build was reclaimed mid-build"
+    assert not os.path.exists(crashed), "crashed leftover not reclaimed"
+
+
+def test_serve_paths_refresh_active_lease(spark, sf_dir, tmp_path):
+    """ADVICE r10: read_vectors and _load_artifacts must touch the store
+    marker so an app that attached long ago but is mid-scan keeps its
+    active lease (ensure_index is no longer the only refresher)."""
+    table = str(tmp_path / "ann")
+    AI.build_ann_index(spark, table, _emb(spark, sf_dir))
+    marker = os.path.join(table, AI._INDEX_MARKER)
+    open(marker, "w").write("[]")
+    old = 1_000_000.0
+    os.utime(marker, (old, old))
+    AI.read_vectors(spark, table)
+    assert os.stat(marker).st_mtime > old
+    os.utime(marker, (old, old))
+    AI._ARTIFACT_CACHE.clear()
+    AI._load_artifacts(spark, table)
+    assert os.stat(marker).st_mtime > old
+
+
+def test_gated_ann_writer_blocks_drifting_batch(spark, sf_dir, tmp_path):
+    """End-to-end retrain-trigger gate (VERDICT r10 item 6): an
+    in-distribution batch merges exactly like the plain writer; a batch
+    whose cell distribution has drifted past the threshold is alerted and
+    NOT merged; replaying the alerting batch does not double-alert."""
+    emb = _emb(spark, sf_dir)
+    table = str(tmp_path / "ann")
+    # build from the first half; stream the rest through the gate
+    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 1000))
+    alerts = []
+    gate = AI.gated_ann_writer(
+        table, lambda bid, rep: alerts.append((bid, rep)), threshold=0.5
+    )
+    before = AI.read_vectors(spark, table).count()
+
+    # batch 0: same corpus distribution -> admitted and merged
+    ok_batch = emb.where(
+        (F.col("vec_id") >= 1000) & (F.col("vec_id") < 1500)
+    )
+    gate(ok_batch, 0)
+    mid = AI.read_vectors(spark, table).count()
+    assert alerts == [] and mid == before + ok_batch.count()
+
+    # batch 1: adversarial drift — every vector is the SAME direction, so
+    # the whole batch lands in one cell (top_cell_batch_share 1.0)
+    drifting = emb.where(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.lit(1.0),
+        ).alias("embedding"),
+    )
+    gate(drifting, 1)
+    assert len(alerts) == 1 and alerts[0][0] == 1
+    assert alerts[0][1]["l1_drift"] >= 0.5
+    assert alerts[0][1]["top_cell_batch_share"] == 1.0
+    assert AI.read_vectors(spark, table).count() == mid, "drifting batch merged"
+    # replay: marker short-circuits, no duplicate alert
+    gate(drifting, 1)
+    assert len(alerts) == 1

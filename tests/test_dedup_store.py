@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_streaming_logservice_spark.streaming.dedup_store import (
     dedup_on_ingest,
@@ -227,3 +228,98 @@ def test_legacy_unpinned_store_resolves_md5_not_default(spark, tmp_path):
         store, "text", "doc_id",
     )
     assert sorted(r.doc_id for r in novel2.collect()) == [10]
+
+
+def test_null_text_passes_through_identically_on_both_impls(spark, tmp_path):
+    """NULL-text semantics are explicit and impl-independent (ADVICE r10):
+    without the pass-through, md5(NULL)=NULL re-forwards NULL rows per
+    batch while xxhash64 skips NULL inputs and collapses ALL NULL-text
+    history to one salt-only digest. The contract: NULL-text rows are
+    always forwarded (no content to compare), never deduplicated, and
+    never written to the digest store."""
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        DIGEST_IMPLS,
+        _store_files,
+    )
+
+    batches = [
+        [(1, None), (2, "aa"), (3, None)],
+        [(4, None), (5, "aa"), (6, "bb")],
+    ]
+    for impl in ("md5", "xxhash128"):
+        forwarded, forward = _collector()
+        apply = dedup_on_ingest(
+            forward, str(tmp_path / impl), digest_impl=impl
+        )
+        for i, rows in enumerate(batches):
+            apply(_batch(spark, rows), i)
+        # every NULL row forwarded (both within-batch ones), dups on real
+        # text still suppressed across batches
+        assert forwarded == [
+            (0, [(1, None), (2, "aa"), (3, None)]),
+            (1, [(4, None), (6, "bb")]),
+        ], impl
+        # the store holds only the 2 real digests — no NULL rows
+        schema = DIGEST_IMPLS[impl][0]
+        first_col = DIGEST_IMPLS[impl][2][0]
+        stored = spark.read.schema(schema).parquet(
+            *_store_files(str(tmp_path / impl))
+        )
+        assert stored.count() == 2, impl
+        assert stored.where(F.col(first_col).isNull()).count() == 0, impl
+
+
+def test_compaction_under_continuous_ingest_many_batches(spark, tmp_path):
+    """VERDICT r10 item 7: a long-running ingest appends one dir per batch;
+    compaction must keep working at high file counts on the PINNED
+    xxhash128 path — dedup history intact, replays still no-ops, and a
+    second compaction cycle after further ingest stays correct."""
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        _store_files,
+        compact_digest_store,
+    )
+
+    digest_dir = str(tmp_path / "dg")
+    seen = []
+    ingest = dedup_on_ingest(
+        lambda df, bid: seen.append(
+            sorted(r["doc_id"] for r in df.select("doc_id").collect())
+        ),
+        digest_dir,
+        digest_impl="xxhash128",
+    )
+    # 120 batches, 2 rows each: one always-novel doc + one dup of the
+    # previous batch's novel doc (so every batch exercises the store probe)
+    n_batches = 120
+    for i in range(n_batches):
+        rows = [(2 * i, f"doc-{i}")]
+        if i > 0:
+            rows.append((2 * i + 1, f"doc-{i - 1}"))
+        ingest(_batch(spark, rows), i)
+    assert all(fwd == [2 * i] for i, fwd in enumerate(seen))
+    assert len(_store_files(digest_dir)) == n_batches
+
+    retired = compact_digest_store(spark, digest_dir)
+    assert retired == n_batches
+    assert len(_store_files(digest_dir)) == 1
+
+    # full history survives: every past doc is still suppressed
+    ingest(_batch(spark, [(9000 + i, f"doc-{i}") for i in range(n_batches)]),
+           n_batches)
+    assert seen[-1] == []
+    # replay of an early pre-compaction batch is still a marker no-op
+    before = len(seen)
+    ingest(_batch(spark, [(0, "doc-0")]), 0)
+    assert len(seen) == before
+
+    # second cycle: more ingest on top of the compacted file, compact again
+    for i in range(n_batches + 1, n_batches + 11):
+        ingest(_batch(spark, [(10_000 + i, f"late-{i}"), (20_000 + i, "doc-3")]),
+               i)
+    assert all(fwd == [10_000 + i] for i, fwd in
+               zip(range(n_batches + 1, n_batches + 11), seen[before:]))
+    # 1 compacted + the all-dup batch's empty digest file + 10 new batches
+    assert compact_digest_store(spark, digest_dir) == 12
+    ingest(_batch(spark, [(99_999, "late-121"), (99_998, "never-seen")]),
+           n_batches + 20)
+    assert seen[-1] == [99_998]

@@ -111,3 +111,131 @@ def test_drift_detects_broken_source(spark, tmp_path):
     ).collect()}
     assert out["good"] == 0.0
     assert out["bad"] == 2.0  # disjoint vocabulary: full both-sided mass
+
+
+def test_python_crc32_matches_spark(spark):
+    """The driver-side bucket computation (_source_buckets' zlib.crc32)
+    must route every source to the same bucket as the merge's
+    F.crc32(source) % N_BUCKETS partition expr — otherwise pruning would
+    silently read the wrong shard and score a present source as novel."""
+    import zlib
+
+    names = ["s1", "s2", "good", "bad", "web-crawl.2026", "", "ünïcode ✓"]
+    df = spark.createDataFrame([(n,) for n in names], "source STRING")
+    spark_buckets = {
+        r["source"]: r["b"]
+        for r in df.select(
+            "source", (F.crc32(F.col("source")) % VD.N_BUCKETS).alias("b")
+        ).collect()
+    }
+    for n in names:
+        assert zlib.crc32(n.encode("utf-8")) % VD.N_BUCKETS == spark_buckets[n]
+
+
+def test_drift_scan_reads_only_touched_buckets(spark, tmp_path):
+    """Directory-level pruning (VERDICT r10 item 2): after a many-source
+    profile is laid down, a single-source drift scan's input files must
+    all live under that source's hash bucket — untouched buckets are not
+    even listed."""
+    table = str(tmp_path / "profile")
+    writer = VD.incremental_vocab_writer(table)
+    # 12 sources spread across buckets so most buckets have data to NOT read
+    rows = [(i, f"src{i}", "tok common") for i in range(12)]
+    writer(_docs(spark, rows), 0)
+    probe = _docs(spark, [(99, "src3", "tok tok")])
+    srcs = ["src3"]
+    prof = VD.read_vocab_profile(spark, table, sources=srcs)
+    want = VD._source_buckets(srcs)
+    files = prof.inputFiles()
+    assert files, "pruned scan found no files for a present source"
+    for f in files:
+        bucket = f.split("/parts/")[1].split("/")[0]
+        assert bucket in want, f"scan read untouched bucket {bucket}: {f}"
+    # and the pruned drift score equals the unpruned computation
+    out = VD.batch_drift(spark, table, probe).collect()
+    assert [r["source"] for r in out] == ["src3"]
+    assert out[0]["l1_drift"] == 1.0  # profile 'tok common' vs batch all-'tok'
+
+
+def test_admission_gate_quarantines_drifting_source(spark, tmp_path):
+    """End-to-end gate semantics (VERDICT r10 item 6): a stable source
+    passes and keeps training the profile; a drifting source is alerted
+    and quarantined — not forwarded, not merged — and a replay of the
+    alerting batch neither double-forwards nor double-alerts."""
+    table = str(tmp_path / "profile")
+    forwarded, alerts = [], []
+
+    def forward(df, bid):
+        forwarded.append(
+            (bid, sorted((r["doc_id"], r["source"]) for r in df.collect()))
+        )
+
+    gate = VD.admission_gate(
+        table, forward, lambda bid, rows: alerts.append((bid, rows)),
+        threshold=0.5,
+    )
+    # batch 0: both sources unknown -> bootstrap-admitted, seed the profile
+    gate(_docs(spark, [(1, "good", "w1 w2 w3 w4"), (2, "bad", "w1 w2 w3 w4")]), 0)
+    assert alerts == []
+    assert forwarded[0] == (0, [(1, "good"), (2, "bad")])
+
+    # batch 1: good matches its history; bad's crawler broke
+    gate(
+        _docs(
+            spark,
+            [(3, "good", "w2 w1 w4 w3"), (4, "bad", "ERROR ERROR ERROR ERROR")],
+        ),
+        1,
+    )
+    assert len(alerts) == 1 and alerts[0][0] == 1
+    assert [r["source"] for r in alerts[0][1]] == ["bad"]
+    assert alerts[0][1][0]["l1_drift"] == 2.0
+    assert forwarded[1] == (1, [(3, "good")])
+    # the quarantined rows never taught the profile: bad still means w1..w4
+    prof = {
+        (r["source"], r["token"])
+        for r in VD.read_vocab_profile(spark, table).collect()
+    }
+    assert ("bad", "error") not in prof
+    # replay of the alerting batch is a marker no-op
+    gate(
+        _docs(
+            spark,
+            [(3, "good", "w2 w1 w4 w3"), (4, "bad", "ERROR ERROR ERROR ERROR")],
+        ),
+        1,
+    )
+    assert len(alerts) == 1 and len(forwarded) == 2
+
+
+def test_admission_gate_through_real_stream(spark, tmp_path):
+    """The gate as it deploys: foreachBatch on a live Structured Streaming
+    query — a stable stream raises no alerts end-to-end."""
+    import os as _os
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    _docs(spark, [(1, "s1", "a b a b"), (2, "s2", "x y")]).write.mode(
+        "overwrite"
+    ).json(src)
+    table = str(tmp_path / "profile")
+    forwarded, alerts = [], []
+    q = (
+        spark.readStream.schema("doc_id BIGINT, source STRING, text STRING")
+        .json(src)
+        .writeStream.foreachBatch(
+            VD.admission_gate(
+                table,
+                lambda df, bid: forwarded.append(df.count()),
+                lambda bid, rows: alerts.append((bid, rows)),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(150)
+    assert alerts == [] and sum(forwarded) == 2
+    assert _profile_rows(spark, table) == [
+        ("s1", "a", 2), ("s1", "b", 2), ("s2", "x", 1), ("s2", "y", 1),
+    ]
