@@ -1083,6 +1083,8 @@ def _section_sweep() -> dict:
         "t19_positional_drift",
         "d26_prefix_dedup",
         "v11_char_bigram_entropy",
+        # round 11
+        "p27_dedup_aware_mixture",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run
@@ -1237,6 +1239,16 @@ def _section_sweep() -> dict:
                         "aggregate carries exactly 10x rows on both "
                         "sides (15,000/150,000 -> 150,000/1,500,000); "
                         "~3.5x time on 10x rows is sublinear."
+                    ),
+                    "q33_brand_repeat_share": (
+                        "linear work, saturated cores: the distinct "
+                        "(brand, custkey, orderkey) projection carries "
+                        "554,601 (1x) -> 5,546,010 (10x) rows — exactly "
+                        "10.0x (key-offset replica: no extra cross-brand "
+                        "collisions) — and the (brand, custkey) groups "
+                        "289,583 -> 2,895,830 = 10.0x; ~3.5x time on "
+                        "10.0x rows through the fact-fact join + two "
+                        "keyed aggregates is sublinear."
                     ),
                     "d21_sorted_neighborhood": (
                         "structurally bounded work: SNM candidates are "

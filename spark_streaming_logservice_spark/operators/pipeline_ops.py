@@ -2209,3 +2209,100 @@ def _register_p26() -> None:
 
 
 _register_p26()
+
+
+# --- p27: dedup-aware mixture reweighting --------------------------------------
+# What d24's funnel means for SAMPLING: a source's real contribution to a
+# training mixture is its UNIQUE document mass, not its row count — a
+# crawl that re-serves the same pages 5x should not get 5x the sampling
+# weight. Per source: raw docs, unique docs (exact md5-distinct), the
+# naive row-count share, the dedup-aware unique-mass share, the shift
+# between them (the re-weighting dedup implies), and the duplication
+# factor. Companion to p13 (temperature mixture) and p26 (epoch budget):
+# p27 supplies the deduped base counts those allocations should run on.
+#
+# 100 TB shape: one keyed aggregate where the distinct-count shuffles
+# 16-byte md5 digests, never text (the d01/digest-store discipline); the
+# share math runs on the O(sources) rollup. Exactness: all shares are
+# half-up integer units (1e-6 for shares, 1e-4 for the factor) via
+# DECIMAL(38,0) DIV — headroom past int64 at 100 TB doc counts — mirrored
+# by DuckDB HUGEINT; the shift is an exact integer subtraction, so both
+# engines agree bit-for-bit. NULL text is excluded on both sides (no
+# content, no mixture mass — the d26/digest-store rule).
+
+
+def _register_p27() -> None:
+    oracle = """
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+             CAST(sum(n_unique) AS BIGINT) AS nu
+      FROM src
+    ), u AS (
+      SELECT s.source, s.n_docs, s.n_unique,
+             CAST((CAST(2000000 AS HUGEINT) * s.n_docs + t.nd)
+                  // (2 * t.nd) AS BIGINT) AS r6,
+             CAST((CAST(2000000 AS HUGEINT) * s.n_unique + t.nu)
+                  // (2 * t.nu) AS BIGINT) AS u6,
+             CAST((CAST(20000 AS HUGEINT) * s.n_docs + s.n_unique)
+                  // (2 * s.n_unique) AS BIGINT) AS dr4
+      FROM src s CROSS JOIN tot t
+    )
+    SELECT source, n_docs, n_unique,
+           CAST(r6 AS DOUBLE) / 1e6 AS raw_share,
+           CAST(u6 AS DOUBLE) / 1e6 AS unique_share,
+           CAST(u6 - r6 AS DOUBLE) / 1e6 AS share_shift,
+           CAST(dr4 AS DOUBLE) / 1e4 AS dup_factor
+    FROM u ORDER BY source
+    """
+
+    @query("p27_dedup_aware_mixture", oracle=oracle)
+    def p27_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        )
+        src = d.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # distinct over the 128-bit digest: the shuffle carries 16-byte
+            # keys, never document text
+            F.countDistinct(F.md5(F.col("text")))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        tot = src.agg(
+            F.sum("n_docs").cast("bigint").alias("nd"),
+            F.sum("n_unique").cast("bigint").alias("nu"),
+        )
+        units = src.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.expr(
+                "(2000000 * CAST(n_docs AS DECIMAL(38,0)) + nd) DIV (2 * nd)"
+            ).alias("r6"),
+            F.expr(
+                "(2000000 * CAST(n_unique AS DECIMAL(38,0)) + nu) "
+                "DIV (2 * nu)"
+            ).alias("u6"),
+            F.expr(
+                "(20000 * CAST(n_docs AS DECIMAL(38,0)) + n_unique) "
+                "DIV (2 * n_unique)"
+            ).alias("dr4"),
+        )
+        return units.select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("r6").cast("double") / F.lit(1e6)).alias("raw_share"),
+            (F.col("u6").cast("double") / F.lit(1e6)).alias("unique_share"),
+            ((F.col("u6") - F.col("r6")).cast("double") / F.lit(1e6)).alias(
+                "share_shift"
+            ),
+            (F.col("dr4").cast("double") / F.lit(1e4)).alias("dup_factor"),
+        ).orderBy("source")
+
+
+_register_p27()
