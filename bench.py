@@ -428,6 +428,67 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         "sec": round(dt, 3),
         "rows_per_sec": round(n_seg * seg_rows / dt, 1),
     }
+
+    # Drift admission gate (r11): what the per-batch BEFORE-admission
+    # scoring costs on top of the plain profile merge, and what the
+    # driver-side bucket pruning saves the scoring scan. Same 4-batch
+    # best-of-2 discipline as the sections above.
+    from spark_streaming_logservice_spark.streaming import vocab_drift as VD
+
+    vdocs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_vdocs = vdocs.count()
+    plain_dt = gated_dt = None
+    for p in range(2):
+        table = os.path.join(tmp_root, f"vocab-plain-{p}")
+        shutil.rmtree(table, ignore_errors=True)
+        writer = VD.incremental_vocab_writer(table)
+        t0 = _t.perf_counter()
+        for b in range(n_batches):
+            writer(vdocs.where(F.col("doc_id") % n_batches == b), b)
+        d1 = _t.perf_counter() - t0
+        plain_dt = d1 if plain_dt is None else min(plain_dt, d1)
+
+        gtable = os.path.join(tmp_root, f"vocab-gated-{p}")
+        shutil.rmtree(gtable, ignore_errors=True)
+        gate = VD.admission_gate(
+            gtable,
+            lambda df, bid: df.count(),
+            lambda bid, rows: None,
+        )
+        t0 = _t.perf_counter()
+        for b in range(n_batches):
+            gate(vdocs.where(F.col("doc_id") % n_batches == b), b)
+        d1 = _t.perf_counter() - t0
+        gated_dt = d1 if gated_dt is None else min(gated_dt, d1)
+    # bucket pruning: a single-source drift scan lists only that source's
+    # hash bucket; the unpruned profile read lists every populated bucket
+    one_src = vdocs.select("source").first()["source"]
+    files_all = len(VD.read_vocab_profile(spark, gtable).inputFiles())
+    files_pruned = len(
+        VD.read_vocab_profile(spark, gtable, sources=[one_src]).inputFiles()
+    )
+    out["vocab_gate"] = {
+        "rows": n_vdocs,
+        "batches": n_batches,
+        "runs": 2,
+        "agg": "min",
+        "plain_writer_sec": round(plain_dt, 3),
+        "gated_sec": round(gated_dt, 3),
+        "gate_overhead_sec_per_batch": round(
+            (gated_dt - plain_dt) / n_batches, 3
+        ),
+        "scan_files_unpruned": files_all,
+        "scan_files_single_source": files_pruned,
+        "note": (
+            "gate = batch_drift scoring (O(vocabulary) full-outer join vs "
+            "the bucket-pruned profile + O(sources) collect) + the "
+            "downstream forward, on top of the same sharded merge; the "
+            "file counts show the directory-level pruning a one-source "
+            "batch gets (profile dirs LISTED, not just row-filtered)"
+        ),
+    }
     return out
 
 
@@ -1516,6 +1577,14 @@ def main() -> None:
     try:
         with open(os.path.join(here, "SCALE100.json")) as f:
             out["scale100"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+    # Same for the quiet-host re-measure ledger (one-off best-of-N runs
+    # on an otherwise-idle host, used to separate real per-query
+    # regressions from loaded-host noise).
+    try:
+        with open(os.path.join(here, "QUIET_HOST.json")) as f:
+            out["quiet_host_checks"] = json.load(f)
     except (OSError, ValueError):
         pass
     try:

@@ -782,6 +782,7 @@ BNLJ_OK = {
     "m09_image_ahash_neardup", "p11_neyman_allocation",
     "p13_temperature_mixture", "p14_group_split", "p17_leakage_free_split",
     "p26_epoch_allocation",  # 1-row (budget, n_sources) aggregate broadcast
+    "p27_dedup_aware_mixture",  # 1-row (nd, nu) totals aggregate broadcast
     "q11_semi_anti_join", "q20_set_operations", "q22_balance_no_orders",
     "l25_hll_cardinality",  # scope x 64-register scaffold: O(types)-row cross join
     "l28_shard_balance",    # 1-row Gini + 1-row total aggregate broadcasts
