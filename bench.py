@@ -455,7 +455,7 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
         gate = VD.admission_gate(
             gtable,
             lambda df, bid: df.count(),
-            lambda bid, rows: None,
+            lambda bid, rows, qdf: None,
         )
         t0 = _t.perf_counter()
         for b in range(n_batches):

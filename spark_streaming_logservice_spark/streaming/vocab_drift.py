@@ -49,12 +49,18 @@ def vocab_partials(
     df: DataFrame, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:
     """(source, token, c) for one batch — row-local tokenize (the t19/t18
-    whitespace tokenizer) + one map-side-combined count."""
+    whitespace tokenizer) + one map-side-combined count. NULL-source rows
+    are excluded: the profile is keyed and hash-sharded on the source
+    name, so a NULL source has no bucket (crc32(NULL) is NULL and the
+    sharded merge rejects NULL partition values) — without this filter a
+    single NULL-source row would crash the merge and wedge the stream on
+    that batch forever."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
     )
     return (
-        df.select(F.col(source_col).alias("source"), F.explode(toks).alias("token"))
+        df.where(F.col(source_col).isNotNull())
+        .select(F.col(source_col).alias("source"), F.explode(toks).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
@@ -186,12 +192,14 @@ def admission_gate(
     item 6): each micro-batch is scored per source against the
     accumulated profile BEFORE anything is admitted.
 
-    - Sources with ``l1_drift >= threshold`` are QUARANTINED: their rows
-      are handed to ``on_alert(batch_id, score_rows)`` (each score row is
-      the batch_drift dict: source, batch_tokens, profile_tokens,
-      n_terms, l1_drift) and are neither forwarded downstream nor merged
-      into the profile — a broken crawler must not teach the profile its
-      own breakage.
+    - Sources with ``l1_drift >= threshold`` are QUARANTINED:
+      ``on_alert(batch_id, score_rows, quarantined_df)`` receives the
+      batch_drift score dicts (source, batch_tokens, profile_tokens,
+      n_terms, l1_drift) AND the flagged rows themselves — the recovery
+      handle; stage them durably if a false positive must be replayable,
+      because the source checkpoint advances past this batch. Flagged
+      rows are neither forwarded downstream nor merged into the profile —
+      a broken crawler must not teach the profile its own breakage.
     - Clean sources are forwarded via ``forward(clean_df, batch_id)`` and
       merged into the profile (same bucket-sharded additive merge as
       :func:`incremental_vocab_writer`).
@@ -199,10 +207,16 @@ def admission_gate(
       (``profile_tokens <= min_profile_tokens`` — a never-seen source
       reads as 1 via the division clamp) is admitted on trust and seeds
       the profile; drift is only meaningful against history.
+    - NULL-source rows cannot be profiled or scored (the profile is
+      keyed and hash-sharded on the source name); they are always
+      forwarded, never merged — the dedup store's NULL-text posture.
 
-    Replay-idempotent through the same batchId-marker protocol as the
-    plain writer (markers under ``<table_dir>/_markers``), so a crash
-    retry neither double-forwards nor double-alerts."""
+    Crash contract (the dedup store's, NOT stronger): the batch marker
+    under ``<table_dir>/_markers`` makes replay of a COMPLETED batch a
+    no-op, but a crash after ``forward``/``on_alert`` and before the
+    marker re-runs both on replay — downstream and alerting must
+    tolerate redelivery, exactly as ``dedup_on_ingest`` requires of its
+    ``forward``."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -219,9 +233,13 @@ def admission_gate(
             on_alert(
                 batch_id,
                 [r.asDict() for r in scores if r["source"] in flagged],
+                batch_df.where(F.col(source_col).isin(sorted(flagged))),
             )
+            # NULL sources are unscoreable pass-through, never quarantined
+            # (a bare NOT IN would silently drop them: NULL isin = NULL)
             clean = batch_df.where(
-                ~F.col(source_col).isin(sorted(flagged))
+                F.col(source_col).isNull()
+                | ~F.col(source_col).isin(sorted(flagged))
             )
         else:
             clean = batch_df

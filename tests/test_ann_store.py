@@ -270,24 +270,29 @@ def test_gated_ann_writer_blocks_drifting_batch(spark, sf_dir, tmp_path):
     NOT merged; replaying the alerting batch does not double-alert."""
     emb = _emb(spark, sf_dir)
     table = str(tmp_path / "ann")
-    # build from the first half; stream the rest through the gate
-    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 1000))
+    # the sf0.001 corpus is vec_id 0..499: build from the first 300,
+    # stream the rest through the gate
+    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 300))
+    AI._CELL_HIST_CACHE.clear()
     alerts = []
     gate = AI.gated_ann_writer(
-        table, lambda bid, rep: alerts.append((bid, rep)), threshold=0.5
+        table,
+        lambda bid, rep, df: alerts.append((bid, rep, df.count())),
+        threshold=0.5,
     )
     before = AI.read_vectors(spark, table).count()
 
     # batch 0: same corpus distribution -> admitted and merged
     ok_batch = emb.where(
-        (F.col("vec_id") >= 1000) & (F.col("vec_id") < 1500)
-    )
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 458)
+    )  # 158 rows >= the 8*K_CELLS=128 scoring floor
     gate(ok_batch, 0)
     mid = AI.read_vectors(spark, table).count()
     assert alerts == [] and mid == before + ok_batch.count()
 
     # batch 1: adversarial drift — every vector is the SAME direction, so
-    # the whole batch lands in one cell (top_cell_batch_share 1.0)
+    # the whole batch lands in one cell (top_cell_batch_share 1.0); the
+    # alert carries the batch itself (the recovery handle)
     drifting = emb.where(F.col("vec_id") < 200).select(
         (F.col("vec_id") + 100_000).alias("vec_id"),
         F.transform(
@@ -299,7 +304,48 @@ def test_gated_ann_writer_blocks_drifting_batch(spark, sf_dir, tmp_path):
     assert len(alerts) == 1 and alerts[0][0] == 1
     assert alerts[0][1]["l1_drift"] >= 0.5
     assert alerts[0][1]["top_cell_batch_share"] == 1.0
+    assert alerts[0][2] == 200, "alert must hand over the quarantined rows"
     assert AI.read_vectors(spark, table).count() == mid, "drifting batch merged"
     # replay: marker short-circuits, no duplicate alert
     gate(drifting, 1)
     assert len(alerts) == 1
+
+    # batch 2: a 10-vector in-distribution trickle — far fewer vectors
+    # than populated cells, so its L1 floor exceeds any sane threshold;
+    # the min_batch_vectors clamp must admit it without scoring
+    trickle = emb.where(
+        (F.col("vec_id") >= 458) & (F.col("vec_id") < 468)
+    )
+    gate(trickle, 2)
+    assert len(alerts) == 1, "small in-distribution batch was quarantined"
+    assert AI.read_vectors(spark, table).count() == mid + 10
+
+
+def test_gate_python_l1_matches_spark_batch_cell_drift(spark, sf_dir, tmp_path):
+    """The gate scores drift driver-side from cached histograms; the math
+    must equal the Spark batch_cell_drift path bit-for-bit (same IEEE
+    divisions, same 1e-6 half-up quantization, same top-cell tie-break)."""
+    emb = _emb(spark, sf_dir)
+    table = str(tmp_path / "ann")
+    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 300))
+    batch = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 458))
+    spark_rep = AI.batch_cell_drift(spark, table, batch).collect()[0].asDict()
+
+    cents_df, cb_df, dim = AI._load_artifacts(spark, table)
+    enc = AI.encode_vectors(batch, cents_df, cb_df, dim)
+    bc = {
+        r["cell"]: r["n"]
+        for r in enc.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    pc = {
+        r["cell"]: r["n"]
+        for r in AI.index_cell_histogram(spark, table).collect()
+    }
+    py_rep = AI._l1_cell_drift(bc, pc)
+    assert py_rep["batch_vectors"] == spark_rep["batch_vectors"]
+    assert py_rep["index_vectors"] == spark_rep["index_vectors"]
+    assert py_rep["l1_drift"] == spark_rep["l1_drift"]
+    assert py_rep["top_cell"] == spark_rep["top_cell"]
+    assert py_rep["top_cell_batch_share"] == spark_rep["top_cell_batch_share"]

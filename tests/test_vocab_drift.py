@@ -171,7 +171,11 @@ def test_admission_gate_quarantines_drifting_source(spark, tmp_path):
         )
 
     gate = VD.admission_gate(
-        table, forward, lambda bid, rows: alerts.append((bid, rows)),
+        table,
+        forward,
+        lambda bid, rows, qdf: alerts.append(
+            (bid, rows, sorted(r["doc_id"] for r in qdf.collect()))
+        ),
         threshold=0.5,
     )
     # batch 0: both sources unknown -> bootstrap-admitted, seed the profile
@@ -190,6 +194,7 @@ def test_admission_gate_quarantines_drifting_source(spark, tmp_path):
     assert len(alerts) == 1 and alerts[0][0] == 1
     assert [r["source"] for r in alerts[0][1]] == ["bad"]
     assert alerts[0][1][0]["l1_drift"] == 2.0
+    assert alerts[0][2] == [4], "alert must hand over the quarantined rows"
     assert forwarded[1] == (1, [(3, "good")])
     # the quarantined rows never taught the profile: bad still means w1..w4
     prof = {
@@ -227,7 +232,7 @@ def test_admission_gate_through_real_stream(spark, tmp_path):
             VD.admission_gate(
                 table,
                 lambda df, bid: forwarded.append(df.count()),
-                lambda bid, rows: alerts.append((bid, rows)),
+                lambda bid, rows, qdf: alerts.append((bid, rows)),
             )
         )
         .option("checkpointLocation", str(tmp_path / "ck"))
@@ -239,3 +244,42 @@ def test_admission_gate_through_real_stream(spark, tmp_path):
     assert _profile_rows(spark, table) == [
         ("s1", "a", 2), ("s1", "b", 2), ("s2", "x", 1), ("s2", "y", 1),
     ]
+
+
+def test_null_source_rows_pass_through_and_never_crash_the_merge(
+    spark, tmp_path
+):
+    """A NULL-source row has no profile bucket (crc32(NULL) is NULL, the
+    sharded merge rejects NULL partition values): the plain writer and
+    the gate must both skip it in the merge instead of wedging the
+    stream, and the gate must still FORWARD it — even when other sources
+    are being quarantined (a bare NOT-IN filter would NULL it away)."""
+    table = str(tmp_path / "plain")
+    writer = VD.incremental_vocab_writer(table)
+    writer(_docs(spark, [(1, None, "x y"), (2, "s1", "a b")]), 0)
+    assert _profile_rows(spark, table) == [("s1", "a", 1), ("s1", "b", 1)]
+
+    gtable = str(tmp_path / "gated")
+    forwarded, alerts = [], []
+    gate = VD.admission_gate(
+        gtable,
+        lambda df, bid: forwarded.append(
+            sorted((r["doc_id"], r["source"]) for r in df.collect())
+        ),
+        lambda bid, rows, qdf: alerts.append(bid),
+        threshold=0.5,
+    )
+    gate(_docs(spark, [(1, "good", "w1 w2 w3 w4"), (2, None, "x y")]), 0)
+    assert forwarded[0] == [(1, "good"), (2, None)]
+    # batch 1 quarantines 'good'; the NULL-source row must STILL forward
+    gate(
+        _docs(
+            spark,
+            [(3, "good", "ERROR ERROR ERROR ERROR"), (4, None, "z")],
+        ),
+        1,
+    )
+    assert alerts == [1]
+    assert forwarded[1] == [(4, None)]
+    prof = {r[0] for r in _profile_rows(spark, gtable)}
+    assert prof == {"good"}, "NULL source must never enter the profile"
