@@ -560,6 +560,44 @@ def _ann_store_bench(spark, tmp_root: str, sf_dir: str) -> dict:
         "query. Store-served results are bit-identical to train-inline "
         "(s24/s25 share s05/s07's full-pipeline oracles)."
     )
+
+    # Admission-gate price (VERDICT r10 item 6 follow-up): the SAME
+    # in-distribution batch merged through the ungated incremental writer
+    # vs the drift-gated one. The gate's marginal work is one O(K_CELLS)
+    # cell-count collect + a driver-side L1 — plus, on the FIRST batch of
+    # an application, the one-time index-histogram read (cached after).
+    batch = emb.where(F.col("vec_id") % 2 == 0)
+    gate: dict = {"batch_vectors": batch.count()}
+    best = None
+    for rep in range(2):
+        tgt = os.path.join(tmp_root, f"ann-ungated-{rep}")
+        shutil.rmtree(tgt, ignore_errors=True)
+        shutil.copytree(ann_dir, tgt)
+        w = AI.incremental_ann_writer(tgt)
+        t0 = _t.perf_counter()
+        w(batch, 900 + rep)
+        dt = _t.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    gate["merge_ungated_sec"] = round(best, 3)
+    tgt = os.path.join(tmp_root, "ann-gated")
+    shutil.rmtree(tgt, ignore_errors=True)
+    shutil.copytree(ann_dir, tgt)
+    alerts: list = []
+    wg = AI.gated_ann_writer(tgt, on_alert=lambda bid, rep_, df: alerts.append(bid))
+    t0 = _t.perf_counter()
+    wg(batch, 910)  # cold: pays the one-time histogram read
+    gate["merge_gated_cold_sec"] = round(_t.perf_counter() - t0, 3)
+    t0 = _t.perf_counter()
+    wg(batch.withColumn("vec_id", F.col("vec_id") + 1_000_000), 911)
+    gate["merge_gated_warm_sec"] = round(_t.perf_counter() - t0, 3)
+    gate["alerts"] = alerts  # [] = both batches in-distribution, admitted
+    gate["note"] = (
+        "same batch, same store copy: ungated merge vs drift-gated merge; "
+        "cold pays the once-per-application index-histogram read, warm is "
+        "the steady-state per-batch gate price (encode's own cell counts "
+        "collected at O(K_CELLS) + driver L1)"
+    )
+    out["admission_gate"] = gate
     return out
 
 

@@ -157,18 +157,34 @@ def _merge_vectors(table_dir: str, enc: DataFrame, batch_id: int | None) -> None
     )
 
 
-def build_ann_index(spark: SparkSession, table_dir: str, emb: DataFrame) -> None:
+def build_ann_index(
+    spark: SparkSession,
+    table_dir: str,
+    emb: DataFrame,
+    extra_train: DataFrame | None = None,
+) -> None:
     """Train (bounded id-prefix sample, deterministic Lloyd — identical to
     the s05/s07 inline pipelines) and bulk-encode ``emb`` (vec_id,
     embedding) into the store. Frozen artifacts publish via the two-phase
-    swap; the encoded corpus merges through the sharded store."""
+    swap; the encoded corpus merges through the sharded store.
+
+    ``extra_train``: optional additional (vec_id, embedding) rows unioned
+    into the TRAINING sample only (the encode still covers ``emb`` as
+    given). The retrain path uses it to pull quarantined out-of-
+    distribution rows into Lloyd's view — drift usually arrives under
+    HIGH vec_ids, which the id-prefix sample rule alone would never see,
+    so a retrain without it would reproduce the very centroids that
+    triggered the alert. With ``extra_train=None`` the sample (and thus
+    the artifacts) is bit-identical to prior builds."""
     dim = emb.limit(1).select(F.size("embedding").alias("d")).first()["d"]
-    sample = _normalized(
-        emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS).select(
-            "vec_id", F.col("embedding").alias("emb")
-        ),
-        dim,
-    ).localCheckpoint(eager=True)
+    train_src = emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    if extra_train is not None:
+        train_src = train_src.unionByName(
+            extra_train.select("vec_id", F.col("embedding").alias("emb"))
+        ).dropDuplicates(["vec_id"])
+    sample = _normalized(train_src, dim).localCheckpoint(eager=True)
     cents_df = _centroids_df(
         spark, train_centroids(sample, dim, K_CELLS, N_ITERS)
     )
@@ -1216,9 +1232,27 @@ def gated_ann_writer(
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
                 .collect()  # K_CELLS rows at most
             }
-            key = (spark.sparkContext.applicationId, os.path.realpath(table_dir))
+            # key carries the artifact VERSION (same rule as
+            # _ARTIFACT_CACHE): a retrain renumbers cells, so a histogram
+            # cached against the old centroids must never score a batch
+            # encoded against the new ones
+            cdir = os.path.join(_centroids_dir(table_dir), "data")
+            try:
+                ver = os.stat(cdir).st_mtime_ns
+            except OSError:
+                ver = None
+            key = (
+                spark.sparkContext.applicationId,
+                os.path.realpath(table_dir),
+                ver,
+            )
             cached = _CELL_HIST_CACHE.get(key)
             if cached is None:
+                # drop histograms for superseded versions of this store
+                for k in [
+                    k for k in _CELL_HIST_CACHE if k[1] == key[1] and k != key
+                ]:
+                    del _CELL_HIST_CACHE[k]
                 cached = {
                     "hist": {
                         r["cell"]: r["n"]
@@ -1245,3 +1279,118 @@ def gated_ann_writer(
     return idempotent_foreach_batch(
         write, os.path.join(_vectors_dir(table_dir), "_markers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quarantine recovery: the other half of the admission gate. The gate's
+# docstring promises the operator a recovery recipe — "stage it durably,
+# retrain on the grown corpus, re-ingest under NEW batch ids". These two
+# functions ARE that recipe, so the promise is code, not prose.
+# ---------------------------------------------------------------------------
+
+
+def quarantine_stager(quarantine_dir: str):
+    """``on_alert`` callback for :func:`gated_ann_writer` that stages each
+    rejected batch durably: ``quarantine_dir/batch-<id>/`` parquet,
+    overwrite mode — alert redelivery (crash after alert, before the
+    batch marker) restages the same rows onto themselves, idempotent."""
+
+    def stage(batch_id: int, report: dict, batch_df: DataFrame) -> None:
+        (
+            batch_df.select("vec_id", "embedding")
+            .write.mode("overwrite")
+            .parquet(os.path.join(quarantine_dir, f"batch-{batch_id}"))
+        )
+
+    return stage
+
+
+def read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+    """All staged (vec_id, embedding) rows, empty frame if none staged."""
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    if not os.path.isdir(quarantine_dir):
+        return spark.createDataFrame([], schema)
+    dirs = sorted(
+        os.path.join(quarantine_dir, d)
+        for d in os.listdir(quarantine_dir)
+        if d.startswith("batch-")
+    )
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def retrain_from_quarantine(
+    spark: SparkSession, table_dir: str, quarantine_dir: str
+) -> int:
+    """Retrain the index on the GROWN corpus (stored vectors + staged
+    quarantine) and atomically publish, re-ingesting the staged rows in
+    the same stroke. Returns the number of distinct staged vectors folded
+    in (0 = nothing staged, store untouched).
+
+    Mechanics, in crash order:
+
+    1. heal: a prior crash between the two publish renames leaves
+       ``<table>.retrain-old`` but no ``<table>`` — rename it back (the
+       old store is internally consistent: artifacts + vectors trained
+       together).
+    2. rebuild into ``<table>.retrain``: ``build_ann_index`` on
+       stored-vectors ∪ staged, with a bounded deterministic id-stride
+       sample of the STAGED rows passed as ``extra_train`` — the drifted
+       distribution must reach Lloyd or the retrain reproduces the very
+       centroids that alerted (the id-prefix rule never sees high-id
+       drift). Everything re-encodes against the NEW artifacts; a crash
+       here leaves the live store untouched.
+    3. carry the batch markers over, so batch ids completed (or
+       quarantined — the gate writes their marker too) before the retrain
+       stay replay-no-ops after it.
+    4. publish: whole-dir double rename. Swapping per-component instead
+       could tear into NEW centroids over OLD encodings — a store that
+       serves wrong cells; whole-dir keeps every intermediate state
+       self-consistent. Serving caches self-invalidate (both
+       ``_ARTIFACT_CACHE`` and the gate's ``_CELL_HIST_CACHE`` key on the
+       centroids-dir version).
+    5. clear the quarantine. A crash between 4 and 5 re-folds the staged
+       rows on the next call — vec_id dedup makes that a wasteful no-op,
+       never a corruption.
+
+    Single retrainer per store, same assumption the gate already makes;
+    content-keyed ``ensure_index`` stores are immutable by construction
+    and are never retrained in place."""
+    import shutil
+
+    old = table_dir + ".retrain-old"
+    if not os.path.exists(table_dir) and os.path.exists(old):
+        os.rename(old, table_dir)  # heal a torn publish
+    shutil.rmtree(old, ignore_errors=True)
+    staging = table_dir + ".retrain"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    staged = read_quarantine(spark, quarantine_dir).dropDuplicates(["vec_id"])
+    n_staged = staged.count()
+    if n_staged == 0:
+        return 0
+    corpus = (
+        read_vectors(spark, table_dir)
+        .select("vec_id", F.col("emb").alias("embedding"))
+        .unionByName(staged)
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    # bounded deterministic stride sample of the staged rows for training
+    stride = max(1, -(-n_staged // TRAIN_SAMPLE_IDS))
+    extra = staged.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+    build_ann_index(spark, staging, corpus, extra_train=extra)
+
+    mk_old = os.path.join(_vectors_dir(table_dir), "_markers")
+    mk_new = os.path.join(_vectors_dir(staging), "_markers")
+    if os.path.isdir(mk_old):
+        os.makedirs(mk_new, exist_ok=True)
+        for m in os.listdir(mk_old):
+            shutil.copy2(os.path.join(mk_old, m), os.path.join(mk_new, m))
+
+    os.rename(table_dir, old)
+    os.rename(staging, table_dir)
+    shutil.rmtree(old)
+    shutil.rmtree(quarantine_dir, ignore_errors=True)
+    return n_staged

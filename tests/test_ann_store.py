@@ -349,3 +349,82 @@ def test_gate_python_l1_matches_spark_batch_cell_drift(spark, sf_dir, tmp_path):
     assert py_rep["l1_drift"] == spark_rep["l1_drift"]
     assert py_rep["top_cell"] == spark_rep["top_cell"]
     assert py_rep["top_cell_batch_share"] == spark_rep["top_cell_batch_share"]
+
+
+def test_quarantine_retrain_recovery_loop(spark, sf_dir, tmp_path):
+    """The recovery half of the admission gate (the gate docstring's
+    recipe, now code): drifting batch -> staged durably -> retrain on the
+    grown corpus -> staged rows re-ingested, markers carried over, and a
+    batch drawn from the GROWN distribution is admitted where the gate's
+    stale view would have spuriously quarantined it (which also proves
+    the cell-histogram cache re-keys on the new artifact version)."""
+    emb = _emb(spark, sf_dir)
+    table = str(tmp_path / "ann")
+    qdir = str(tmp_path / "quarantine")
+    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 300))
+    AI._CELL_HIST_CACHE.clear()
+    gate = AI.gated_ann_writer(table, AI.quarantine_stager(qdir), threshold=0.5)
+
+    ok_batch = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 458))
+    gate(ok_batch, 0)  # in-distribution: merged
+
+    ones = emb.where(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")), lambda i: F.lit(1.0)
+        ).alias("embedding"),
+    )
+    gate(ones, 1)  # adversarial drift: alerted, staged, NOT merged
+    assert AI.read_vectors(spark, table).count() == 458
+    assert AI.read_quarantine(spark, qdir).count() == 200
+    # alert redelivery (crash before marker): restages onto itself
+    AI.quarantine_stager(qdir)(1, {}, ones)
+    assert AI.read_quarantine(spark, qdir).count() == 200
+
+    n = AI.retrain_from_quarantine(spark, table, qdir)
+    assert n == 200
+    vecs = AI.read_vectors(spark, table)
+    assert vecs.count() == 658, "staged rows re-ingested with the corpus"
+    assert vecs.where(F.col("vec_id") >= 100_000).count() == 200
+    assert not os.path.exists(qdir) or not os.listdir(qdir)
+
+    # quarantined batch id replays as a no-op: markers survived the swap
+    gate(ones, 1)
+    assert AI.read_vectors(spark, table).count() == 658
+    assert AI.read_quarantine(spark, qdir).count() == 0, "replay re-alerted"
+
+    # a batch mirroring the GROWN distribution (proportional stride
+    # sample of the new corpus under fresh ids) must now be admitted —
+    # with the pre-retrain histogram (stale cache or stale artifacts) its
+    # one-third ones-mass would cram into a single old cell and alert
+    grown = vecs.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.col("emb").alias("embedding"),
+    )
+    assert grown.count() >= 8 * AI.K_CELLS  # above the scoring floor
+    gate(grown, 2)
+    assert AI.read_quarantine(spark, qdir).count() == 0, "grown-dist alerted"
+    assert AI.read_vectors(spark, table).count() == 658 + grown.count()
+
+
+def test_retrain_with_empty_quarantine_is_untouched_noop(
+    spark, sf_dir, tmp_path
+):
+    emb = _emb(spark, sf_dir)
+    table = str(tmp_path / "ann")
+    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 200))
+    before = os.stat(os.path.join(table, "centroids", "data")).st_mtime_ns
+    assert AI.retrain_from_quarantine(spark, table, str(tmp_path / "q")) == 0
+    assert os.stat(os.path.join(table, "centroids", "data")).st_mtime_ns == before
+
+
+def test_retrain_heals_torn_publish(spark, sf_dir, tmp_path):
+    """Crash between the two publish renames leaves only <table>.retrain-old;
+    the next retrain call must restore the (self-consistent) old store."""
+    emb = _emb(spark, sf_dir)
+    table = str(tmp_path / "ann")
+    AI.build_ann_index(spark, table, emb.where(F.col("vec_id") < 200))
+    os.rename(table, table + ".retrain-old")
+    assert AI.retrain_from_quarantine(spark, table, str(tmp_path / "q")) == 0
+    assert os.path.isdir(os.path.join(table, "centroids"))
+    assert AI.read_vectors(spark, table).count() == 200

@@ -386,3 +386,25 @@ def test_served_incidents_equal_batch_l29(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert served == batch and len(served) > 0
+
+
+def test_bucket_filter_ignored_on_legacy_single_dir_store(spark, tmp_path):
+    """A legacy single-dir store has no shard structure to prune, so a
+    ``buckets=`` filter must be IGNORED there (correctness over pruning) —
+    the full store comes back, never an empty frame that would make a
+    drift score silently treat history as absent."""
+    table = str(tmp_path / "rollup")
+    jan = _batch(spark, [("2024-01-05 10:00:10", "click")] * 3)
+    # legacy layout: merge without partition_expr writes table/data
+    R.merge_additive(
+        table, R.minute_partials(jan), key_cols=["bucket"],
+        sum_cols=["n_events", "n_errors"], schema=R._SCHEMA, batch_id=0,
+    )
+    assert os.path.isdir(os.path.join(table, "data"))
+    # a filter naming buckets that can't exist in this layout
+    dirs = R.store_data_dirs(table, buckets={"0", "7", "nonexistent"})
+    assert dirs == [os.path.join(table, "data")]
+    got = R.read_store(spark, table, R._SCHEMA, buckets={"0"}).agg(
+        F.sum("n_events")
+    ).collect()[0][0]
+    assert got == 3  # all 3 events visible — nothing hidden by the filter
