@@ -94,14 +94,35 @@ def _latest_green_round() -> dict[str, int]:
     return latest
 
 
+# Queries built DURING round 11, after the round's 50-slot verification
+# budget was already committed to draining the r6-era stale backlog
+# (VERDICT r10 item 1: 49 stale + at most 1 new). Deferring them keeps the
+# rotation intact this round; the moment CORRECTNESS_r11.json exists the
+# defer expires and they sort first (never-green) into the r12 sample.
+_DEFER_UNTIL_ROUND = 11
+_DEFERRED: frozenset[str] = frozenset({"d27_dup_substring_spans"})
+
+
 def _driver_order(names) -> list[str]:
     try:
         latest = _latest_green_round()
     except Exception:
         latest = {}
+    defer_active = max(latest.values(), default=0) < _DEFER_UNTIL_ROUND
+
+    def key(n: str) -> float:
+        if n in latest:
+            return latest[n]
+        if defer_active and n in _DEFERRED:
+            # after every stale green (oldest is r6) but before nothing is
+            # displaced: 6.5 sits past the whole r6 rotation block, so the
+            # first 50 slots stay (1 never-green carry-over + 49 stale).
+            return 6.5
+        return 0
+
     # stable sort: never-green (age 0) first, then oldest green round;
     # registration order preserved within each age class
-    return sorted(names, key=lambda n: latest.get(n, 0))
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

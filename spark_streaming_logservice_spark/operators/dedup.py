@@ -2156,3 +2156,139 @@ def _register_d26() -> None:
 
 
 _register_d26()
+
+
+# --- d27: exact duplicated-substring spans (suffix-array dedup, Spark-first)
+# The classic training-data pass (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better") finds every substring of >= L tokens
+# that occurs more than once in the corpus, via a giant suffix array. The
+# Spark-first equivalence: a token span is covered by a duplicated substring
+# of length >= L iff it is covered by an L-gram that occurs >= 2 times in
+# the corpus. So exact coverage = duplicated-L-gram detection + per-doc
+# interval merge (gaps-and-islands) — no suffix array, no global sort.
+#
+# 100 TB design: the only corpus-sized shuffle is the gram stream keyed by a
+# 16-byte md5 (same O(total tokens) data movement as the suffix-array sort,
+# but hash-partitioned instead of globally ordered — AQE-friendly, no skew
+# pivot). The interval merge is a doc_id-partitioned window, i.e. the
+# corpus's natural partitioning. Self-repeats inside one doc count as
+# duplication, matching the suffix-array semantics.
+
+
+def _register_d27() -> None:
+    L = 5  # minimum duplicated-substring length, in tokens
+
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, n_toks, u.g AS g, u.pos AS pos FROM (
+        SELECT doc_id, len(ts) AS n_toks,
+               unnest(list_transform(range(1, len(ts) - {L} + 2),
+                      i -> {{'g': md5(array_to_string(ts[i:i+{L}-1], ' ')),
+                             'pos': i}})) AS u
+        FROM toks
+      )
+    ),
+    hits AS (
+      SELECT doc_id, n_toks, pos, count(*) OVER (PARTITION BY g) AS cnt
+      FROM grams
+    ),
+    marked AS (
+      SELECT doc_id, n_toks, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {L}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits WHERE cnt >= 2
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+      SELECT doc_id, n_toks, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, any_value(n_toks) AS n_toks,
+             min(pos) AS s, max(pos) + {L} - 1 AS e
+      FROM islands GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(max(e - s + 1) AS BIGINT) AS longest_span,
+           round(CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_toks), 6) AS dup_frac
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """
+
+    @query("d27_dup_substring_spans", oracle=oracle)
+    def d27_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        d = spread_rowlocal(
+            load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        )
+        ts = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        toks = d.select("doc_id", ts.alias("ts")).select(
+            "doc_id", F.size("ts").alias("n_toks"), F.col("ts")
+        )
+        # row-local L-gram digests; posexplode's 0-based pos becomes the
+        # 1-based token position of the gram start
+        gram_list = F.when(
+            F.col("n_toks") >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_toks") - L + 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("ts"), i + j) for j in range(L)],
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toks.select(
+            "doc_id", "n_toks", F.posexplode(gram_list).alias("p0", "g")
+        ).select(
+            "doc_id", "n_toks", (F.col("p0") + 1).alias("pos"), "g"
+        )
+        # one corpus-sized shuffle, keyed by the 16-byte digest
+        w_g = Window.partitionBy("g")
+        hits = grams.withColumn("cnt", F.count(F.lit(1)).over(w_g)).where(
+            F.col("cnt") >= 2
+        )
+        # gaps-and-islands on the doc's natural partitioning
+        w_doc = Window.partitionBy("doc_id").orderBy("pos")
+        marked = hits.withColumn(
+            "brk",
+            F.when(
+                F.lag("pos").over(w_doc).isNull()
+                | (F.col("pos") > F.lag("pos").over(w_doc) + L),
+                1,
+            ).otherwise(0),
+        )
+        islands = marked.withColumn(
+            "island",
+            F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        spans = islands.groupBy("doc_id", "island").agg(
+            F.first("n_toks").alias("n_toks"),
+            F.min("pos").alias("s"),
+            (F.max("pos") + L - 1).alias("e"),
+        )
+        span_len = F.col("e") - F.col("s") + 1
+        return (
+            spans.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+                F.sum(span_len).cast("bigint").alias("dup_tokens"),
+                F.max(span_len).cast("bigint").alias("longest_span"),
+                F.round(
+                    F.sum(span_len) / F.first("n_toks"), 6
+                ).alias("dup_frac"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_d27()

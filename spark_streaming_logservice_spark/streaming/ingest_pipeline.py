@@ -1,0 +1,216 @@
+"""Composed training-data ingest pipeline: drift gate → dedup → forward.
+
+The round-10/11 stores each solved one admission problem — the vocabulary
+drift gate quarantines broken sources (streaming/vocab_drift.py), the digest
+store drops already-seen documents (streaming/dedup_store.py). A real
+100 TB ingest runs BOTH per micro-batch, and the composition order is not a
+style choice, it is a correctness property:
+
+1. **Quarantine BEFORE any state learns from the batch.** If dedup ran
+   first, every quarantined-but-novel row's digest would already be in the
+   store, and the recovery path (retrain/review, then re-ingest under a new
+   batch id) would be silently swallowed as "already seen" — the quarantine
+   would be a trapdoor, not a holding cell. Gate first means quarantined
+   rows leave NO trace in pipeline state and re-ingest cleanly.
+2. **Score what arrived, learn from what's novel.** Drift is scored on the
+   RAW batch (pre-dedup): a crawler re-serving one boilerplate page 1000×
+   IS the operational anomaly the gate exists to catch, and dedup would
+   hide it. The profile, by contrast, merges only the NOVEL clean rows
+   (post-dedup): a crawl re-serving the same pages 5× must not get 5× the
+   weight in the learned distribution — p27's mixture lesson applied to
+   the profile itself.
+3. **One pipeline-level marker.** Replay of a completed batch is a single
+   short-circuit; a mid-batch crash replays stage by stage, where every
+   state write is individually guarded (profile merge by merge_additive's
+   _batch_meta, digest append by final-file existence, quarantine staging
+   by overwrite), so retries converge. ``forward`` must tolerate
+   redelivery — the same contract dedup_on_ingest already imposes.
+   Replay's flag set is stable: scoring is per-source against per-source
+   profile rows, and a flagged source's rows are never merged, so a crash
+   replay re-scores it against the unchanged profile and re-flags it
+   identically (threshold-edge flapping would need the profile to have
+   learned from the very rows it rejected, which stage order forbids).
+
+State layout under ``root``: ``vocab/`` (sharded profile), ``digests/``
+(pinned digest store), ``quarantine/batch-<id>/`` (durable staging),
+``_markers/`` (pipeline batch markers).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark.streaming.dedup_store import (
+    DEFAULT_DIGEST_IMPL,
+    DIGEST_IMPLS,
+    _to_store,
+    dedup_against_store,
+)
+from spark_streaming_logservice_spark.streaming.queries import (
+    idempotent_foreach_batch,
+)
+from spark_streaming_logservice_spark.streaming.rollup import merge_additive
+from spark_streaming_logservice_spark.streaming.vocab_drift import (
+    _SCHEMA as _VOCAB_SCHEMA,
+    N_BUCKETS,
+    batch_drift,
+    vocab_partials,
+)
+
+
+def ingest_pipeline(
+    root: str,
+    forward,
+    on_alert=None,
+    threshold: float = 0.5,
+    min_profile_tokens: int = 1,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    digest_impl: str = DEFAULT_DIGEST_IMPL,
+):
+    """foreachBatch factory for the composed admission pipeline.
+
+    Per batch: score per-source drift on the raw batch → quarantine flagged
+    sources (durable staging + optional ``on_alert(batch_id, scores,
+    quarantined_df)``) → dedup the clean remainder against the digest store
+    → ``forward(novel_clean_df, batch_id)`` → merge the vocabulary profile
+    from the novel clean rows → append their digests → write the batch
+    marker. See module docstring for why this order is load-bearing.
+
+    NULL-source rows are unscoreable (no profile bucket) and NULL-text rows
+    are undedupable (no content digest): both pass through to ``forward``
+    and never enter pipeline state — the individual stores' documented
+    posture, preserved by the composition.
+    """
+
+    vocab_dir = os.path.join(root, "vocab")
+    digest_dir = os.path.join(root, "digests")
+    quarantine_dir = os.path.join(root, "quarantine")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(digest_dir, exist_ok=True)
+        # pin the digest impl up front (dedup_on_ingest's rule: one impl
+        # per store, first writer decides, later mismatches raise)
+        pin = os.path.join(digest_dir, "_digest_impl")
+        if not os.path.exists(pin):
+            with open(pin, "w") as f:
+                f.write(digest_impl)
+        # --- stage 1: score the RAW batch, quarantine flagged sources ---
+        scores = batch_drift(
+            spark, vocab_dir, batch_df, text_col, source_col
+        ).collect()  # O(batch sources) rows
+        flagged = sorted(
+            r["source"]
+            for r in scores
+            if r["profile_tokens"] > min_profile_tokens
+            and r["l1_drift"] >= threshold
+        )
+        if flagged:
+            quarantined = batch_df.where(F.col(source_col).isin(flagged))
+            # durable, overwrite-idempotent staging: alert redelivery
+            # restages the same rows onto themselves
+            quarantined.write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, f"batch-{batch_id}")
+            )
+            if on_alert is not None:
+                on_alert(
+                    batch_id,
+                    [r.asDict() for r in scores if r["source"] in set(flagged)],
+                    quarantined,
+                )
+            # NULL sources are unscoreable pass-through, never quarantined
+            # (a bare NOT IN would silently drop them: NULL isin = NULL)
+            clean = batch_df.where(
+                F.col(source_col).isNull()
+                | ~F.col(source_col).isin(flagged)
+            )
+        else:
+            clean = batch_df
+        # --- stage 2: dedup the clean remainder against history ---
+        novel = dedup_against_store(
+            clean, digest_dir, text_col, id_col, digest_impl
+        )
+        dcols = DIGEST_IMPLS[digest_impl][1]
+        novel.persist()
+        try:
+            # --- stage 3: forward novel clean rows downstream ---
+            forward(novel.drop(*dcols), batch_id)
+            # --- stage 4: the profile learns from NOVEL rows only ---
+            merge_additive(
+                vocab_dir,
+                vocab_partials(novel, text_col, source_col),
+                key_cols=["source", "token"],
+                sum_cols=["c"],
+                schema=_VOCAB_SCHEMA,
+                batch_id=batch_id,
+                partition_expr=F.crc32(F.col("source")) % N_BUCKETS,
+            )
+            # --- stage 5: remember the novel digests (final-file guarded,
+            # same layout dedup_on_ingest writes, so compaction and impl
+            # pinning apply unchanged) ---
+            final = os.path.join(digest_dir, f"q-batch-{batch_id}.parquet")
+            if not os.path.exists(final):
+                for leftover in os.listdir(digest_dir):
+                    if leftover.startswith("_staging"):
+                        shutil.rmtree(
+                            os.path.join(digest_dir, leftover),
+                            ignore_errors=True,
+                        )
+                staging = os.path.join(
+                    digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
+                )
+                _to_store(
+                    novel.where(F.col(dcols[0]).isNotNull()), digest_impl
+                ).coalesce(1).write.mode("overwrite").parquet(staging)
+                os.rename(staging, final)
+        finally:
+            novel.unpersist()
+
+    return idempotent_foreach_batch(apply, os.path.join(root, "_markers"))
+
+
+def read_quarantine(spark: SparkSession, root: str, schema: str) -> DataFrame:
+    """All staged quarantined rows (empty frame if none). Rows re-ingested
+    after recovery MUST flow through the pipeline again under a NEW batch
+    id — stage order guarantees the digest store never saw them, so they
+    are admitted, deduplicated and learned like any fresh data."""
+    quarantine_dir = os.path.join(root, "quarantine")
+    if not os.path.isdir(quarantine_dir):
+        return spark.createDataFrame([], schema)
+    dirs = sorted(
+        os.path.join(quarantine_dir, d)
+        for d in os.listdir(quarantine_dir)
+        if d.startswith("batch-")
+    )
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def clear_quarantine(root: str, batch_ids=None) -> int:
+    """Drop staged batches (all, or just ``batch_ids``) after recovery has
+    re-ingested or discarded them; returns the number of batches cleared."""
+    import shutil
+
+    quarantine_dir = os.path.join(root, "quarantine")
+    if not os.path.isdir(quarantine_dir):
+        return 0
+    names = (
+        [f"batch-{b}" for b in batch_ids]
+        if batch_ids is not None
+        else [d for d in os.listdir(quarantine_dir) if d.startswith("batch-")]
+    )
+    n = 0
+    for name in names:
+        path = os.path.join(quarantine_dir, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            n += 1
+    return n

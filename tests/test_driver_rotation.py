@@ -31,13 +31,37 @@ def test_never_green_queries_lead_the_driver_sample():
     latest = E._latest_green_round()
     order = E._driver_order(registry.QUERIES)
     assert set(order) == set(registry.QUERIES), "order must be a permutation"
-    never = [n for n in registry.QUERIES if n not in latest]
+    defer_active = max(latest.values(), default=0) < E._DEFER_UNTIL_ROUND
+    deferred = set(E._DEFERRED) if defer_active else set()
+    never = [n for n in registry.QUERIES if n not in latest and n not in deferred]
     assert set(order[: len(never)]) == set(never), (
         "every never-driver-green query must appear before any green one"
     )
     # greens are ordered stalest-first after the never-green block
-    tail_rounds = [latest[n] for n in order[len(never):]]
+    # (deferred never-greens slot between the r6 stales and the r7 greens)
+    tail_rounds = [latest.get(n, 6.5) for n in order[len(never):]]
     assert tail_rounds == sorted(tail_rounds)
+
+
+def test_deferred_queries_stay_out_of_the_round11_sample():
+    """While CORRECTNESS_r11 does not exist yet, the round's 50 slots are
+    committed to the stale-rotation backlog (VERDICT r10 item 1): queries
+    built mid-round defer to slot >= 50, and the moment the r11 artifact
+    lands they sort first like any never-green query."""
+    E = _entry()
+    from spark_streaming_logservice_spark import registry
+
+    registry.load_all()
+    latest = E._latest_green_round()
+    order = E._driver_order(registry.QUERIES)
+    if max(latest.values(), default=0) < E._DEFER_UNTIL_ROUND:
+        for name in E._DEFERRED:
+            if name in registry.QUERIES and name not in latest:
+                assert order.index(name) >= 50
+    else:
+        for name in E._DEFERRED:
+            if name in registry.QUERIES and name not in latest:
+                assert order.index(name) < 50
 
 
 def test_all_oracle_queries_exposed():

@@ -1,0 +1,170 @@
+"""Composed ingest pipeline (gate → dedup → forward): the stage ORDER is
+the property under test. Quarantined rows must leave no trace in pipeline
+state (so recovery re-ingest is admitted, not swallowed by the digest
+store), the profile must learn only novel rows, replay must converge."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark.streaming.ingest_pipeline import (
+    clear_quarantine,
+    ingest_pipeline,
+    read_quarantine,
+)
+from spark_streaming_logservice_spark.streaming.vocab_drift import (
+    read_vocab_profile,
+)
+
+SCHEMA = "doc_id BIGINT, text STRING, source STRING"
+
+A0 = [(1, "alpha beta gamma delta", "srcA"), (2, "alpha beta gamma epsilon", "srcA")]
+B0 = [(3, "one two three four", "srcB")]
+A1 = [
+    (11, "alpha beta gamma delta", "srcA"),   # exact dup of doc 1
+    (12, "alpha gamma beta zeta", "srcA"),    # novel, same distribution
+]
+B1_DRIFT = [
+    (13, "zzz qqq www eee", "srcB"),
+    (14, "zzz qqq www rrr", "srcB"),
+    (15, "zzz qqq www sss", "srcB"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    sink: list[tuple[int, list]] = []
+    alerts: list[tuple[int, list]] = []
+
+    def forward(df, batch_id):
+        sink.append((batch_id, sorted(r["doc_id"] for r in df.collect())))
+
+    def on_alert(batch_id, scores, qdf):
+        alerts.append((batch_id, sorted(s["source"] for s in scores)))
+
+    apply = ingest_pipeline(root, forward, on_alert=on_alert, threshold=1.0)
+    return root, apply, sink, alerts
+
+
+def _run_two_batches(spark, pipe):
+    root, apply, sink, alerts = pipe
+    apply(_df(spark, A0 + B0), 0)
+    apply(_df(spark, A1 + B1_DRIFT), 1)
+    return root, apply, sink, alerts
+
+
+def test_composed_flow(spark, pipe):
+    root, apply, sink, alerts = _run_two_batches(spark, pipe)
+    # batch 0: everything admitted on bootstrap trust
+    assert sink[0] == (0, [1, 2, 3])
+    # batch 1: srcB quarantined; srcA's exact dup (11) dropped, novel 12 kept
+    assert sink[1] == (1, [12])
+    assert alerts == [(1, ["srcB"])]
+    q = read_quarantine(spark, root, SCHEMA)
+    assert sorted(r["doc_id"] for r in q.collect()) == [13, 14, 15]
+    # the profile never learned the drifted vocabulary
+    prof = read_vocab_profile(spark, os.path.join(root, "vocab"))
+    toks = {r["token"] for r in prof.collect()}
+    assert "zzz" not in toks and "alpha" in toks and "one" in toks
+    # digests: 3 batch-0 rows + 1 novel batch-1 row; never the quarantined
+    dig = spark.read.parquet(
+        *[
+            os.path.join(root, "digests", f)
+            for f in os.listdir(os.path.join(root, "digests"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert dig.count() == 4
+
+
+def test_replay_completed_batch_is_noop(spark, pipe):
+    root, apply, sink, alerts = _run_two_batches(spark, pipe)
+    snapshot = (list(sink), list(alerts))
+    apply(_df(spark, A1 + B1_DRIFT), 1)  # redelivery of a COMPLETED batch
+    assert (sink, alerts) == snapshot
+    q = read_quarantine(spark, root, SCHEMA)
+    assert q.count() == 3
+
+
+def test_crash_replay_converges(spark, pipe):
+    root, apply, sink, alerts = _run_two_batches(spark, pipe)
+    prof_before = sorted(
+        map(tuple, read_vocab_profile(spark, os.path.join(root, "vocab")).collect())
+    )
+    # simulate a crash AFTER all stage writes, BEFORE the pipeline marker
+    os.remove(os.path.join(root, "_markers", "batch-1"))
+    apply(_df(spark, A1 + B1_DRIFT), 1)
+    # redelivery re-runs forward (empty now: digests already know doc 12)
+    # and re-alerts the SAME flag set — the documented crash contract
+    assert sink[-1] == (1, [])
+    assert alerts[-1] == (1, ["srcB"])
+    # state converged: profile unchanged (merge is batch-id guarded),
+    # quarantine restaged onto itself, digest count unchanged
+    prof_after = sorted(
+        map(tuple, read_vocab_profile(spark, os.path.join(root, "vocab")).collect())
+    )
+    assert prof_after == prof_before
+    assert read_quarantine(spark, root, SCHEMA).count() == 3
+    dig = spark.read.parquet(
+        *[
+            os.path.join(root, "digests", f)
+            for f in os.listdir(os.path.join(root, "digests"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert dig.count() == 4
+
+
+def test_quarantine_reingest_is_admitted_not_swallowed(spark, pipe):
+    """THE composition property: because the gate runs before dedup, the
+    digest store never saw the quarantined rows — recovery re-ingest under
+    a new batch id forwards ALL of them (dedup-first would forward none)."""
+    root, apply, sink, alerts = _run_two_batches(spark, pipe)
+    staged = read_quarantine(spark, root, SCHEMA)
+    # recovery: a human accepted the new distribution; re-ingest through a
+    # trust-this-batch instance (threshold above the L1 maximum of 2)
+    recover = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append((bid, sorted(r["doc_id"] for r in df.collect()))),
+        threshold=2.1,
+    )
+    recover(staged, 2)
+    assert sink[-1] == (2, [13, 14, 15])  # nothing swallowed
+    assert clear_quarantine(root) == 1
+    # the profile has now learned the accepted distribution, so srcB's next
+    # normal batch passes the NORMAL gate
+    apply(_df(spark, [(21, "zzz qqq www eee", "srcB")]), 3)
+    assert sink[-1] == (3, [])  # exact dup of doc 13 -> deduped, not quarantined
+    assert alerts[-1] == (1, ["srcB"])  # no new alert
+    apply(_df(spark, [(22, "zzz www qqq ttt", "srcB")]), 4)
+    assert sink[-1] == (4, [22])  # novel, same accepted distribution
+
+
+def test_null_rows_pass_through_every_stage(spark, pipe):
+    root, apply, sink, alerts = pipe
+    rows = [
+        (31, "alpha beta", "srcA"),
+        (32, None, "srcA"),        # NULL text: undedupable pass-through
+        (33, "gamma delta", None),  # NULL source: unscoreable pass-through
+    ]
+    apply(_df(spark, rows), 0)
+    assert sink[0] == (0, [31, 32, 33])
+    # NULL-source tokens never reach the profile; NULL text never digested
+    prof = read_vocab_profile(spark, os.path.join(root, "vocab"))
+    assert prof.where(F.col("source").isNull()).count() == 0
+    dig = spark.read.parquet(
+        *[
+            os.path.join(root, "digests", f)
+            for f in os.listdir(os.path.join(root, "digests"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert dig.count() == 2  # docs 31 and 33 only
