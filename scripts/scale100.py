@@ -42,6 +42,10 @@ QUERIES = [
     "g01_pagerank",
     "g03_khop_reachability",
     "q25_salted_skew_join",
+    # r11: the suffix-array-equivalent substring dedup — verbatim
+    # replication makes EVERY 5-gram a duplicate, the worst case for the
+    # duplicated-gram hit stream
+    "d27_dup_substring_spans",
 ]
 
 
@@ -86,6 +90,37 @@ def _work_counters(spark, sf_dir: str) -> dict:
         )
     except Exception as ex:
         out["d10_error"] = f"{type(ex).__name__}: {ex}"
+    try:
+        # d27's hit stream: gram occurrences whose gram repeats corpus-wide
+        ts = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        toks = d.where(F.col("text").isNotNull()).select(
+            F.size(ts).alias("n"), ts.alias("ts")
+        )
+        grams = toks.select(
+            F.explode(
+                F.when(
+                    F.col("n") >= 5,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("n") - 4),
+                        lambda i: F.md5(
+                            F.concat_ws(
+                                " ",
+                                *[F.element_at(F.col("ts"), i + j) for j in range(5)],
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g")
+        )
+        out["d27_dup_gram_occurrences"] = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where("n >= 2")
+            .agg(F.sum("n").alias("s"))
+            .first()["s"]
+        )
+    except Exception as ex:
+        out["d27_error"] = f"{type(ex).__name__}: {ex}"
     try:
         out["copurchase_edges"] = g._copurchase_edges(spark, sf_dir).count()
     except Exception as ex:
