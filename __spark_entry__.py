@@ -101,6 +101,7 @@ def _latest_green_round() -> dict[str, int]:
 # defer expires and they sort first (never-green) into the r12 sample.
 _DEFER_UNTIL_ROUND = 11
 _DEFERRED: frozenset[str] = frozenset({"d27_dup_substring_spans"})
+_DRIVER_SAMPLE = 50  # the driver verifies this many leading queries
 
 
 def _driver_order(names) -> list[str]:
@@ -109,20 +110,21 @@ def _driver_order(names) -> list[str]:
     except Exception:
         latest = {}
     defer_active = max(latest.values(), default=0) < _DEFER_UNTIL_ROUND
-
-    def key(n: str) -> float:
-        if n in latest:
-            return latest[n]
-        if defer_active and n in _DEFERRED:
-            # after every stale green (oldest is r6) but before nothing is
-            # displaced: 6.5 sits past the whole r6 rotation block, so the
-            # first 50 slots stay (1 never-green carry-over + 49 stale).
-            return 6.5
-        return 0
-
+    names = list(names)
+    deferred = [
+        n for n in names
+        if defer_active and n in _DEFERRED and n not in latest
+    ]
     # stable sort: never-green (age 0) first, then oldest green round;
     # registration order preserved within each age class
-    return sorted(names, key=key)
+    order = sorted(
+        (n for n in names if n not in deferred),
+        key=lambda n: latest.get(n, 0),
+    )
+    # the explicit defer invariant: while active, deferred queries sit
+    # OUTSIDE the driver's verification sample, directly after it —
+    # regardless of how the backlog's round composition shifts
+    return order[:_DRIVER_SAMPLE] + deferred + order[_DRIVER_SAMPLE:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2167,12 +2167,14 @@ _register_d26()
 # the corpus. So exact coverage = duplicated-L-gram detection + per-doc
 # interval merge (gaps-and-islands) — no suffix array, no global sort.
 #
-# 100 TB design: the only corpus-sized shuffle is the gram stream keyed by a
+# 100 TB design: the corpus-sized shuffles are the gram stream keyed by a
 # 16-byte md5 (same O(total tokens) data movement as the suffix-array sort,
-# but hash-partitioned instead of globally ordered — AQE-friendly, no skew
-# pivot). The interval merge is a doc_id-partitioned window, i.e. the
-# corpus's natural partitioning. Self-repeats inside one doc count as
-# duplication, matching the suffix-array semantics.
+# but hash-partitioned instead of globally ordered) — once map-side-combined
+# into the duplicated-gram set, once for the AQE-splittable semi-join back
+# (a hot boilerplate gram never pins a task; see the in-plan comment). The
+# interval merge is a doc_id-partitioned window, i.e. the corpus's natural
+# partitioning. Self-repeats inside one doc count as duplication, matching
+# the suffix-array semantics.
 
 
 def _register_d27() -> None:
@@ -2252,11 +2254,20 @@ def _register_d27() -> None:
         ).select(
             "doc_id", "n_toks", (F.col("p0") + 1).alias("pos"), "g"
         )
-        # one corpus-sized shuffle, keyed by the 16-byte digest
-        w_g = Window.partitionBy("g")
-        hits = grams.withColumn("cnt", F.count(F.lit(1)).over(w_g)).where(
-            F.col("cnt") >= 2
+        # duplicated-gram detection as aggregate + semi-join, NOT a
+        # window over g: the aggregate partial-combines per task, so a
+        # hot boilerplate gram (cookie banner, license header — 10^8+
+        # occurrences at 100 TB) collapses to one partial per map task,
+        # and the semi-join's residual skew is AQE-splittable — a
+        # PARTITION BY g window would pin every occurrence of the hot
+        # gram to a single task with no split possible.
+        dup_g = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= 2)
+            .select("g")
         )
+        hits = grams.join(dup_g, "g", "left_semi")
         # gaps-and-islands on the doc's natural partitioning
         w_doc = Window.partitionBy("doc_id").orderBy("pos")
         marked = hits.withColumn(

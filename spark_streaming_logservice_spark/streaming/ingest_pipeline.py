@@ -19,25 +19,31 @@ style choice, it is a correctness property:
    (post-dedup): a crawl re-serving the same pages 5× must not get 5× the
    weight in the learned distribution — p27's mixture lesson applied to
    the profile itself.
-3. **One pipeline-level marker.** Replay of a completed batch is a single
-   short-circuit; a mid-batch crash replays stage by stage, where every
-   state write is individually guarded (profile merge by merge_additive's
-   _batch_meta, digest append by final-file existence, quarantine staging
-   by overwrite), so retries converge. ``forward`` must tolerate
-   redelivery — the same contract dedup_on_ingest already imposes.
-   Replay's flag set is stable: scoring is per-source against per-source
-   profile rows, and a flagged source's rows are never merged, so a crash
-   replay re-scores it against the unchanged profile and re-flags it
-   identically (threshold-edge flapping would need the profile to have
-   learned from the very rows it rejected, which stage order forbids).
+3. **One pipeline-level marker, one DURABLE flag decision.** Replay of a
+   completed batch is a single short-circuit; a mid-batch crash replays
+   stage by stage, where every state write is individually guarded
+   (profile merge by merge_additive's _batch_meta, digest append by
+   final-file existence, quarantine staging by overwrite), so retries
+   converge. ``forward`` must tolerate redelivery — the same contract
+   dedup_on_ingest already imposes. The flag set is stable across replays
+   because it is RECORDED, not re-derived: each batch is scored once and
+   the decision (scores + flagged sources) is written to
+   ``_flags/batch-<id>.json`` before any state mutation; a crash replay
+   reuses the record. Re-scoring on replay would be wrong — the profile
+   may already have merged the batch's novel rows, which shifts it toward
+   the batch's own distribution and can flip a clean source to flagged
+   (quarantining rows whose digests are already stored — exactly the
+   trapdoor stage order exists to close).
 
 State layout under ``root``: ``vocab/`` (sharded profile), ``digests/``
 (pinned digest store), ``quarantine/batch-<id>/`` (durable staging),
-``_markers/`` (pipeline batch markers).
+``_flags/batch-<id>.json`` (recorded admission decisions), ``_markers/``
+(pipeline batch markers).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -48,6 +54,7 @@ from pyspark.sql import functions as F
 from spark_streaming_logservice_spark.streaming.dedup_store import (
     DEFAULT_DIGEST_IMPL,
     DIGEST_IMPLS,
+    _pinned_impl,
     _to_store,
     dedup_against_store,
 )
@@ -58,7 +65,7 @@ from spark_streaming_logservice_spark.streaming.rollup import merge_additive
 from spark_streaming_logservice_spark.streaming.vocab_drift import (
     _SCHEMA as _VOCAB_SCHEMA,
     N_BUCKETS,
-    batch_drift,
+    score_and_split,
     vocab_partials,
 )
 
@@ -73,15 +80,23 @@ def ingest_pipeline(
     source_col: str = "source",
     id_col: str = "doc_id",
     digest_impl: str = DEFAULT_DIGEST_IMPL,
+    namespace: str = "pipe",
 ):
     """foreachBatch factory for the composed admission pipeline.
 
-    Per batch: score per-source drift on the raw batch → quarantine flagged
-    sources (durable staging + optional ``on_alert(batch_id, scores,
-    quarantined_df)``) → dedup the clean remainder against the digest store
-    → ``forward(novel_clean_df, batch_id)`` → merge the vocabulary profile
-    from the novel clean rows → append their digests → write the batch
-    marker. See module docstring for why this order is load-bearing.
+    Per batch: score per-source drift on the raw batch → record the
+    decision durably → quarantine flagged sources (durable staging +
+    optional ``on_alert(batch_id, scores, quarantined_df)``) → dedup the
+    clean remainder against the digest store → ``forward(novel_clean_df,
+    batch_id)`` → merge the vocabulary profile from the novel clean rows →
+    append their digests → write the batch marker. See module docstring
+    for why this order is load-bearing.
+
+    ``namespace`` disambiguates digest-append batch ids when the digest
+    store is SHARED with other writers (``dedup_on_ingest`` defaults to
+    ``"q"``; two queries both have a batch 0 — an unqualified name would
+    make one writer read the other's append as its own and silently skip
+    recording its digests).
 
     NULL-source rows are unscoreable (no profile bucket) and NULL-text rows
     are undedupable (no content digest): both pass through to ``forward``
@@ -92,26 +107,44 @@ def ingest_pipeline(
     vocab_dir = os.path.join(root, "vocab")
     digest_dir = os.path.join(root, "digests")
     quarantine_dir = os.path.join(root, "quarantine")
+    flags_dir = os.path.join(root, "_flags")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         os.makedirs(digest_dir, exist_ok=True)
-        # pin the digest impl up front (dedup_on_ingest's rule: one impl
-        # per store, first writer decides, later mismatches raise)
-        pin = os.path.join(digest_dir, "_digest_impl")
-        if not os.path.exists(pin):
-            with open(pin, "w") as f:
+        # resolve the store's digest pin the way dedup_on_ingest does: a
+        # pre-pin store with files is committed to legacy md5 — writing the
+        # default pin over it would read md5 files with the xxhash schema
+        # (every historical duplicate reported novel, mixed-schema appends)
+        pinned = _pinned_impl(digest_dir)
+        if pinned is not None and pinned != digest_impl:
+            raise ValueError(
+                f"digest store {digest_dir} is pinned to {pinned!r}; "
+                f"got digest_impl={digest_impl!r}"
+            )
+        if pinned is None:
+            with open(os.path.join(digest_dir, "_digest_impl"), "w") as f:
                 f.write(digest_impl)
-        # --- stage 1: score the RAW batch, quarantine flagged sources ---
-        scores = batch_drift(
-            spark, vocab_dir, batch_df, text_col, source_col
-        ).collect()  # O(batch sources) rows
-        flagged = sorted(
-            r["source"]
-            for r in scores
-            if r["profile_tokens"] > min_profile_tokens
-            and r["l1_drift"] >= threshold
-        )
+        # --- stage 1: score the RAW batch ONCE, record the decision
+        # durably BEFORE any state mutation. A crash replay reuses the
+        # record: re-scoring could see a profile that already merged this
+        # batch's novel rows and flip a clean source to flagged (see
+        # module docstring). The record is also what makes the alert
+        # payload replay-identical.
+        flag_file = os.path.join(flags_dir, f"batch-{batch_id}.json")
+        if os.path.exists(flag_file):
+            with open(flag_file) as f:
+                decision = json.load(f)
+            scores, flagged = decision["scores"], decision["flagged"]
+        else:
+            scores, flagged, _, _ = score_and_split(
+                vocab_dir, batch_df, threshold, min_profile_tokens,
+                text_col, source_col,
+            )
+            os.makedirs(flags_dir, exist_ok=True)
+            tmp = flag_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"scores": scores, "flagged": flagged}, f)
+            os.replace(tmp, flag_file)
         if flagged:
             quarantined = batch_df.where(F.col(source_col).isin(flagged))
             # durable, overwrite-idempotent staging: alert redelivery
@@ -122,7 +155,7 @@ def ingest_pipeline(
             if on_alert is not None:
                 on_alert(
                     batch_id,
-                    [r.asDict() for r in scores if r["source"] in set(flagged)],
+                    [s for s in scores if s["source"] in set(flagged)],
                     quarantined,
                 )
             # NULL sources are unscoreable pass-through, never quarantined
@@ -155,7 +188,9 @@ def ingest_pipeline(
             # --- stage 5: remember the novel digests (final-file guarded,
             # same layout dedup_on_ingest writes, so compaction and impl
             # pinning apply unchanged) ---
-            final = os.path.join(digest_dir, f"q-batch-{batch_id}.parquet")
+            final = os.path.join(
+                digest_dir, f"{namespace}-batch-{batch_id}.parquet"
+            )
             if not os.path.exists(final):
                 for leftover in os.listdir(digest_dir):
                     if leftover.startswith("_staging"):
@@ -197,8 +232,6 @@ def read_quarantine(spark: SparkSession, root: str, schema: str) -> DataFrame:
 def clear_quarantine(root: str, batch_ids=None) -> int:
     """Drop staged batches (all, or just ``batch_ids``) after recovery has
     re-ingested or discarded them; returns the number of batches cleared."""
-    import shutil
-
     quarantine_dir = os.path.join(root, "quarantine")
     if not os.path.isdir(quarantine_dir):
         return 0

@@ -178,6 +178,43 @@ def batch_drift(
     )
 
 
+def score_and_split(
+    table_dir: str,
+    batch_df: DataFrame,
+    threshold: float,
+    min_profile_tokens: int,
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """One admission decision: score per-source drift against the profile
+    and split the batch. Returns ``(score_dicts, flagged_sources, clean_df,
+    quarantined_df_or_None)``. Shared by :func:`admission_gate` and the
+    composed ingest pipeline (streaming/ingest_pipeline.py) so the
+    bootstrap rule, threshold semantics and NULL-source posture cannot
+    silently fork between the two gate surfaces."""
+    scores = [
+        r.asDict()
+        for r in batch_drift(
+            batch_df.sparkSession, table_dir, batch_df, text_col, source_col
+        ).collect()  # O(batch sources) rows
+    ]
+    flagged = sorted(
+        s["source"]
+        for s in scores
+        if s["profile_tokens"] > min_profile_tokens
+        and s["l1_drift"] >= threshold
+    )
+    if not flagged:
+        return scores, flagged, batch_df, None
+    quarantined = batch_df.where(F.col(source_col).isin(flagged))
+    # NULL sources are unscoreable pass-through, never quarantined
+    # (a bare NOT IN would silently drop them: NULL isin = NULL)
+    clean = batch_df.where(
+        F.col(source_col).isNull() | ~F.col(source_col).isin(flagged)
+    )
+    return scores, flagged, clean, quarantined
+
+
 def admission_gate(
     table_dir: str,
     forward,
@@ -219,30 +256,16 @@ def admission_gate(
     ``forward``."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        scores = batch_drift(
-            spark, table_dir, batch_df, text_col, source_col
-        ).collect()  # O(batch sources) rows
-        flagged = {
-            r["source"]
-            for r in scores
-            if r["profile_tokens"] > min_profile_tokens
-            and r["l1_drift"] >= threshold
-        }
+        scores, flagged, clean, quarantined = score_and_split(
+            table_dir, batch_df, threshold, min_profile_tokens,
+            text_col, source_col,
+        )
         if flagged:
             on_alert(
                 batch_id,
-                [r.asDict() for r in scores if r["source"] in flagged],
-                batch_df.where(F.col(source_col).isin(sorted(flagged))),
+                [s for s in scores if s["source"] in set(flagged)],
+                quarantined,
             )
-            # NULL sources are unscoreable pass-through, never quarantined
-            # (a bare NOT IN would silently drop them: NULL isin = NULL)
-            clean = batch_df.where(
-                F.col(source_col).isNull()
-                | ~F.col(source_col).isin(sorted(flagged))
-            )
-        else:
-            clean = batch_df
         forward(clean, batch_id)
         merge_additive(
             table_dir,

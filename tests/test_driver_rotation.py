@@ -38,8 +38,11 @@ def test_never_green_queries_lead_the_driver_sample():
         "every never-driver-green query must appear before any green one"
     )
     # greens are ordered stalest-first after the never-green block
-    # (deferred never-greens slot between the r6 stales and the r7 greens)
-    tail_rounds = [latest.get(n, 6.5) for n in order[len(never):]]
+    # (deferred never-greens are spliced in at the sample boundary and
+    # excluded from the monotonicity check)
+    tail_rounds = [
+        latest[n] for n in order[len(never):] if n not in deferred
+    ]
     assert tail_rounds == sorted(tail_rounds)
 
 
@@ -57,11 +60,11 @@ def test_deferred_queries_stay_out_of_the_round11_sample():
     if max(latest.values(), default=0) < E._DEFER_UNTIL_ROUND:
         for name in E._DEFERRED:
             if name in registry.QUERIES and name not in latest:
-                assert order.index(name) >= 50
+                assert order.index(name) >= E._DRIVER_SAMPLE
     else:
         for name in E._DEFERRED:
             if name in registry.QUERIES and name not in latest:
-                assert order.index(name) < 50
+                assert order.index(name) < E._DRIVER_SAMPLE
 
 
 def test_all_oracle_queries_exposed():

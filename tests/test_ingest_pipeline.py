@@ -168,3 +168,65 @@ def test_null_rows_pass_through_every_stage(spark, pipe):
         ]
     )
     assert dig.count() == 2  # docs 31 and 33 only
+
+
+def test_replay_reuses_recorded_decision_never_rescores(spark, pipe, monkeypatch):
+    """The flag decision is durable: a crash replay reuses _flags/batch-N
+    and must NOT re-score — the profile may already have merged this
+    batch's novel rows, and re-scoring against that shifted profile can
+    flip a clean source to flagged (quarantining already-digested rows)."""
+    from spark_streaming_logservice_spark.streaming import ingest_pipeline as IP
+
+    root, apply, sink, alerts = _run_two_batches(spark, pipe)
+    os.remove(os.path.join(root, "_markers", "batch-1"))
+
+    def boom(*a, **k):
+        raise AssertionError("replay must not re-score a recorded batch")
+
+    monkeypatch.setattr(IP, "score_and_split", boom)
+    apply(_df(spark, A1 + B1_DRIFT), 1)  # crash replay
+    assert alerts[-1] == (1, ["srcB"])  # decision replayed from the record
+
+
+def test_legacy_prepin_store_mismatch_raises(spark, tmp_path):
+    """A pre-pin-era digest store (files, no _digest_impl) resolves to
+    legacy md5; pointing the pipeline at it with the xxhash default must
+    raise, not silently re-pin and read md5 files with the xxhash schema."""
+    import pytest as _pytest
+
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        dedup_on_ingest,
+    )
+
+    root = str(tmp_path / "legacy")
+    digest_dir = os.path.join(root, "digests")
+    ingest = dedup_on_ingest(
+        lambda df, bid: df.count(), digest_dir, digest_impl="md5"
+    )
+    ingest(_df(spark, A0), 0)
+    os.remove(os.path.join(digest_dir, "_digest_impl"))  # pre-pin era
+    pipe = ingest_pipeline(root, lambda df, bid: df.count())
+    with _pytest.raises(ValueError, match="pinned to 'md5'"):
+        pipe(_df(spark, B0), 0)
+
+
+def test_shared_digest_store_namespaces_do_not_collide(spark, tmp_path):
+    """The pipeline's digest appends are namespaced ('pipe') so a
+    dedup_on_ingest stream (default namespace 'q') sharing the store on
+    the same batch ids never makes either writer skip its append."""
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        dedup_on_ingest,
+    )
+
+    root = str(tmp_path / "shared")
+    digest_dir = os.path.join(root, "digests")
+    ingest = dedup_on_ingest(lambda df, bid: df.count(), digest_dir)
+    ingest(_df(spark, A0), 0)  # writes q-batch-0.parquet
+    pipe = ingest_pipeline(root, lambda df, bid: df.count())
+    pipe(_df(spark, B0), 0)  # must write pipe-batch-0.parquet, not skip
+    files = sorted(
+        f for f in os.listdir(digest_dir) if f.endswith(".parquet")
+    )
+    assert files == ["pipe-batch-0.parquet", "q-batch-0.parquet"]
+    dig = spark.read.parquet(*[os.path.join(digest_dir, f) for f in files])
+    assert dig.count() == len(A0) + len(B0)
