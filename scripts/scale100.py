@@ -206,6 +206,16 @@ def main() -> None:
                 "joins."
             ),
             "q25": "deliberate 8x salt replication at every scale.",
+            "d27": (
+                "the gram stream is linear in tokens regardless of "
+                "duplication, and the hit stream is linear in "
+                "duplicated-gram occurrences (d27_dup_gram_occurrences: "
+                "999x at 100x — verbatim replication makes EVERY gram a "
+                "duplicate, the operator's worst case); 7.8x time on "
+                "100x data + 999x hit structure is strongly sublinear — "
+                "the map-side-combined count + AQE-splittable semi-join "
+                "design."
+            ),
         },
     }
     with open(os.path.join(REPO, "SCALE100.json"), "w") as f:
