@@ -230,3 +230,49 @@ def test_shared_digest_store_namespaces_do_not_collide(spark, tmp_path):
     assert files == ["pipe-batch-0.parquet", "q-batch-0.parquet"]
     dig = spark.read.parquet(*[os.path.join(digest_dir, f) for f in files])
     assert dig.count() == len(A0) + len(B0)
+
+
+def test_pipeline_through_real_stream_with_restart(spark, tmp_path):
+    """The composed pipeline as it deploys: foreachBatch on a live
+    Structured Streaming query, across a STOP/RESTART boundary — run 1
+    bootstraps the stores, run 2 (same checkpoint) picks up only the new
+    file, dedups against run 1's digests and quarantines the drifted
+    source."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    root = str(tmp_path / "pipe")
+    _df(spark, A0 + B0).coalesce(1).write.mode("overwrite").json(src)
+    forwarded, alerts = [], []
+
+    def start():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .json(src)
+            .writeStream.foreachBatch(
+                ingest_pipeline(
+                    root,
+                    lambda df, bid: forwarded.append(
+                        (bid, sorted(r["doc_id"] for r in df.collect()))
+                    ),
+                    on_alert=lambda bid, scores, qdf: alerts.append(
+                        (bid, sorted(s["source"] for s in scores))
+                    ),
+                    threshold=1.0,
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(150)
+    assert forwarded == [(0, [1, 2, 3])] and alerts == []
+
+    # second deployment over the same checkpoint: only the new file
+    _df(spark, A1 + B1_DRIFT).coalesce(1).write.mode("append").json(src)
+    q = start()
+    q.awaitTermination(150)
+    assert forwarded[-1] == (1, [12])  # dup 11 dropped against run 1's digests
+    assert alerts == [(1, ["srcB"])]
+    assert read_quarantine(spark, root, SCHEMA).count() == 3
