@@ -247,3 +247,38 @@ def clear_quarantine(root: str, batch_ids=None) -> int:
             shutil.rmtree(path)
             n += 1
     return n
+
+
+def expire_pipeline_records(root: str, keep_last: int = 1000) -> int:
+    """Prune per-batch bookkeeping (``_markers/batch-N``,
+    ``_flags/batch-N.json``) older than the newest ``keep_last`` batch
+    ids; returns the number of files removed.
+
+    Safety argument: replay only ever redelivers batches at or after the
+    streaming checkpoint's frontier — once the source commits past a
+    batch, its marker/flag record is never consulted again, so any
+    retention window that comfortably covers the restart-replay horizon
+    (default: the last 1000 batches) is safe. Quarantine staging is NOT
+    touched — it holds data, and is cleared explicitly by
+    :func:`clear_quarantine` after recovery. Every store in this package
+    appends one tiny marker per batch (the crash contract); at one batch
+    a minute that is ~500k files/year per store, so long-running ingest
+    should run this alongside the digest-store compaction cadence."""
+    removed = 0
+    for sub, suffix in (("_markers", ""), ("_flags", ".json")):
+        d = os.path.join(root, sub)
+        if not os.path.isdir(d):
+            continue
+        ids = []
+        for f in os.listdir(d):
+            if f.startswith("batch-") and f.endswith(suffix):
+                stem = f[len("batch-"):]
+                if suffix:
+                    stem = stem[: -len(suffix)]
+                if stem.isdigit():
+                    ids.append((int(stem), f))
+        ids.sort()
+        for _, f in ids[:-keep_last] if keep_last > 0 else ids:
+            os.remove(os.path.join(d, f))
+            removed += 1
+    return removed

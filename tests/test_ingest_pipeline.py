@@ -276,3 +276,25 @@ def test_pipeline_through_real_stream_with_restart(spark, tmp_path):
     assert forwarded[-1] == (1, [12])  # dup 11 dropped against run 1's digests
     assert alerts == [(1, ["srcB"])]
     assert read_quarantine(spark, root, SCHEMA).count() == 3
+
+
+def test_expire_pipeline_records_keeps_replay_horizon(spark, pipe):
+    """Retention prunes only bookkeeping OLDER than the keep window and
+    never touches quarantine data; a pruned-away batch id would re-run on
+    redelivery, so the window must cover the replay horizon — within it,
+    markers still short-circuit."""
+    from spark_streaming_logservice_spark.streaming.ingest_pipeline import (
+        expire_pipeline_records,
+    )
+
+    root, apply, sink, alerts = _run_two_batches(spark, pipe)
+    removed = expire_pipeline_records(root, keep_last=1)
+    # batch-0 marker + batch-0 flag record pruned; batch-1's kept
+    assert removed == 2
+    assert sorted(os.listdir(os.path.join(root, "_markers"))) == ["batch-1"]
+    assert sorted(os.listdir(os.path.join(root, "_flags"))) == ["batch-1.json"]
+    assert read_quarantine(spark, root, SCHEMA).count() == 3  # untouched
+    # batch 1 is inside the kept window: redelivery still a no-op
+    snapshot = (list(sink), list(alerts))
+    apply(_df(spark, A1 + B1_DRIFT), 1)
+    assert (sink, alerts) == snapshot
