@@ -100,7 +100,9 @@ def _latest_green_round() -> dict[str, int]:
 # rotation intact this round; the moment CORRECTNESS_r11.json exists the
 # defer expires and they sort first (never-green) into the r12 sample.
 _DEFER_UNTIL_ROUND = 11
-_DEFERRED: frozenset[str] = frozenset({"d27_dup_substring_spans"})
+_DEFERRED: frozenset[str] = frozenset(
+    {"d27_dup_substring_spans", "d28_dup_span_removal"}
+)
 _DRIVER_SAMPLE = 50  # the driver verifies this many leading queries
 
 

@@ -1219,6 +1219,7 @@ def _section_sweep() -> dict:
         # round 11
         "p27_dedup_aware_mixture",
         "d27_dup_substring_spans",
+        "d28_dup_span_removal",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

@@ -2303,3 +2303,163 @@ def _register_d27() -> None:
 
 
 _register_d27()
+
+
+# --- d28: duplicated-span REMOVAL (the cleaned-corpus artifact) ------------
+# d27 detects duplicated-substring spans; d28 produces what the training
+# pipeline actually consumes: each affected document rewritten with every
+# duplicated span excised (the conservative remove-all policy — no global
+# canonical-occurrence election, so the transform is embarrassingly
+# doc-local once spans are known). Same L, same coverage semantics.
+#
+# 100 TB design: reuses d27's two gram shuffles; the removal itself is a
+# doc-keyed join of the corpus against its O(spans) span lists plus a
+# row-local positional filter (F.filter's index lambda) — no extra
+# corpus-sized shuffle beyond the doc_id join, and only affected docs flow.
+
+
+def _register_d28() -> None:
+    L = 5
+
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, u.g AS g, u.pos AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) - {L} + 2),
+                      i -> {{'g': md5(array_to_string(ts[i:i+{L}-1], ' ')),
+                             'pos': i}})) AS u
+        FROM toks
+      )
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {L}
+                  THEN 1 ELSE 0 END AS brk
+      FROM grams SEMI JOIN dupg USING (g)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {L} - 1 AS e
+      FROM islands GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) + 1),
+                      i -> {{'tok': ts[i], 'pos': i}})) AS u
+        FROM toks WHERE doc_id IN (SELECT doc_id FROM spans)
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tokpos t LEFT JOIN spans sp
+        ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e
+      WHERE sp.doc_id IS NULL
+    ),
+    kept_agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             array_to_string(array_agg(tok ORDER BY pos), ' ') AS cleaned
+      FROM kept GROUP BY doc_id
+    ),
+    removed AS (
+      SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           r.n_removed AS n_removed_tokens,
+           coalesce(k.n_kept, 0) AS n_kept_tokens,
+           coalesce(k.cleaned, '') AS cleaned_text
+    FROM removed r LEFT JOIN kept_agg k ON r.doc_id = k.doc_id
+    ORDER BY r.doc_id
+    """
+
+    @query("d28_dup_span_removal", oracle=oracle)
+    def d28_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        d = spread_rowlocal(
+            load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        )
+        ts = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        toks = d.select("doc_id", ts.alias("ts")).select(
+            "doc_id", F.size("ts").alias("n_toks"), F.col("ts")
+        )
+        gram_list = F.when(
+            F.col("n_toks") >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_toks") - L + 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("ts"), i + j) for j in range(L)],
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toks.select(
+            "doc_id", F.posexplode(gram_list).alias("p0", "g")
+        ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+        # d27's skew-safe duplicate detection: combined aggregate + semi-join
+        dup_g = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= 2)
+            .select("g")
+        )
+        hits = grams.join(dup_g, "g", "left_semi")
+        w_doc = Window.partitionBy("doc_id").orderBy("pos")
+        marked = hits.withColumn(
+            "brk",
+            F.when(
+                F.lag("pos").over(w_doc).isNull()
+                | (F.col("pos") > F.lag("pos").over(w_doc) + L),
+                1,
+            ).otherwise(0),
+        )
+        islands = marked.withColumn(
+            "island",
+            F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        spans = islands.groupBy("doc_id", "island").agg(
+            F.min("pos").alias("s"), (F.max("pos") + L - 1).alias("e")
+        )
+        per_doc = spans.groupBy("doc_id").agg(
+            F.collect_list(F.struct("s", "e")).alias("spans"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+        )
+        # doc-keyed join back; the excision is a row-local positional
+        # filter (1-based index lambda), no further shuffle
+        joined = toks.join(per_doc, "doc_id")
+        kept = F.filter(
+            F.col("ts"),
+            lambda t, i: ~F.exists(
+                F.col("spans"),
+                lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+            ),
+        )
+        return (
+            joined.select(
+                "doc_id",
+                "n_removed_tokens",
+                F.size(kept).cast("bigint").alias("n_kept_tokens"),
+                F.concat_ws(" ", kept).alias("cleaned_text"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_d28()

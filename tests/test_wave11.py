@@ -57,3 +57,32 @@ def test_d27_spans_hand_computed(spark, tmp_path):
     assert rows[4] == (1, 8, 8, 0.8)
     # doc 5: hit grams pos 1 and 12, gap > L -> TWO islands [1,5] + [12,16]
     assert rows[5] == (2, 10, 5, 0.625)
+
+
+def test_d28_removal_hand_computed(spark, tmp_path):
+    """Same fixture as d27: the cleaned text is exactly the tokens outside
+    every duplicated span — whole-doc removal yields empty text, the
+    split-island doc keeps only its unique middle."""
+    _docs(
+        spark,
+        str(tmp_path),
+        [
+            ("a b c d e f g h", "s1"),                       # 0
+            ("x a b c d e f y", "s1"),                       # 1
+            ("z z z z z z", "s2"),                           # 2
+            ("p q r s t u v w", "s3"),                       # 3
+            ("m a b c d e f g h n", "s1"),                   # 4
+            ("a b c d e G1 G2 G3 G4 G5 G6 a b c d e", "s2"), # 5
+        ],
+    )
+    out = registry.QUERIES["d28_dup_span_removal"](spark, str(tmp_path))
+    rows = {
+        r["doc_id"]: (r["n_removed_tokens"], r["n_kept_tokens"], r["cleaned_text"])
+        for r in out.collect()
+    }
+    assert rows[0] == (8, 0, "")
+    assert rows[1] == (6, 2, "x y")
+    assert rows[2] == (6, 0, "")
+    assert 3 not in rows
+    assert rows[4] == (8, 2, "m n")
+    assert rows[5] == (10, 6, "G1 G2 G3 G4 G5 G6")
