@@ -94,15 +94,14 @@ def _latest_green_round() -> dict[str, int]:
     return latest
 
 
-# Queries built DURING round 11, after the round's 50-slot verification
-# budget was already committed to draining the r6-era stale backlog
-# (VERDICT r10 item 1: 49 stale + at most 1 new). Deferring them keeps the
-# rotation intact this round; the moment CORRECTNESS_r11.json exists the
-# defer expires and they sort first (never-green) into the r12 sample.
-_DEFER_UNTIL_ROUND = 11
-_DEFERRED: frozenset[str] = frozenset(
-    {"d27_dup_substring_spans", "d28_dup_span_removal"}
-)
+# Queries built DURING the current round, after the round's 50-slot
+# verification budget was already committed (r12: d27+d28 never-greens +
+# the 48-query r7 stale cohort, VERDICT r11 item 1). Deferring them keeps
+# the rotation intact this round; the moment this round's CORRECTNESS
+# artifact exists the defer expires and they sort first (never-green)
+# into the next round's sample.
+_DEFER_UNTIL_ROUND = 12
+_DEFERRED: frozenset[str] = frozenset({"d29_dup_span_removal_canonical"})
 _DRIVER_SAMPLE = 50  # the driver verifies this many leading queries
 
 
@@ -124,9 +123,11 @@ def _driver_order(names) -> list[str]:
         key=lambda n: latest.get(n, 0),
     )
     # the explicit defer invariant: while active, deferred queries sit
-    # OUTSIDE the driver's verification sample, directly after it —
-    # regardless of how the backlog's round composition shifts
-    return order[:_DRIVER_SAMPLE] + deferred + order[_DRIVER_SAMPLE:]
+    # OUTSIDE the driver's verification sample AND after every non-deferred
+    # never-green query — splicing at a fixed 50 would insert them ahead
+    # of never-greens if the backlog ever exceeded the sample size
+    cut = max(_DRIVER_SAMPLE, sum(1 for n in order if n not in latest))
+    return order[:cut] + deferred + order[cut:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -503,7 +503,13 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
     for p in range(2):
         root = os.path.join(tmp_root, f"pipeline-{p}")
         shutil.rmtree(root, ignore_errors=True)
-        pipe = ingest_pipeline(root, lambda df, bid: df.count())
+        # threshold above the L1-drift max (2.0) so every batch takes the
+        # clean path: the number measures the full forward+merge+digest
+        # pipeline, not quarantine staging of late batches whose drift vs
+        # the batch-0-bootstrapped profile crosses a default 0.5 gate
+        pipe = ingest_pipeline(
+            root, lambda df, bid: df.count(), threshold=2.1
+        )
         t0 = _t.perf_counter()
         for b in range(n_batches):
             pipe(vdocs.where(F.col("doc_id") % n_batches == b), b)
@@ -1220,6 +1226,8 @@ def _section_sweep() -> dict:
         "p27_dedup_aware_mixture",
         "d27_dup_substring_spans",
         "d28_dup_span_removal",
+        # round 12
+        "d29_dup_span_removal_canonical",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

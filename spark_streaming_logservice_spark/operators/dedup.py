@@ -2463,3 +2463,193 @@ def _register_d28() -> None:
 
 
 _register_d28()
+
+
+# --- d29: keeper-election span removal (canonical occurrence survives) -----
+# d28's remove-all policy excises EVERY occurrence of a duplicated span —
+# conservative, but a corpus cleaned that way loses all copies of
+# legitimately repeated text (a quotation appearing twice vanishes
+# entirely). d29 matches Lee et al. 2022's actual dedup semantics: each
+# duplicated L-gram family elects ONE canonical occurrence — the global
+# min by (doc_id, pos) — and only NON-canonical occurrences are excised,
+# so exactly one copy of every duplicated passage survives (when a
+# passage repeats across docs, the whole lowest-doc copy is canonical for
+# every one of its grams and survives intact; a self-repeat keeps its
+# first occurrence). Overlap caveat, documented: span excision is
+# token-range based, so a self-overlapping repeat ("z z z z z z") keeps
+# only the tokens outside the non-canonical island, not a full L tokens.
+#
+# 100 TB design: identical shuffle structure to d27/d28 — the election is
+# the SAME count aggregate extended with an associative min(struct) (still
+# map-side partial-combined per task, so a 10^8-occurrence boilerplate
+# gram collapses to one partial per task), and the hits join on g stays
+# AQE-splittable; no window over the gram key anywhere.
+
+
+def _register_d29() -> None:
+    L = 5
+
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, u.g AS g, u.pos AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) - {L} + 2),
+                      i -> {{'g': md5(array_to_string(ts[i:i+{L}-1], ' ')),
+                             'pos': i}})) AS u
+        FROM toks
+      )
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM grams
+    ),
+    hits AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + {L}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {L} - 1 AS e
+      FROM islands GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) + 1),
+                      i -> {{'tok': ts[i], 'pos': i}})) AS u
+        FROM toks WHERE doc_id IN (SELECT doc_id FROM spans)
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tokpos t LEFT JOIN spans sp
+        ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e
+      WHERE sp.doc_id IS NULL
+    ),
+    kept_agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             array_to_string(array_agg(tok ORDER BY pos), ' ') AS cleaned
+      FROM kept GROUP BY doc_id
+    ),
+    removed AS (
+      SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           r.n_removed AS n_removed_tokens,
+           coalesce(k.n_kept, 0) AS n_kept_tokens,
+           coalesce(k.cleaned, '') AS cleaned_text
+    FROM removed r LEFT JOIN kept_agg k ON r.doc_id = k.doc_id
+    ORDER BY r.doc_id
+    """
+
+    @query("d29_dup_span_removal_canonical", oracle=oracle)
+    def d29_dup_span_removal_canonical(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        d = spread_rowlocal(
+            load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        )
+        ts = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        toks = d.select("doc_id", ts.alias("ts")).select(
+            "doc_id", F.size("ts").alias("n_toks"), F.col("ts")
+        )
+        gram_list = F.when(
+            F.col("n_toks") >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_toks") - L + 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("ts"), i + j) for j in range(L)],
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toks.select(
+            "doc_id", F.posexplode(gram_list).alias("p0", "g")
+        ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+        # keeper election rides d27's skew-safe aggregate: min(struct) is
+        # associative, so the canonical occurrence partial-combines on the
+        # map side exactly like the count does — no window over g
+        canon = (
+            grams.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(F.struct("doc_id", "pos")).alias("c"),
+            )
+            .where(F.col("cnt") >= 2)
+            .select(
+                "g",
+                F.col("c.doc_id").alias("c_doc"),
+                F.col("c.pos").alias("c_pos"),
+            )
+        )
+        hits = (
+            grams.join(canon, "g")
+            .where(
+                (F.col("doc_id") != F.col("c_doc"))
+                | (F.col("pos") != F.col("c_pos"))
+            )
+            .select("doc_id", "pos")
+        )
+        w_doc = Window.partitionBy("doc_id").orderBy("pos")
+        marked = hits.withColumn(
+            "brk",
+            F.when(
+                F.lag("pos").over(w_doc).isNull()
+                | (F.col("pos") > F.lag("pos").over(w_doc) + L),
+                1,
+            ).otherwise(0),
+        )
+        islands = marked.withColumn(
+            "island",
+            F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        spans = islands.groupBy("doc_id", "island").agg(
+            F.min("pos").alias("s"), (F.max("pos") + L - 1).alias("e")
+        )
+        per_doc = spans.groupBy("doc_id").agg(
+            F.collect_list(F.struct("s", "e")).alias("spans"),
+            F.sum(F.col("e") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+        )
+        joined = toks.join(per_doc, "doc_id")
+        kept = F.filter(
+            F.col("ts"),
+            lambda t, i: ~F.exists(
+                F.col("spans"),
+                lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+            ),
+        )
+        return (
+            joined.select(
+                "doc_id",
+                "n_removed_tokens",
+                F.size(kept).cast("bigint").alias("n_kept_tokens"),
+                F.concat_ws(" ", kept).alias("cleaned_text"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_d29()

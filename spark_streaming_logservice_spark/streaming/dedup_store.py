@@ -246,10 +246,15 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
         if pinned is None:
             with open(os.path.join(digest_dir, "_digest_impl"), "w") as f:
                 f.write(digest_impl)
-        # sweep staging orphans from crashed attempts (same recovery rule as
-        # the logstore sink: anything not renamed to final never happened)
+        # sweep THIS writer's staging orphans from crashed attempts (same
+        # recovery rule as the logstore sink: anything not renamed to final
+        # never happened). Scoped to the namespace prefix: a shared store
+        # legitimately hosts concurrent writers (dedup_on_ingest +
+        # ingest_pipeline), and an unscoped sweep would delete another
+        # writer's in-flight staging dir mid-write.
+        own_staging = f"_staging-{namespace}-"
         for f in os.listdir(digest_dir):
-            if f.startswith("_staging"):
+            if f.startswith(own_staging):
                 shutil.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
         marker = os.path.join(digest_dir, f"{namespace}-batch-{batch_id}.done")
         if os.path.exists(marker):
@@ -276,7 +281,8 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
             t0 = _t.perf_counter()
             if not os.path.exists(final):
                 staging = os.path.join(
-                    digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
+                    digest_dir,
+                    f"_staging-{namespace}-{batch_id}-{uuid.uuid4().hex}",
                 )
                 # NULL-text pass-through rows carry NULL digests and must
                 # never enter the store (they are not dedup state)
@@ -308,6 +314,12 @@ def compact_digest_store(spark, digest_dir: str) -> int:
     files = _store_files(digest_dir)
     if len(files) <= 1:
         return 0
+    # sweep compaction's OWN crashed staging only — writer sweeps are
+    # namespace-scoped for the same reason (concurrent writers on a
+    # shared store must not delete each other's in-flight staging)
+    for f in os.listdir(digest_dir):
+        if f.startswith("_staging-compact-"):
+            shutil.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
     # resolve the store's OWN impl (legacy md5 for pre-pin stores) —
     # compacting md5 files through the wrong schema would read all-NULL
     # keys and irreversibly destroy the dedup history

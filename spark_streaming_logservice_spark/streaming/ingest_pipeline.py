@@ -192,14 +192,20 @@ def ingest_pipeline(
                 digest_dir, f"{namespace}-batch-{batch_id}.parquet"
             )
             if not os.path.exists(final):
+                # namespace-scoped sweep: the store is explicitly shareable
+                # with a concurrent dedup_on_ingest writer, whose own sweep
+                # is scoped the same way — neither deletes the other's
+                # in-flight staging dir
+                own_staging = f"_staging-{namespace}-"
                 for leftover in os.listdir(digest_dir):
-                    if leftover.startswith("_staging"):
+                    if leftover.startswith(own_staging):
                         shutil.rmtree(
                             os.path.join(digest_dir, leftover),
                             ignore_errors=True,
                         )
                 staging = os.path.join(
-                    digest_dir, f"_staging-{batch_id}-{uuid.uuid4().hex}"
+                    digest_dir,
+                    f"_staging-{namespace}-{batch_id}-{uuid.uuid4().hex}",
                 )
                 _to_store(
                     novel.where(F.col(dcols[0]).isNotNull()), digest_impl

@@ -114,10 +114,15 @@ def test_orphaned_staging_swept_on_next_apply(spark, store):
     forwarded, forward = _collector()
     apply = dedup_on_ingest(forward, store)
     apply(_batch(spark, [(1, "aa")]), 0)
-    orphan = os.path.join(store, "_staging-99-dead")
+    orphan = os.path.join(store, "_staging-q-99-dead")
     os.makedirs(orphan)
+    # a CONCURRENT writer's in-flight staging (different namespace) must
+    # survive the sweep — the store explicitly supports shared writers
+    foreign = os.path.join(store, "_staging-pipe-0-inflight")
+    os.makedirs(foreign)
     apply(_batch(spark, [(2, "bb")]), 1)
     assert not os.path.exists(orphan)
+    assert os.path.exists(foreign)
     assert forwarded[-1] == (1, [(2, "bb")])
 
 

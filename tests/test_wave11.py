@@ -86,3 +86,74 @@ def test_d28_removal_hand_computed(spark, tmp_path):
     assert 3 not in rows
     assert rows[4] == (8, 2, "m n")
     assert rows[5] == (10, 6, "G1 G2 G3 G4 G5 G6")
+
+
+def test_d29_keeper_election_canonical_copy_survives(spark, tmp_path):
+    """Keeper election (Lee et al. semantics): each duplicated gram family
+    keeps its min-(doc_id, pos) occurrence. Doc 0 is the canonical copy of
+    every shared gram — it must survive INTACT (absent from the output);
+    the self-repeat doc 2 keeps its first occurrence's leading token."""
+    _docs(
+        spark,
+        str(tmp_path),
+        [
+            ("a b c d e f g h", "s1"),                       # 0
+            ("x a b c d e f y", "s1"),                       # 1
+            ("z z z z z z", "s2"),                           # 2
+            ("p q r s t u v w", "s3"),                       # 3
+            ("m a b c d e f g h n", "s1"),                   # 4
+            ("a b c d e G1 G2 G3 G4 G5 G6 a b c d e", "s2"), # 5
+        ],
+    )
+    out = registry.QUERIES["d29_dup_span_removal_canonical"](spark, str(tmp_path))
+    rows = {
+        r["doc_id"]: (r["n_removed_tokens"], r["n_kept_tokens"], r["cleaned_text"])
+        for r in out.collect()
+    }
+    # doc 0 holds the canonical occurrence of every duplicated gram it
+    # contains -> zero non-canonical hits -> survives untouched (absent)
+    assert 0 not in rows
+    # doc 1: non-canonical grams at pos 2,3 -> span [2,7]
+    assert rows[1] == (6, 2, "x y")
+    # doc 2 self-repeat: canonical pos 1, non-canonical pos 2 -> span
+    # [2,6]; the first occurrence's non-overlapped token survives
+    assert rows[2] == (5, 1, "z")
+    assert 3 not in rows
+    # doc 4: non-canonical grams pos 2..5 -> span [2,9]
+    assert rows[4] == (8, 2, "m n")
+    # doc 5: BOTH its "a b c d e" occurrences are non-canonical (doc 0
+    # owns the family) -> two islands [1,5] + [12,16]
+    assert rows[5] == (10, 6, "G1 G2 G3 G4 G5 G6")
+
+
+def test_d28_vs_d29_removal_ordering(spark, tmp_path):
+    """Remove-all (d28) strictly dominates keeper-election (d29) in tokens
+    removed, and d29's survivors preserve one copy: the corpus-wide kept
+    text still contains the duplicated passage exactly where d28's does
+    not."""
+    _docs(
+        spark,
+        str(tmp_path),
+        [
+            ("q u o t e d p a s s a g e", "s1"),             # 0 canonical
+            ("intro q u o t e d p a s s a g e outro", "s2"), # 1
+        ],
+    )
+    d28 = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["d28_dup_span_removal"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    d29 = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["d29_dup_span_removal_canonical"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # d28 excises BOTH copies; d29 keeps doc 0 whole
+    assert set(d28) == {0, 1} and set(d29) == {1}
+    assert d28[0]["cleaned_text"] == ""
+    assert d29[1]["cleaned_text"] == d28[1]["cleaned_text"] == "intro outro"
+    for doc in d29:
+        assert d29[doc]["n_removed_tokens"] <= d28[doc]["n_removed_tokens"]
