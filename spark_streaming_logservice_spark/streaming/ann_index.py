@@ -32,6 +32,11 @@ round-trip bit-exactly, so index-served results are bit-identical to the
 train-inline s05/s07 pipelines — which is what lets the served queries
 below (s24/s25) reuse the FULL-pipeline DuckDB oracles as their
 correctness gate.
+
+Durability primitives (rename/list/markers) route through the single
+filesystem seam ``streaming/storefs.py`` — its module docstring states
+the atomicity contract once for every store; deploying on an object
+store means swapping that backend, not editing this module.
 """
 
 from __future__ import annotations
@@ -63,6 +68,7 @@ from spark_streaming_logservice_spark.operators.ann_pq import (
     pq_serve,
     train_codebook,
 )
+from spark_streaming_logservice_spark.streaming import storefs
 from spark_streaming_logservice_spark.streaming.queries import (
     idempotent_foreach_batch,
 )
@@ -216,7 +222,7 @@ def _load_artifacts(spark: SparkSession, table_dir: str):
     _touch(os.path.join(table_dir, _INDEX_MARKER))
     cdir = os.path.join(_centroids_dir(table_dir), "data")
     try:
-        ver = os.stat(cdir).st_mtime_ns
+        ver = storefs.mtime_ns(cdir)
     except OSError:
         ver = None
     key = (app, os.path.realpath(table_dir), ver)
@@ -348,9 +354,7 @@ def _purge_artifact_cache(table_dir: str) -> None:
 
 
 def _evict_store(table_dir: str) -> None:
-    import shutil
-
-    shutil.rmtree(table_dir, ignore_errors=True)
+    storefs.rmtree(table_dir, ignore_errors=True)
     _purge_artifact_cache(table_dir)
     for k in [k for k, v in _INDEX_CACHE.items() if v == table_dir]:
         del _INDEX_CACHE[k]
@@ -374,7 +378,7 @@ def _touch(path: str) -> None:
     """LRU touch; never lets bookkeeping break serving (read-only roots
     are a supported deployment for prebuilt indexes)."""
     try:
-        os.utime(path)
+        storefs.utime(path)
     except OSError:
         pass
 
@@ -388,10 +392,10 @@ def _newest_mtime(d: str) -> float:
     build-grace on the top-level mtime alone let a legitimate >1h build be
     reclaimed mid-build by a concurrent application's eviction)."""
     newest = 0.0
-    for walk_root, _dirs, files in os.walk(d):
+    for walk_root, _dirs, files in storefs.walk(d):
         for p in [walk_root, *(os.path.join(walk_root, f) for f in files)]:
             try:
-                m = os.stat(p).st_mtime
+                m = storefs.getmtime(p)
             except OSError:
                 continue
             if m > newest:
@@ -408,7 +412,7 @@ def _evict_lru_stores(root: str, keep_dir: str) -> None:
     import time as _time
 
     try:
-        entries = sorted(os.listdir(root))
+        entries = sorted(storefs.listdir(root))
     except OSError:
         return
     now = _time.time()
@@ -419,7 +423,7 @@ def _evict_lru_stores(root: str, keep_dir: str) -> None:
             continue
         marker = os.path.join(d, _INDEX_MARKER)
         try:
-            mtime = os.stat(marker).st_mtime
+            mtime = storefs.getmtime(marker)
         except OSError:
             # marker-less: in-progress build or crashed leftover. An
             # active build keeps SOME file's mtime fresh (parquet parts
@@ -448,7 +452,6 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     is written before the rename — a half-built store is never reattached.
     Bounded: ≤4 stores kept under the root, LRU by last attach."""
     import json
-    import shutil
 
     from spark_streaming_logservice_spark.tables import load_table
 
@@ -458,18 +461,17 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     root = os.environ.get("SPARK_GRAFT_ANN_STORE_ROOT", ANN_STORE_ROOT)
     table_dir = _store_dir_for(key, root)
     marker = os.path.join(table_dir, _INDEX_MARKER)
-    if _INDEX_CACHE.get(key) == table_dir and os.path.exists(marker):
+    if _INDEX_CACHE.get(key) == table_dir and storefs.exists(marker):
         _touch(marker)  # keep the active-lease fresh across long sessions
         return table_dir
 
     def _matches() -> bool:
         try:
-            with open(marker) as f:
-                return json.load(f) == list(key)
+            return json.loads(storefs.read_text(marker)) == list(key)
         except (OSError, ValueError):
             return False
 
-    if os.path.exists(marker):
+    if storefs.exists(marker):
         if _matches():
             # reattach: the store was built (possibly by another
             # application) from exactly this corpus content — serve it.
@@ -477,7 +479,7 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
             _INDEX_CACHE[key] = table_dir
             return table_dir
         _evict_store(table_dir)  # stale/foreign content under our hash
-    os.makedirs(root, exist_ok=True)
+    storefs.makedirs(root, exist_ok=True)
     # unique per process AND per call: two threads of one application
     # building concurrently must not rmtree each other's staging
     build_dir = table_dir + f".build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -485,17 +487,18 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     build_ann_index(spark, build_dir, emb)
-    with open(os.path.join(build_dir, _INDEX_MARKER), "w") as f:
-        json.dump(list(key), f)
-    shutil.rmtree(table_dir, ignore_errors=True)
+    storefs.write_text(
+        os.path.join(build_dir, _INDEX_MARKER), json.dumps(list(key))
+    )
+    storefs.rmtree(table_dir, ignore_errors=True)
     try:
-        os.rename(build_dir, table_dir)
+        storefs.publish_rename(build_dir, table_dir)
     except OSError:
         # a concurrent builder of the SAME corpus published between our
         # rmtree and rename; the path is content-keyed, so the store that
         # won is equivalent — discard ours and serve theirs
         if _matches():
-            shutil.rmtree(build_dir, ignore_errors=True)
+            storefs.rmtree(build_dir, ignore_errors=True)
         else:
             raise
     _purge_artifact_cache(build_dir)  # collected under the pre-rename path
@@ -1238,7 +1241,7 @@ def gated_ann_writer(
             # encoded against the new ones
             cdir = os.path.join(_centroids_dir(table_dir), "data")
             try:
-                ver = os.stat(cdir).st_mtime_ns
+                ver = storefs.mtime_ns(cdir)
             except OSError:
                 ver = None
             key = (
@@ -1308,11 +1311,11 @@ def quarantine_stager(quarantine_dir: str):
 def read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
     """All staged (vec_id, embedding) rows, empty frame if none staged."""
     schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
-    if not os.path.isdir(quarantine_dir):
+    if not storefs.isdir(quarantine_dir):
         return spark.createDataFrame([], schema)
     dirs = sorted(
         os.path.join(quarantine_dir, d)
-        for d in os.listdir(quarantine_dir)
+        for d in storefs.listdir(quarantine_dir)
         if d.startswith("batch-")
     )
     if not dirs:
@@ -1357,14 +1360,12 @@ def retrain_from_quarantine(
     Single retrainer per store, same assumption the gate already makes;
     content-keyed ``ensure_index`` stores are immutable by construction
     and are never retrained in place."""
-    import shutil
-
     old = table_dir + ".retrain-old"
-    if not os.path.exists(table_dir) and os.path.exists(old):
-        os.rename(old, table_dir)  # heal a torn publish
-    shutil.rmtree(old, ignore_errors=True)
+    if not storefs.exists(table_dir) and storefs.exists(old):
+        storefs.publish_rename(old, table_dir)  # heal a torn publish
+    storefs.rmtree(old, ignore_errors=True)
     staging = table_dir + ".retrain"
-    shutil.rmtree(staging, ignore_errors=True)
+    storefs.rmtree(staging, ignore_errors=True)
 
     staged = read_quarantine(spark, quarantine_dir).dropDuplicates(["vec_id"])
     n_staged = staged.count()
@@ -1384,13 +1385,13 @@ def retrain_from_quarantine(
 
     mk_old = os.path.join(_vectors_dir(table_dir), "_markers")
     mk_new = os.path.join(_vectors_dir(staging), "_markers")
-    if os.path.isdir(mk_old):
-        os.makedirs(mk_new, exist_ok=True)
-        for m in os.listdir(mk_old):
-            shutil.copy2(os.path.join(mk_old, m), os.path.join(mk_new, m))
+    if storefs.isdir(mk_old):
+        storefs.makedirs(mk_new, exist_ok=True)
+        for m in storefs.listdir(mk_old):
+            storefs.copy_file(os.path.join(mk_old, m), os.path.join(mk_new, m))
 
-    os.rename(table_dir, old)
-    os.rename(staging, table_dir)
-    shutil.rmtree(old)
-    shutil.rmtree(quarantine_dir, ignore_errors=True)
+    storefs.publish_rename(table_dir, old)
+    storefs.publish_rename(staging, table_dir)
+    storefs.rmtree(old)
+    storefs.rmtree(quarantine_dir, ignore_errors=True)
     return n_staged

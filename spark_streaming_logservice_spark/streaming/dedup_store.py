@@ -34,18 +34,24 @@ write to the logstore sink). Ordering is forward → digests → marker:
 - crash between digests and marker → replay sees its own digests in the
   store, forwards nothing new, and completes the marker — rows were already
   forwarded by the failed attempt, so nothing is lost or doubled.
+
+Durability primitives (rename/list/markers) route through the single
+filesystem seam ``streaming/storefs.py`` — its module docstring states
+the atomicity contract once for every store; deploying on an object
+store means swapping that backend, not editing this module.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 import time as _t
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from spark_streaming_logservice_spark.streaming import storefs
 
 DIGEST_SCHEMA = "digest STRING"  # md5 impl (back-compat alias)
 
@@ -102,9 +108,8 @@ def _pinned_impl(digest_dir: str) -> str | None:
     present, the legacy default if the store has files but no pin, None
     for a store that doesn't exist yet."""
     impl_file = os.path.join(digest_dir, "_digest_impl")
-    if os.path.exists(impl_file):
-        with open(impl_file) as f:
-            pinned = f.read().strip()
+    if storefs.exists(impl_file):
+        pinned = storefs.read_text(impl_file).strip()
         if pinned not in DIGEST_IMPLS:
             raise ValueError(
                 f"digest store {digest_dir} pinned to unknown impl {pinned!r}"
@@ -135,11 +140,11 @@ def _span(key: str, t0: float) -> None:
 
 
 def _store_files(digest_dir: str) -> list[str]:
-    if not os.path.isdir(digest_dir):
+    if not storefs.isdir(digest_dir):
         return []
     return [
         os.path.join(digest_dir, f)
-        for f in sorted(os.listdir(digest_dir))
+        for f in sorted(storefs.listdir(digest_dir))
         if f.endswith(".parquet") and not f.startswith("_staging")
     ]
 
@@ -232,7 +237,7 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(digest_dir, exist_ok=True)
+        storefs.makedirs(digest_dir, exist_ok=True)
         # one digest impl per store, pinned by the first writer: a store
         # probed with a different hash than it was built with would
         # silently forward every duplicate. A pre-pin store with files
@@ -244,8 +249,9 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                 f"got digest_impl={digest_impl!r}"
             )
         if pinned is None:
-            with open(os.path.join(digest_dir, "_digest_impl"), "w") as f:
-                f.write(digest_impl)
+            storefs.write_text(
+                os.path.join(digest_dir, "_digest_impl"), digest_impl
+            )
         # sweep THIS writer's staging orphans from crashed attempts (same
         # recovery rule as the logstore sink: anything not renamed to final
         # never happened). Scoped to the namespace prefix: a shared store
@@ -253,11 +259,11 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
         # ingest_pipeline), and an unscoped sweep would delete another
         # writer's in-flight staging dir mid-write.
         own_staging = f"_staging-{namespace}-"
-        for f in os.listdir(digest_dir):
+        for f in storefs.listdir(digest_dir):
             if f.startswith(own_staging):
-                shutil.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
+                storefs.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
         marker = os.path.join(digest_dir, f"{namespace}-batch-{batch_id}.done")
-        if os.path.exists(marker):
+        if storefs.exists(marker):
             return
         novel = dedup_against_store(
             batch_df, digest_dir, text_col, id_col, digest_impl
@@ -279,7 +285,7 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                 digest_dir, f"{namespace}-batch-{batch_id}.parquet"
             )
             t0 = _t.perf_counter()
-            if not os.path.exists(final):
+            if not storefs.exists(final):
                 staging = os.path.join(
                     digest_dir,
                     f"_staging-{namespace}-{batch_id}-{uuid.uuid4().hex}",
@@ -289,10 +295,9 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
                 _to_store(
                     novel.where(F.col(dcols[0]).isNotNull()), digest_impl
                 ).coalesce(1).write.mode("overwrite").parquet(staging)
-                os.rename(staging, final)
+                storefs.publish_rename(staging, final)
             _span("digests", t0)
-            with open(marker, "w") as f:
-                f.write("ok")
+            storefs.write_text(marker, "ok")
         finally:
             novel.unpersist()
 
@@ -317,9 +322,9 @@ def compact_digest_store(spark, digest_dir: str) -> int:
     # sweep compaction's OWN crashed staging only — writer sweeps are
     # namespace-scoped for the same reason (concurrent writers on a
     # shared store must not delete each other's in-flight staging)
-    for f in os.listdir(digest_dir):
+    for f in storefs.listdir(digest_dir):
         if f.startswith("_staging-compact-"):
-            shutil.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
+            storefs.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
     # resolve the store's OWN impl (legacy md5 for pre-pin stores) —
     # compacting md5 files through the wrong schema would read all-NULL
     # keys and irreversibly destroy the dedup history
@@ -335,7 +340,7 @@ def compact_digest_store(spark, digest_dir: str) -> int:
     final = os.path.join(
         digest_dir, f"compacted-{uuid.uuid4().hex[:8]}.parquet"
     )
-    os.rename(staging, final)
+    storefs.publish_rename(staging, final)
     for f in files:
-        shutil.rmtree(f, ignore_errors=True)
+        storefs.rmtree(f, ignore_errors=True)
     return len(files)

@@ -39,13 +39,17 @@ State layout under ``root``: ``vocab/`` (sharded profile), ``digests/``
 (pinned digest store), ``quarantine/batch-<id>/`` (durable staging),
 ``_flags/batch-<id>.json`` (recorded admission decisions), ``_markers/``
 (pipeline batch markers).
+
+Durability primitives (rename/list/markers) route through the single
+filesystem seam ``streaming/storefs.py`` — its module docstring states
+the atomicity contract once for every store; deploying on an object
+store means swapping that backend, not editing this module.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +65,7 @@ from spark_streaming_logservice_spark.streaming.dedup_store import (
 from spark_streaming_logservice_spark.streaming.queries import (
     idempotent_foreach_batch,
 )
+from spark_streaming_logservice_spark.streaming import storefs
 from spark_streaming_logservice_spark.streaming.rollup import merge_additive
 from spark_streaming_logservice_spark.streaming.vocab_drift import (
     _SCHEMA as _VOCAB_SCHEMA,
@@ -110,7 +115,7 @@ def ingest_pipeline(
     flags_dir = os.path.join(root, "_flags")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(digest_dir, exist_ok=True)
+        storefs.makedirs(digest_dir, exist_ok=True)
         # resolve the store's digest pin the way dedup_on_ingest does: a
         # pre-pin store with files is committed to legacy md5 — writing the
         # default pin over it would read md5 files with the xxhash schema
@@ -122,8 +127,9 @@ def ingest_pipeline(
                 f"got digest_impl={digest_impl!r}"
             )
         if pinned is None:
-            with open(os.path.join(digest_dir, "_digest_impl"), "w") as f:
-                f.write(digest_impl)
+            storefs.write_text(
+                os.path.join(digest_dir, "_digest_impl"), digest_impl
+            )
         # --- stage 1: score the RAW batch ONCE, record the decision
         # durably BEFORE any state mutation. A crash replay reuses the
         # record: re-scoring could see a profile that already merged this
@@ -131,20 +137,20 @@ def ingest_pipeline(
         # module docstring). The record is also what makes the alert
         # payload replay-identical.
         flag_file = os.path.join(flags_dir, f"batch-{batch_id}.json")
-        if os.path.exists(flag_file):
-            with open(flag_file) as f:
-                decision = json.load(f)
+        if storefs.exists(flag_file):
+            decision = json.loads(storefs.read_text(flag_file))
             scores, flagged = decision["scores"], decision["flagged"]
         else:
             scores, flagged, _, _ = score_and_split(
                 vocab_dir, batch_df, threshold, min_profile_tokens,
                 text_col, source_col,
             )
-            os.makedirs(flags_dir, exist_ok=True)
+            storefs.makedirs(flags_dir, exist_ok=True)
             tmp = flag_file + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"scores": scores, "flagged": flagged}, f)
-            os.replace(tmp, flag_file)
+            storefs.write_text(
+                tmp, json.dumps({"scores": scores, "flagged": flagged})
+            )
+            storefs.replace_file(tmp, flag_file)
         if flagged:
             quarantined = batch_df.where(F.col(source_col).isin(flagged))
             # durable, overwrite-idempotent staging: alert redelivery
@@ -191,15 +197,15 @@ def ingest_pipeline(
             final = os.path.join(
                 digest_dir, f"{namespace}-batch-{batch_id}.parquet"
             )
-            if not os.path.exists(final):
+            if not storefs.exists(final):
                 # namespace-scoped sweep: the store is explicitly shareable
                 # with a concurrent dedup_on_ingest writer, whose own sweep
                 # is scoped the same way — neither deletes the other's
                 # in-flight staging dir
                 own_staging = f"_staging-{namespace}-"
-                for leftover in os.listdir(digest_dir):
+                for leftover in storefs.listdir(digest_dir):
                     if leftover.startswith(own_staging):
-                        shutil.rmtree(
+                        storefs.rmtree(
                             os.path.join(digest_dir, leftover),
                             ignore_errors=True,
                         )
@@ -210,7 +216,7 @@ def ingest_pipeline(
                 _to_store(
                     novel.where(F.col(dcols[0]).isNotNull()), digest_impl
                 ).coalesce(1).write.mode("overwrite").parquet(staging)
-                os.rename(staging, final)
+                storefs.publish_rename(staging, final)
         finally:
             novel.unpersist()
 
@@ -223,11 +229,11 @@ def read_quarantine(spark: SparkSession, root: str, schema: str) -> DataFrame:
     id — stage order guarantees the digest store never saw them, so they
     are admitted, deduplicated and learned like any fresh data."""
     quarantine_dir = os.path.join(root, "quarantine")
-    if not os.path.isdir(quarantine_dir):
+    if not storefs.isdir(quarantine_dir):
         return spark.createDataFrame([], schema)
     dirs = sorted(
         os.path.join(quarantine_dir, d)
-        for d in os.listdir(quarantine_dir)
+        for d in storefs.listdir(quarantine_dir)
         if d.startswith("batch-")
     )
     if not dirs:
@@ -239,18 +245,18 @@ def clear_quarantine(root: str, batch_ids=None) -> int:
     """Drop staged batches (all, or just ``batch_ids``) after recovery has
     re-ingested or discarded them; returns the number of batches cleared."""
     quarantine_dir = os.path.join(root, "quarantine")
-    if not os.path.isdir(quarantine_dir):
+    if not storefs.isdir(quarantine_dir):
         return 0
     names = (
         [f"batch-{b}" for b in batch_ids]
         if batch_ids is not None
-        else [d for d in os.listdir(quarantine_dir) if d.startswith("batch-")]
+        else [d for d in storefs.listdir(quarantine_dir) if d.startswith("batch-")]
     )
     n = 0
     for name in names:
         path = os.path.join(quarantine_dir, name)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
+        if storefs.isdir(path):
+            storefs.rmtree(path)
             n += 1
     return n
 
@@ -273,10 +279,10 @@ def expire_pipeline_records(root: str, keep_last: int = 1000) -> int:
     removed = 0
     for sub, suffix in (("_markers", ""), ("_flags", ".json")):
         d = os.path.join(root, sub)
-        if not os.path.isdir(d):
+        if not storefs.isdir(d):
             continue
         ids = []
-        for f in os.listdir(d):
+        for f in storefs.listdir(d):
             if f.startswith("batch-") and f.endswith(suffix):
                 stem = f[len("batch-"):]
                 if suffix:
@@ -285,6 +291,6 @@ def expire_pipeline_records(root: str, keep_last: int = 1000) -> int:
                     ids.append((int(stem), f))
         ids.sort()
         for _, f in ids[:-keep_last] if keep_last > 0 else ids:
-            os.remove(os.path.join(d, f))
+            storefs.remove(os.path.join(d, f))
             removed += 1
     return removed

@@ -71,13 +71,14 @@ def idempotent_foreach_batch(write_fn, marker_dir: str):
     after driver restart is also skipped (SURVEY.md §7.4.5)."""
     import os
 
+    from spark_streaming_logservice_spark.streaming import storefs
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(marker_dir, exist_ok=True)
+        storefs.makedirs(marker_dir, exist_ok=True)
         marker = os.path.join(marker_dir, f"batch-{batch_id}")
-        if os.path.exists(marker):
+        if storefs.exists(marker):
             return
         write_fn(batch_df, batch_id)
-        with open(marker, "w") as f:
-            f.write("ok")
+        storefs.write_text(marker, "ok")
 
     return apply

@@ -28,6 +28,11 @@ Scale/correctness posture:
 - State lives in the table, not the state store — the query itself is
   stateless (append mode), so there is no watermark requirement; late rows
   simply merge into their (old) buckets, exactly like the batch rollup.
+
+Durability primitives (rename/list/markers) route through the single
+filesystem seam ``streaming/storefs.py`` — its module docstring states
+the atomicity contract once for every store; deploying on an object
+store means swapping that backend, not editing this module.
 """
 
 from __future__ import annotations
@@ -35,12 +40,12 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_streaming_logservice_spark.streaming import storefs
 from spark_streaming_logservice_spark.streaming.queries import (
     idempotent_foreach_batch,
 )
@@ -140,7 +145,7 @@ def merge_additive(
     data, done = _recover_swap(table_dir, batch_id)
     if done:
         return
-    if os.path.exists(data):
+    if storefs.exists(data):
         base = delta.sparkSession.read.schema(schema).parquet(data)
         both = base.unionByName(delta)
         if combiner is not None:
@@ -191,7 +196,7 @@ def _migrate_legacy(spark: SparkSession, table_dir: str, schema: str,
     the final rmtree, so a re-run after a partial publish re-derives
     identical shard contents and skips the shards that already landed."""
     data, _ = _recover_swap(table_dir, None)  # heal a torn legacy swap
-    if not os.path.exists(data):
+    if not storefs.exists(data):
         return
     root = _shard_root(table_dir)
     base = (
@@ -201,26 +206,26 @@ def _migrate_legacy(spark: SparkSession, table_dir: str, schema: str,
     )
     staging = os.path.join(root, f"_staging-migrate-{uuid.uuid4().hex}")
     base.write.mode("overwrite").partitionBy(_PART).parquet(staging)
-    for d in os.listdir(staging):
+    for d in storefs.listdir(staging):
         if not d.startswith(f"{_PART}="):
             continue
         pv = _check_part_value(d.split("=", 1)[1])
         dst = os.path.join(root, pv, "data")
-        if os.path.exists(dst):  # published by a crashed earlier migration
+        if storefs.exists(dst):  # published by a crashed earlier migration
             continue             # (legacy unchanged since → same content)
-        os.makedirs(os.path.join(root, pv), exist_ok=True)
-        os.rename(os.path.join(staging, d), dst)
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(data, ignore_errors=True)  # commit: legacy gone
-    shutil.rmtree(data + ".old", ignore_errors=True)
+        storefs.makedirs(os.path.join(root, pv), exist_ok=True)
+        storefs.publish_rename(os.path.join(staging, d), dst)
+    storefs.rmtree(staging, ignore_errors=True)
+    storefs.rmtree(data, ignore_errors=True)  # commit: legacy gone
+    storefs.rmtree(data + ".old", ignore_errors=True)
 
 
 def _shard_dirs(table_dir: str) -> list[str]:
     root = _shard_root(table_dir)
-    if not os.path.isdir(root):
+    if not storefs.isdir(root):
         return []
     return sorted(
-        os.path.join(root, d) for d in os.listdir(root) if not d.startswith("_")
+        os.path.join(root, d) for d in storefs.listdir(root) if not d.startswith("_")
     )
 
 
@@ -242,12 +247,12 @@ def store_data_dirs(table_dir: str, buckets=None) -> list[str]:
         if want is not None and os.path.basename(shard) not in want:
             continue
         data = os.path.join(shard, "data")
-        if os.path.exists(data):
+        if storefs.exists(data):
             dirs.append(data)
-        elif os.path.exists(data + ".old"):
+        elif storefs.exists(data + ".old"):
             dirs.append(data + ".old")
     single = os.path.join(table_dir, "data")
-    if not dirs and os.path.exists(single):
+    if not dirs and storefs.exists(single):
         dirs.append(single)
     return dirs
 
@@ -278,15 +283,15 @@ def _merge_sharded(
 ) -> None:
     spark = delta.sparkSession
     root = _shard_root(table_dir)
-    os.makedirs(root, exist_ok=True)
+    storefs.makedirs(root, exist_ok=True)
     # sweep staging orphans from crashed publishes (never renamed = never
     # happened — same recovery rule as the logstore sink)
-    for d in os.listdir(root):
+    for d in storefs.listdir(root):
         if d.startswith("_staging"):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            storefs.rmtree(os.path.join(root, d), ignore_errors=True)
     # fold a pre-sharding single-dir store into the shard layout before the
     # first sharded merge can shadow it (ADVICE r7)
-    if os.path.exists(os.path.join(table_dir, "data")) or os.path.exists(
+    if storefs.exists(os.path.join(table_dir, "data")) or storefs.exists(
         os.path.join(table_dir, "data.old")
     ):
         _migrate_legacy(spark, table_dir, schema, partition_expr)
@@ -321,7 +326,7 @@ def _merge_sharded(
         bases = [
             os.path.join(root, pv, "data")
             for pv in todo
-            if os.path.exists(os.path.join(root, pv, "data"))
+            if storefs.exists(os.path.join(root, pv, "data"))
         ]
         fresh = tagged.where(F.col(_PART).isin(todo))
         if bases:
@@ -370,7 +375,7 @@ def _merge_sharded(
         # stays dirty on every retry). Disambiguate by asking the plan:
         # shards where `merged` truly has zero rows get an explicit empty
         # version published through the same two-phase swap.
-        missing = [pv for pv in todo if not os.path.exists(srcs[pv])]
+        missing = [pv for pv in todo if not storefs.exists(srcs[pv])]
         if missing and partition_bounds is None:
             nonempty = {
                 r[0]
@@ -394,20 +399,22 @@ def _merge_sharded(
         # publish shard-by-shard: two-phase rename, commit point per shard
         for pv in todo:
             src = srcs[pv]
-            if not os.path.exists(src):
+            if not storefs.exists(src):
                 continue  # over-approx candidate with no delta rows
             if batch_id is not None:
-                with open(os.path.join(src, "_batch_meta.json"), "w") as f:
-                    json.dump({"batch_id": batch_id}, f)
+                storefs.write_text(
+                    os.path.join(src, "_batch_meta.json"),
+                    json.dumps({"batch_id": batch_id}),
+                )
             data = os.path.join(root, pv, "data")
             old = data + ".old"
-            os.makedirs(os.path.join(root, pv), exist_ok=True)
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.exists(data):
-                os.rename(data, old)
-            os.rename(src, data)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+            storefs.makedirs(os.path.join(root, pv), exist_ok=True)
+            storefs.rmtree(old, ignore_errors=True)
+            if storefs.exists(data):
+                storefs.publish_rename(data, old)
+            storefs.publish_rename(src, data)
+            storefs.rmtree(old, ignore_errors=True)
+        storefs.rmtree(staging, ignore_errors=True)
         _span("publish", t0)
     finally:
         if cached:
@@ -419,19 +426,18 @@ def _recover_swap(table_dir: str, batch_id: int | None) -> tuple[str, bool]:
     batch. Returns (data_dir, already_committed)."""
     data = os.path.join(table_dir, "data")
     old = data + ".old"
-    if not os.path.exists(data) and os.path.exists(old):
+    if not storefs.exists(data) and storefs.exists(old):
         # crash landed between rename(data, old) and rename(tmp, data):
         # .old IS the base table — restore it before reading/deleting
-        os.rename(old, data)
+        storefs.publish_rename(old, data)
     meta = os.path.join(data, "_batch_meta.json")
-    if batch_id is not None and os.path.exists(meta):
+    if batch_id is not None and storefs.exists(meta):
         try:
-            with open(meta) as f:
-                if json.load(f).get("batch_id") == batch_id:
+            if json.loads(storefs.read_text(meta)).get("batch_id") == batch_id:
                     # crash landed between swap and marker: this batch is
                     # already in the committed version — merging again
                     # would double-count it
-                    shutil.rmtree(old, ignore_errors=True)
+                    storefs.rmtree(old, ignore_errors=True)
                     return data, True
         except (OSError, ValueError):
             pass
@@ -443,16 +449,18 @@ def _commit_swap(table_dir: str, merged: DataFrame, batch_id: int | None) -> Non
     ``rename(tmp, data)`` is the commit point."""
     data = os.path.join(table_dir, "data")
     old, tmp = data + ".old", data + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    storefs.rmtree(tmp, ignore_errors=True)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     if batch_id is not None:
-        with open(os.path.join(tmp, "_batch_meta.json"), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(data):
-        os.rename(data, old)
-    os.rename(tmp, data)
-    shutil.rmtree(old, ignore_errors=True)
+        storefs.write_text(
+            os.path.join(tmp, "_batch_meta.json"),
+            json.dumps({"batch_id": batch_id}),
+        )
+    storefs.rmtree(old, ignore_errors=True)
+    if storefs.exists(data):
+        storefs.publish_rename(data, old)
+    storefs.publish_rename(tmp, data)
+    storefs.rmtree(old, ignore_errors=True)
 
 
 def merge_partials(
@@ -593,7 +601,7 @@ def _footer_num_rows(data_dir: str) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for f in os.listdir(data_dir):
+    for f in storefs.listdir(data_dir):
         if f.endswith(".parquet"):
             total += pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
     return total
@@ -616,11 +624,11 @@ def expire_rollup(table_dir: str, older_than, spark: SparkSession) -> int:
             name = os.path.basename(shard)  # yyyy-MM or yyyy-MM-dd
             edge = cut[: len(name)]
             data, _ = _recover_swap(shard, None)
-            if not os.path.exists(data):
+            if not storefs.exists(data):
                 continue
             if name < edge:
                 dropped += _footer_num_rows(data)
-                shutil.rmtree(shard, ignore_errors=True)
+                storefs.rmtree(shard, ignore_errors=True)
             elif name == edge:
                 base = spark.read.schema(_SCHEMA).parquet(data)
                 kept = base.where(F.col("bucket") >= F.lit(older_than))
@@ -630,7 +638,7 @@ def expire_rollup(table_dir: str, older_than, spark: SparkSession) -> int:
                     dropped += n
         return dropped
     data, _ = _recover_swap(table_dir, None)
-    if not os.path.exists(data):
+    if not storefs.exists(data):
         return 0
     base = spark.read.schema(_SCHEMA).parquet(data)
     kept = base.where(F.col("bucket") >= F.lit(older_than))
