@@ -1183,6 +1183,59 @@ def _l1_cell_drift(bc: dict, pc: dict) -> dict:
 _CELL_HIST_CACHE: dict[tuple, dict] = {}
 
 
+def cell_counts(enc: DataFrame) -> dict:
+    """{cell: count} of an encoded batch — K_CELLS rows at most."""
+    return {
+        r["cell"]: r["n"]
+        for r in enc.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+
+
+def cached_index_hist(spark: SparkSession, table_dir: str) -> dict:
+    """The per-(app, store, artifact-version) cached index histogram
+    (see _CELL_HIST_CACHE note above); reads the store once per version,
+    then the admit path maintains it incrementally."""
+    cdir = os.path.join(_centroids_dir(table_dir), "data")
+    try:
+        ver = storefs.mtime_ns(cdir)
+    except OSError:
+        ver = None
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(table_dir),
+        ver,
+    )
+    cached = _CELL_HIST_CACHE.get(key)
+    if cached is None:
+        # drop histograms for superseded versions of this store
+        for k in [k for k in _CELL_HIST_CACHE if k[1] == key[1] and k != key]:
+            del _CELL_HIST_CACHE[k]
+        cached = {
+            "hist": {
+                r["cell"]: r["n"]
+                for r in index_cell_histogram(spark, table_dir).collect()
+            },
+            "last_batch": None,
+        }
+        _CELL_HIST_CACHE[key] = cached
+    return cached
+
+
+def admit_encoded(
+    table_dir: str, enc: DataFrame, bc: dict, batch_id: int, cached: dict
+) -> None:
+    """Merge an admitted encoded batch into the vectors store (replay-
+    guarded by merge_additive's batch meta) and advance the cached
+    histogram exactly once per batch id."""
+    _merge_vectors(table_dir, enc, batch_id=batch_id)
+    if cached["last_batch"] != batch_id:
+        for cell, n in bc.items():
+            cached["hist"][cell] = cached["hist"].get(cell, 0) + n
+        cached["last_batch"] = batch_id
+
+
 def gated_ann_writer(
     table_dir: str,
     on_alert,
@@ -1229,53 +1282,18 @@ def gated_ann_writer(
         enc = encode_vectors(batch_df, cents_df, cb_df, dim)
         enc.persist()
         try:
-            bc = {
-                r["cell"]: r["n"]
-                for r in enc.groupBy("cell")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-                .collect()  # K_CELLS rows at most
-            }
-            # key carries the artifact VERSION (same rule as
+            bc = cell_counts(enc)  # K_CELLS rows at most
+            # the cache key carries the artifact VERSION (same rule as
             # _ARTIFACT_CACHE): a retrain renumbers cells, so a histogram
             # cached against the old centroids must never score a batch
             # encoded against the new ones
-            cdir = os.path.join(_centroids_dir(table_dir), "data")
-            try:
-                ver = storefs.mtime_ns(cdir)
-            except OSError:
-                ver = None
-            key = (
-                spark.sparkContext.applicationId,
-                os.path.realpath(table_dir),
-                ver,
-            )
-            cached = _CELL_HIST_CACHE.get(key)
-            if cached is None:
-                # drop histograms for superseded versions of this store
-                for k in [
-                    k for k in _CELL_HIST_CACHE if k[1] == key[1] and k != key
-                ]:
-                    del _CELL_HIST_CACHE[k]
-                cached = {
-                    "hist": {
-                        r["cell"]: r["n"]
-                        for r in index_cell_histogram(
-                            spark, table_dir
-                        ).collect()
-                    },
-                    "last_batch": None,
-                }
-                _CELL_HIST_CACHE[key] = cached
+            cached = cached_index_hist(spark, table_dir)
             if sum(bc.values()) >= min_batch_vectors:
                 report = _l1_cell_drift(bc, cached["hist"])
                 if report["l1_drift"] >= threshold:
                     on_alert(batch_id, report, batch_df)
                     return
-            _merge_vectors(table_dir, enc, batch_id=batch_id)
-            if cached["last_batch"] != batch_id:
-                for cell, n in bc.items():
-                    cached["hist"][cell] = cached["hist"].get(cell, 0) + n
-                cached["last_batch"] = batch_id
+            admit_encoded(table_dir, enc, bc, batch_id, cached)
         finally:
             enc.unpersist()
 

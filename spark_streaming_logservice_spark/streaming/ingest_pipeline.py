@@ -86,6 +86,11 @@ def ingest_pipeline(
     id_col: str = "doc_id",
     digest_impl: str = DEFAULT_DIGEST_IMPL,
     namespace: str = "pipe",
+    index_dir: str | None = None,
+    on_vector_alert=None,
+    vec_threshold: float = 0.5,
+    min_batch_vectors: int | None = None,
+    embedding_col: str = "embedding",
 ):
     """foreachBatch factory for the composed admission pipeline.
 
@@ -94,8 +99,9 @@ def ingest_pipeline(
     optional ``on_alert(batch_id, scores, quarantined_df)``) → dedup the
     clean remainder against the digest store → ``forward(novel_clean_df,
     batch_id)`` → merge the vocabulary profile from the novel clean rows →
-    append their digests → write the batch marker. See module docstring
-    for why this order is load-bearing.
+    run the VECTOR leg (below, when ``index_dir`` is set) → append their
+    digests → write the batch marker. See module docstring for why this
+    order is load-bearing.
 
     ``namespace`` disambiguates digest-append batch ids when the digest
     store is SHARED with other writers (``dedup_on_ingest`` defaults to
@@ -107,11 +113,48 @@ def ingest_pipeline(
     are undedupable (no content digest): both pass through to ``forward``
     and never enter pipeline state — the individual stores' documented
     posture, preserved by the composition.
+
+    **Multimodal composition** (``index_dir`` set): rows additionally carry
+    ``embedding_col`` (nullable), and ONE batch drives BOTH admission
+    gates under ONE pipeline marker — the text leg above plus the ANN
+    cell-drift gate of ``streaming/ann_index.gated_ann_writer``:
+
+    - Vector drift is SCORED on the text-clean rows' encodings
+      (pre-dedup: score what arrived), but the index only LEARNS the
+      NOVEL rows' encodings — a re-crawled page's near-identical vector
+      must not pile into the index any more than its tokens may
+      double-weight the profile (p27's lesson, both legs). The score and
+      the flagged bit join the SAME durable per-batch flag record, so
+      replay never re-scores either leg.
+    - Text-quarantined sources never reach the vector gate: their rows
+      (embedding included) sit in the TEXT quarantine and re-ingest
+      through both legs under a new batch id.
+    - A vec-flagged batch stages its NOVEL (vec_id, embedding) rows to
+      ``root/vec_quarantine/batch-<id>`` by staging-dir + atomic rename
+      (skip-if-published — replay after the digest append sees an empty
+      novel set and must NOT clobber the staged rows), then calls
+      ``on_vector_alert(batch_id, report, vec_df)``. Recovery is the ANN
+      loop's own ``retrain_from_quarantine`` pointed at that dir — the
+      text side of those rows was already forwarded/learned, so they must
+      NOT re-enter the pipeline.
+    - Ordering: the vector leg runs BEFORE the digest append. The digest
+      append is the pipeline's dedup commit point — were it first, a
+      crash between the two would make the replay's novel set empty and
+      silently drop the batch's vectors. Every vector-side mutation has
+      its own replay guard (vector merge via merge_additive batch meta,
+      histogram increment via last_batch + store-rebuild, staging via
+      publish-rename), so the composed replay converges from any crash
+      point. NULL-embedding rows skip the vector leg entirely.
+
+    ``min_batch_vectors=None`` resolves to the gate's own default
+    (8 × K_CELLS): smaller batches are admitted unscored — the
+    bootstrap clamp in cell form.
     """
 
     vocab_dir = os.path.join(root, "vocab")
     digest_dir = os.path.join(root, "digests")
     quarantine_dir = os.path.join(root, "quarantine")
+    vec_quarantine_dir = os.path.join(root, "vec_quarantine")
     flags_dir = os.path.join(root, "_flags")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -137,19 +180,70 @@ def ingest_pipeline(
         # module docstring). The record is also what makes the alert
         # payload replay-identical.
         flag_file = os.path.join(flags_dir, f"batch-{batch_id}.json")
-        if storefs.exists(flag_file):
+        recorded = storefs.exists(flag_file)
+        if recorded:
             decision = json.loads(storefs.read_text(flag_file))
-            scores, flagged = decision["scores"], decision["flagged"]
         else:
             scores, flagged, _, _ = score_and_split(
                 vocab_dir, batch_df, threshold, min_profile_tokens,
                 text_col, source_col,
             )
+            decision = {"scores": scores, "flagged": flagged}
+        scores, flagged = decision["scores"], decision["flagged"]
+        # clean view is needed by BOTH the vector scoring below and stage
+        # 2; NULL sources are unscoreable pass-through, never quarantined
+        # (a bare NOT IN would silently drop them: NULL isin = NULL)
+        clean = (
+            batch_df.where(
+                F.col(source_col).isNull()
+                | ~F.col(source_col).isin(flagged)
+            )
+            if flagged
+            else batch_df
+        )
+        # --- vector leg scoring (multimodal only): encode the text-clean
+        # vectors ONCE against the frozen artifacts; the drift decision
+        # joins the same durable record before any state mutation ---
+        enc = None
+        vdf = None
+        cached = None
+        _ann = None
+        if index_dir is not None:
+            from spark_streaming_logservice_spark.streaming import (
+                ann_index as _ann,
+            )
+
+            spark = batch_df.sparkSession
+            vdf = clean.where(F.col(embedding_col).isNotNull()).select(
+                F.col(id_col).cast("bigint").alias("vec_id"),
+                F.col(embedding_col).cast("array<double>").alias("embedding"),
+            )
+            if vdf.take(1):
+                cents_df, cb_df, dim = _ann._load_artifacts(spark, index_dir)
+                enc = _ann.encode_vectors(vdf, cents_df, cb_df, dim)
+                enc.persist()
+                cached = _ann.cached_index_hist(spark, index_dir)
+                if not recorded:
+                    bc = _ann.cell_counts(enc)
+                    mbv = (
+                        min_batch_vectors
+                        if min_batch_vectors is not None
+                        else 8 * _ann.K_CELLS
+                    )
+                    if sum(bc.values()) >= mbv:
+                        report = _ann._l1_cell_drift(bc, cached["hist"])
+                        decision["vec"] = {
+                            "report": report,
+                            "flagged": report["l1_drift"] >= vec_threshold,
+                        }
+                    else:
+                        decision["vec"] = {"report": None, "flagged": False}
+            elif not recorded:
+                decision["vec"] = {"report": None, "flagged": False}
+        if not recorded:
             storefs.makedirs(flags_dir, exist_ok=True)
             tmp = flag_file + ".tmp"
-            storefs.write_text(
-                tmp, json.dumps({"scores": scores, "flagged": flagged})
-            )
+            storefs.write_text(tmp, json.dumps(decision))
             storefs.replace_file(tmp, flag_file)
         if flagged:
             quarantined = batch_df.where(F.col(source_col).isin(flagged))
@@ -164,14 +258,6 @@ def ingest_pipeline(
                     [s for s in scores if s["source"] in set(flagged)],
                     quarantined,
                 )
-            # NULL sources are unscoreable pass-through, never quarantined
-            # (a bare NOT IN would silently drop them: NULL isin = NULL)
-            clean = batch_df.where(
-                F.col(source_col).isNull()
-                | ~F.col(source_col).isin(flagged)
-            )
-        else:
-            clean = batch_df
         # --- stage 2: dedup the clean remainder against history ---
         novel = dedup_against_store(
             clean, digest_dir, text_col, id_col, digest_impl
@@ -191,6 +277,52 @@ def ingest_pipeline(
                 batch_id=batch_id,
                 partition_expr=F.crc32(F.col("source")) % N_BUCKETS,
             )
+            # --- stage 4b (multimodal): the vector leg, BEFORE the digest
+            # append — the digest append is the dedup commit point, and a
+            # crash between the two must leave a replay whose novel set
+            # still contains this batch's vectors (see docstring) ---
+            if enc is not None:
+                vec = decision.get("vec") or {"report": None, "flagged": False}
+                novel_ids = novel.select(
+                    F.col(id_col).cast("bigint").alias("vec_id")
+                )
+                if vec["flagged"]:
+                    stage_dir = os.path.join(
+                        vec_quarantine_dir, f"batch-{batch_id}"
+                    )
+                    nvdf = vdf.join(novel_ids, "vec_id", "left_semi")
+                    # publish by staging + atomic rename, skip-if-published:
+                    # a replay AFTER the digest append sees an empty novel
+                    # set and must not clobber the staged rows; a torn
+                    # staging dir from a crash is invisible (never renamed)
+                    if not storefs.exists(stage_dir):
+                        storefs.makedirs(vec_quarantine_dir, exist_ok=True)
+                        own_staging = f"_staging-{batch_id}-"
+                        for leftover in storefs.listdir(vec_quarantine_dir):
+                            if leftover.startswith(own_staging):
+                                storefs.rmtree(
+                                    os.path.join(
+                                        vec_quarantine_dir, leftover
+                                    ),
+                                    ignore_errors=True,
+                                )
+                        staging = os.path.join(
+                            vec_quarantine_dir,
+                            f"_staging-{batch_id}-{uuid.uuid4().hex}",
+                        )
+                        nvdf.write.mode("overwrite").parquet(staging)
+                        storefs.publish_rename(staging, stage_dir)
+                    if on_vector_alert is not None:
+                        on_vector_alert(batch_id, vec["report"], nvdf)
+                else:
+                    enc_novel = enc.join(novel_ids, "vec_id", "left_semi")
+                    _ann.admit_encoded(
+                        index_dir,
+                        enc_novel,
+                        _ann.cell_counts(enc_novel),
+                        batch_id,
+                        cached,
+                    )
             # --- stage 5: remember the novel digests (final-file guarded,
             # same layout dedup_on_ingest writes, so compaction and impl
             # pinning apply unchanged) ---
@@ -219,8 +351,25 @@ def ingest_pipeline(
                 storefs.publish_rename(staging, final)
         finally:
             novel.unpersist()
+            if enc is not None:
+                enc.unpersist()
 
     return idempotent_foreach_batch(apply, os.path.join(root, "_markers"))
+
+
+def read_vec_quarantine(spark: SparkSession, root: str) -> DataFrame:
+    """The staged (vec_id, embedding) rows of vec-flagged batches — the
+    input to the ANN recovery loop: point
+    ``streaming/ann_index.retrain_from_quarantine`` at
+    ``root/vec_quarantine`` (its layout; staged dirs are published by
+    atomic rename, so a torn stage is never visible here). These rows'
+    TEXT side was already forwarded and learned — they must NOT re-enter
+    the pipeline."""
+    from spark_streaming_logservice_spark.streaming.ann_index import (
+        read_quarantine as _read_vec_q,
+    )
+
+    return _read_vec_q(spark, os.path.join(root, "vec_quarantine"))
 
 
 def read_quarantine(spark: SparkSession, root: str, schema: str) -> DataFrame:

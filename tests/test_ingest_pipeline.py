@@ -298,3 +298,291 @@ def test_expire_pipeline_records_keeps_replay_horizon(spark, pipe):
     snapshot = (list(sink), list(alerts))
     apply(_df(spark, A1 + B1_DRIFT), 1)
     assert (sink, alerts) == snapshot
+
+
+def test_pipeline_digest_compaction_many_batches(spark, tmp_path):
+    """VERDICT r11 item 6: the pipeline writes namespaced digest files into
+    the same store layout dedup_on_ingest uses, so compact_digest_store
+    must apply unchanged over a MANY-batch pipeline store — dedup history
+    intact afterwards, completed-batch replay still a marker no-op, and a
+    concurrent q-namespace writer's appends survive the same compaction."""
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        _store_files,
+        compact_digest_store,
+        dedup_on_ingest,
+    )
+
+    root = str(tmp_path / "pipe")
+    digest_dir = os.path.join(root, "digests")
+    sink: list[tuple[int, list]] = []
+    apply = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append(
+            (bid, sorted(r["doc_id"] for r in df.collect()))
+        ),
+        threshold=2.1,  # above the L1 max: every batch takes the clean path
+    )
+    # share the store with a q-namespace writer, interleaved with the
+    # pipeline's own appends
+    qseen: list[list] = []
+    qingest = dedup_on_ingest(
+        lambda df, bid: qseen.append(sorted(r["doc_id"] for r in df.collect())),
+        digest_dir,
+    )
+
+    n_batches = 25
+    for i in range(n_batches):
+        rows = [(2 * i, f"pipe-doc-{i}", "srcA")]
+        if i > 0:
+            rows.append((2 * i + 1, f"pipe-doc-{i - 1}", "srcA"))  # dup
+        apply(_df(spark, rows), i)
+    qingest(_df(spark, [(500, "q-doc", "srcQ"), (501, "pipe-doc-3", "srcQ")]), 0)
+    assert all(fwd == [2 * i] for i, (_, fwd) in enumerate(sink))
+    # the store's HISTORY is shared across namespaces: the q writer's probe
+    # already sees the pipeline's "pipe-doc-3" digest and suppresses 501
+    assert qseen == [[500]]
+    # pipe-batch-N files + q-batch-0
+    assert len(_store_files(digest_dir)) == n_batches + 1
+
+    retired = compact_digest_store(spark, digest_dir)
+    assert retired == n_batches + 1
+    assert len(_store_files(digest_dir)) == 1
+
+    # full cross-namespace dedup history survives compaction: every past
+    # pipeline doc AND the q writer's doc are still suppressed
+    apply(
+        _df(
+            spark,
+            [(9000 + i, f"pipe-doc-{i}", "srcA") for i in range(n_batches)]
+            + [(9500, "q-doc", "srcA"), (9501, "brand-new", "srcA")],
+        ),
+        n_batches,
+    )
+    assert sink[-1] == (n_batches, [9501])
+    # replay of a pre-compaction completed batch is still a pipeline-marker
+    # no-op (the digest final-file guard is only an IN-FLIGHT guard; the
+    # completed-batch short-circuit is the _markers record, which
+    # compaction never touches)
+    before = len(sink)
+    apply(_df(spark, [(0, "pipe-doc-0", "srcA")]), 0)
+    assert len(sink) == before
+    # second cycle: more pipeline batches on top of the compacted file
+    for i in range(n_batches + 1, n_batches + 6):
+        apply(_df(spark, [(10_000 + i, f"late-{i}", "srcA")]), i)
+    assert compact_digest_store(spark, digest_dir) == 7
+    apply(_df(spark, [(99_998, "late-30", "srcA"), (99_999, "never", "srcA")]),
+          n_batches + 20)
+    assert sink[-1] == (n_batches + 20, [99_999])
+
+
+# --- multimodal composition: text gate + vector gate off ONE batch ---------
+
+MM_SCHEMA = (
+    "doc_id BIGINT, text STRING, source STRING, embedding ARRAY<DOUBLE>"
+)
+
+
+def _corpus_emb(spark, sf_dir):
+    from spark_streaming_logservice_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _mm_batch(spark, sf_dir, lo, hi, text_of=None, ones=False):
+    """Multimodal rows doc_id=vec_id in [lo, hi) with corpus embeddings
+    (in-distribution) or all-ones vectors (adversarial single-cell
+    drift), and per-doc text."""
+    emb = _corpus_emb(spark, sf_dir).where(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    )
+    if ones:
+        emb = emb.select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("embedding")),
+                lambda i: F.lit(1.0),
+            ).alias("embedding"),
+        )
+    text = text_of or (lambda i: f"tok{i} alpha beta")
+    texts = spark.createDataFrame(
+        [(i, text(i), "srcA") for i in range(lo, hi)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    return texts.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+
+
+@pytest.fixture()
+def mm(spark, sf_dir, tmp_path):
+    """An ANN index trained on vec_id<300 plus a fresh pipeline root."""
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    index_dir = str(tmp_path / "ann")
+    AI.build_ann_index(
+        spark, index_dir, _corpus_emb(spark, sf_dir).where(F.col("vec_id") < 300)
+    )
+    AI._CELL_HIST_CACHE.clear()
+    root = str(tmp_path / "pipe")
+    return root, index_dir
+
+
+def test_multimodal_one_batch_drives_both_legs(spark, sf_dir, mm):
+    """One foreachBatch, one shared marker: the text leg forwards/learns
+    and the vector leg merges — and the index learns NOVEL rows only (a
+    text-dup row's vector never enters the store)."""
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    root, index_dir = mm
+    sink, valerts = [], []
+    apply = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append(
+            (bid, sorted(r["doc_id"] for r in df.collect()))
+        ),
+        threshold=2.1,
+        index_dir=index_dir,
+        on_vector_alert=lambda bid, rep, df: valerts.append(bid),
+    )
+    before = AI.read_vectors(spark, index_dir).count()
+
+    # batch 0: 158 in-distribution rows (>= the 128 scoring floor)
+    apply(_mm_batch(spark, sf_dir, 300, 458), 0)
+    assert sink == [(0, list(range(300, 458)))] and valerts == []
+    mid = AI.read_vectors(spark, index_dir).count()
+    assert mid == before + 158
+
+    # batch 1: 10 text-dups of batch 0 (new doc_ids, same text) + 20 novel;
+    # below the scoring floor -> admitted unscored; only the 20 NOVEL
+    # rows' vectors may enter the index
+    dup = _mm_batch(
+        spark, sf_dir, 458, 468, text_of=lambda i: f"tok{i - 158} alpha beta"
+    )
+    novel = _mm_batch(spark, sf_dir, 468, 488)
+    apply(dup.unionByName(novel), 1)
+    assert sink[-1] == (1, list(range(468, 488)))
+    vecs = AI.read_vectors(spark, index_dir)
+    assert vecs.count() == mid + 20
+    assert vecs.where(
+        (F.col("vec_id") >= 458) & (F.col("vec_id") < 468)
+    ).count() == 0, "a text-dup row's vector entered the index"
+    # both legs share the ONE pipeline marker: replay is a full no-op
+    apply(dup.unionByName(novel), 1)
+    assert sink[-1] == (1, list(range(468, 488)))
+    assert AI.read_vectors(spark, index_dir).count() == mid + 20
+
+
+def test_multimodal_vec_flagged_batch_stages_and_survives_replay(
+    spark, sf_dir, mm
+):
+    """A vector-drifted batch: the TEXT side is still forwarded and
+    learned, the vectors are staged (novel only) and NOT merged; a crash
+    replay AFTER the digest append must neither clobber the staged rows
+    nor re-score; recovery is the ANN retrain loop over the staged dir."""
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+    from spark_streaming_logservice_spark.streaming.ingest_pipeline import (
+        read_vec_quarantine,
+    )
+
+    root, index_dir = mm
+    sink, valerts = [], []
+    apply = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append(
+            (bid, sorted(r["doc_id"] for r in df.collect()))
+        ),
+        threshold=2.1,
+        index_dir=index_dir,
+        on_vector_alert=lambda bid, rep, df: valerts.append((bid, rep)),
+    )
+    before = AI.read_vectors(spark, index_dir).count()
+    apply(_mm_batch(spark, sf_dir, 300, 500, ones=True), 0)  # 200 rows, 1 cell
+    # text leg completed in full
+    assert sink == [(0, list(range(300, 500)))]
+    dig = spark.read.parquet(os.path.join(root, "digests", "pipe-batch-0.parquet"))
+    assert dig.count() == 200
+    # vector leg: alerted once, nothing merged, novel vectors staged
+    assert len(valerts) == 1 and valerts[0][1]["l1_drift"] >= 0.5
+    assert AI.read_vectors(spark, index_dir).count() == before
+    staged = read_vec_quarantine(spark, root)
+    assert staged.count() == 200
+
+    # crash replay after the digest append (marker lost): novel is now
+    # empty — the staged rows must survive (skip-if-published), the
+    # recorded decision is reused, the store stays unmerged
+    storefs_marker = os.path.join(root, "_markers", "batch-0")
+    os.remove(storefs_marker)
+    apply(_mm_batch(spark, sf_dir, 300, 500, ones=True), 0)
+    assert read_vec_quarantine(spark, root).count() == 200, "staged rows clobbered"
+    assert AI.read_vectors(spark, index_dir).count() == before
+    assert len(valerts) == 2, "alert redelivery is the documented contract"
+    assert valerts[1][1] == valerts[0][1], "replay must reuse the recorded report"
+
+    # recovery: the ANN loop retrains over the staged dir and re-ingests
+    n = AI.retrain_from_quarantine(
+        spark, index_dir, os.path.join(root, "vec_quarantine")
+    )
+    assert n == 200
+    vecs = AI.read_vectors(spark, index_dir)
+    assert vecs.where(F.col("vec_id") >= 300).count() == 200
+
+
+def test_multimodal_through_real_stream_with_restart(spark, sf_dir, tmp_path, mm):
+    """The multimodal pipeline on a live Structured Streaming query across
+    a stop/restart: run 1 admits an in-distribution file into BOTH legs;
+    run 2 (same checkpoint) picks up a drifted file — text still flows,
+    vectors quarantine."""
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    root, index_dir = mm
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _mm_batch(spark, sf_dir, 300, 458).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+    forwarded, valerts = [], []
+
+    def start():
+        return (
+            spark.readStream.schema(MM_SCHEMA)
+            .json(src)
+            .writeStream.foreachBatch(
+                ingest_pipeline(
+                    root,
+                    lambda df, bid: forwarded.append(
+                        (bid, df.count())
+                    ),
+                    threshold=2.1,
+                    index_dir=index_dir,
+                    on_vector_alert=lambda bid, rep, df: valerts.append(bid),
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    before = AI.read_vectors(spark, index_dir).count()
+    q = start()
+    q.awaitTermination(150)
+    assert forwarded == [(0, 158)] and valerts == []
+    assert AI.read_vectors(spark, index_dir).count() == before + 158
+
+    # restart over the same checkpoint: a drifted file (all-ones vectors,
+    # novel texts; the sf0.001 corpus is vec_id 0..499)
+    _mm_batch(
+        spark, sf_dir, 300, 500, ones=True,
+        text_of=lambda i: f"drift{i} zzz qqq",
+    ).coalesce(1).write.mode("append").json(src)
+    q = start()
+    q.awaitTermination(150)
+    assert forwarded[-1] == (1, 200), "text leg must still forward"
+    assert valerts == [1]
+    assert AI.read_vectors(spark, index_dir).count() == before + 158
+    from spark_streaming_logservice_spark.streaming.ingest_pipeline import (
+        read_vec_quarantine,
+    )
+
+    assert read_vec_quarantine(spark, root).count() == 200
