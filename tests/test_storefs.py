@@ -109,3 +109,67 @@ def test_rollup_merge_routes_through_seam(spark, tmp_path):
     assert got == {"a": 1, "b": 2}
     assert rec.calls["publish_rename"] >= 1  # tmp -> data swap
     assert rec.calls["write_text"] >= 1      # _batch_meta.json
+
+
+class _FailOnce(_Recording):
+    """POSIX behavior, except the Nth publish_rename raises — the
+    injected crash point every store's staging protocol must absorb."""
+
+    def __init__(self, fail_on_call: int):
+        super().__init__()
+        self._fail_on = fail_on_call
+
+    def publish_rename(self, src, dst):
+        self._note("publish_rename")
+        if self.calls["publish_rename"] == self._fail_on:
+            raise OSError("injected crash at publish")
+        storefs.Backend.publish_rename(self, src, dst)
+
+
+def test_injected_publish_crash_converges_on_retry(spark, tmp_path):
+    """Kill the digest append's publish-rename mid-batch: the batch
+    errors (streaming would retry it), the retry re-forwards under the
+    downstream's own idempotency contract and completes the append —
+    no lost digests, no torn store visible to the probe."""
+    import pytest as _pytest
+
+    from spark_streaming_logservice_spark.streaming.dedup_store import (
+        _store_files,
+        dedup_on_ingest,
+    )
+
+    store = str(tmp_path / "dg")
+    out = []
+    apply = dedup_on_ingest(
+        lambda df, bid: out.append(
+            sorted(r["doc_id"] for r in df.select("doc_id").collect())
+        ),
+        store,
+    )
+    df0 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "doc_id BIGINT, text STRING"
+    )
+    rec = _FailOnce(fail_on_call=1)
+    prev = storefs.set_backend(rec)
+    try:
+        with _pytest.raises(OSError, match="injected"):
+            apply(df0, 0)
+    finally:
+        storefs.set_backend(prev)
+    # forward ran, publish did not: the staging dir is invisible to the
+    # store probe (never renamed) and there is no batch marker
+    assert out == [[1, 2]]
+    assert _store_files(store) == []
+    # retry (streaming redelivery): converges — forward redelivers the
+    # same rows (downstream guard's contract), digests land, marker set
+    apply(df0, 0)
+    assert out == [[1, 2], [1, 2]]
+    assert len(_store_files(store)) == 1
+    # and the store now actually dedups against the recovered digests
+    apply(
+        spark.createDataFrame(
+            [(3, "aa"), (4, "cc")], "doc_id BIGINT, text STRING"
+        ),
+        1,
+    )
+    assert out[-1] == [4]
