@@ -1306,6 +1306,17 @@ def _section_sweep() -> dict:
                         "three same-code runs (2.8x-3.9x), straddling the "
                         "3.5x line on ±0.3 s of timing noise."
                     ),
+                    "d29_dup_span_removal_canonical": (
+                        "expected dup-structure growth, straddles 3.5x "
+                        "on sub-second jitter: verbatim replication makes "
+                        "every 5-gram duplicated, so d29's NON-canonical "
+                        "hit set grows like d28's (~99.9x gram "
+                        "occurrences) while the keeper election itself "
+                        "stays one map-side-combined aggregate; measured "
+                        "2.3x-3.6x across fresh 2-run sessions — the "
+                        "spread is the d28 family's documented jitter "
+                        "band, not plan curvature."
+                    ),
                     "d27_dup_substring_spans": (
                         "expected dup-structure growth: verbatim "
                         "replication makes EVERY 5-gram a duplicate — "
