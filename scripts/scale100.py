@@ -46,6 +46,11 @@ QUERIES = [
     # replication makes EVERY 5-gram a duplicate, the worst case for the
     # duplicated-gram hit stream
     "d27_dup_substring_spans",
+    # r12: the removal transforms ride d27's hit stream PLUS a doc-keyed
+    # join of the corpus against its span lists; d29 adds the keeper
+    # election (min(struct) inside the same aggregate)
+    "d28_dup_span_removal",
+    "d29_dup_span_removal_canonical",
 ]
 
 
