@@ -586,3 +586,60 @@ def test_multimodal_through_real_stream_with_restart(spark, sf_dir, tmp_path, mm
     )
 
     assert read_vec_quarantine(spark, root).count() == 200
+
+
+def test_multimodal_text_quarantined_rows_never_reach_vector_gate(
+    spark, sf_dir, mm
+):
+    """A text-flagged source's rows (vectors included) sit in the TEXT
+    quarantine only: their vectors are neither merged into the index nor
+    vec-staged, and the drift score is computed over the clean remainder
+    — re-ingest after recovery carries them through BOTH legs."""
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+    from spark_streaming_logservice_spark.streaming.ingest_pipeline import (
+        read_vec_quarantine,
+    )
+
+    root, index_dir = mm
+    sink = []
+    apply = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append(
+            (bid, sorted(r["doc_id"] for r in df.collect()))
+        ),
+        threshold=1.0,
+        index_dir=index_dir,
+    )
+    # batch 0 bootstraps srcA's profile (in-distribution vectors admitted)
+    apply(_mm_batch(spark, sf_dir, 300, 458), 0)
+    before = AI.read_vectors(spark, index_dir).count()
+
+    # batch 1: srcA stays in-distribution; srcB appears with an alien
+    # vocabulary (text-flagged against... no: srcB is NEW, bootstrap
+    # trust admits it). Flag srcA instead: drift its TEXT hard while its
+    # vectors stay in-distribution — the text gate must quarantine the
+    # rows before their perfectly-admissible vectors touch the index.
+    drifted_text = _mm_batch(
+        spark, sf_dir, 460, 480, text_of=lambda i: f"xx{i} yy zz ww qq"
+    )
+    apply(drifted_text, 1)
+    assert sink[-1] == (1, []), "text-flagged rows were forwarded"
+    assert read_quarantine(spark, root, MM_SCHEMA).count() == 20
+    # the vector side saw nothing: no merge, no vec staging
+    assert AI.read_vectors(spark, index_dir).count() == before
+    assert read_vec_quarantine(spark, root).count() == 0
+
+    # recovery re-ingest under a NEW batch id (trust-this-batch): both
+    # legs admit — text forwarded AND vectors merged
+    staged = read_quarantine(spark, root, MM_SCHEMA)
+    recover = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append(
+            (bid, sorted(r["doc_id"] for r in df.collect()))
+        ),
+        threshold=2.1,
+        index_dir=index_dir,
+    )
+    recover(staged, 2)
+    assert sink[-1] == (2, list(range(460, 480)))
+    assert AI.read_vectors(spark, index_dir).count() == before + 20
