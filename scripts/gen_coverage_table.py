@@ -54,8 +54,10 @@ def main() -> None:
     registry.load_all()
 
     last_green: dict[str, str] = {}
+    artifacts: list[str] = []
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        artifacts.append(rnd)
         with open(path) as f:
             data = json.load(f)
         for name, rec in data.items():
@@ -79,6 +81,13 @@ def main() -> None:
         "latest round whose CORRECTNESS_r*.json row hash-matched; every "
         "oracle-backed query is additionally replayed each run by "
         "tests/test_oracle_parity.py.",
+        "",
+        f"Derived from: {', '.join(sorted(artifacts)) or '(no artifacts)'}. "
+        "Regenerate as the FIRST act of a round, after the prior round's "
+        "driver artifacts land — queries first verified by a driver run "
+        "that postdates the latest artifact here will read 'local only' "
+        "or one round stale until the next regeneration (the p26/p27/"
+        "d27+d28 recurrence, VERDICT r10–r12).",
         "",
         "| query | family | oracle | driver green | implementation | tests |",
         "|---|---|---|---|---|---|",
