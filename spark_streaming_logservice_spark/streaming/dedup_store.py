@@ -44,6 +44,7 @@ store means swapping that backend, not editing this module.
 from __future__ import annotations
 
 import os
+import re
 import uuid
 
 import time as _t
@@ -149,6 +150,40 @@ def _store_files(digest_dir: str) -> list[str]:
     ]
 
 
+# staging dirs written BEFORE sweeps became namespace-scoped (r12) were
+# named '_staging-<batch_id>-<hex>'; the digit-first second segment is
+# unambiguous because namespaces must start with a letter (validated in
+# _check_namespace), so a one-time legacy sweep can reclaim orphans a
+# pre-upgrade crash left behind without touching any live writer's
+# '_staging-<namespace>-…' dirs (r12 ADVICE: they matched neither the
+# scoped sweep nor '_staging-compact-' and leaked forever)
+_LEGACY_STAGING = re.compile(r"^_staging-\d+-[0-9a-f]+$")
+_NAMESPACE_OK = re.compile(r"^[A-Za-z][A-Za-z0-9_]*$")
+
+
+def _check_namespace(namespace: str) -> str:
+    if not _NAMESPACE_OK.match(namespace):
+        raise ValueError(
+            f"digest-store namespace {namespace!r} must start with a letter "
+            "(letters/digits/underscore): a digit-first namespace would be "
+            "indistinguishable from pre-namespace legacy staging dirs and "
+            "the legacy orphan sweep could delete its in-flight staging"
+        )
+    return namespace
+
+
+def sweep_staging_orphans(digest_dir: str, namespace: str) -> None:
+    """Remove THIS writer's staging orphans from crashed attempts (anything
+    not renamed to final never happened) plus pre-namespace legacy orphans.
+    Scoped to the namespace prefix: a shared store legitimately hosts
+    concurrent writers (dedup_on_ingest + ingest_pipeline), and an unscoped
+    sweep would delete another writer's in-flight staging dir mid-write."""
+    own = f"_staging-{namespace}-"
+    for f in storefs.listdir(digest_dir):
+        if f.startswith(own) or _LEGACY_STAGING.match(f):
+            storefs.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
+
+
 def dedup_against_store(
     batch_df: DataFrame,
     digest_dir: str,
@@ -235,6 +270,7 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
     digest (see DIGEST_IMPLS); ONE impl per store — the first batch pins
     it in a ``_digest_impl`` meta file and later batches must match.
     """
+    _check_namespace(namespace)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         storefs.makedirs(digest_dir, exist_ok=True)
@@ -254,14 +290,8 @@ def dedup_on_ingest(forward, digest_dir: str, text_col: str = "text",
             )
         # sweep THIS writer's staging orphans from crashed attempts (same
         # recovery rule as the logstore sink: anything not renamed to final
-        # never happened). Scoped to the namespace prefix: a shared store
-        # legitimately hosts concurrent writers (dedup_on_ingest +
-        # ingest_pipeline), and an unscoped sweep would delete another
-        # writer's in-flight staging dir mid-write.
-        own_staging = f"_staging-{namespace}-"
-        for f in storefs.listdir(digest_dir):
-            if f.startswith(own_staging):
-                storefs.rmtree(os.path.join(digest_dir, f), ignore_errors=True)
+        # never happened), plus unambiguous pre-namespace legacy orphans
+        sweep_staging_orphans(digest_dir, namespace)
         marker = os.path.join(digest_dir, f"{namespace}-batch-{batch_id}.done")
         if storefs.exists(marker):
             return

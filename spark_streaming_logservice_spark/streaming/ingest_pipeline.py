@@ -49,7 +49,6 @@ store means swapping that backend, not editing this module.
 from __future__ import annotations
 
 import json
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,9 +57,11 @@ from pyspark.sql import functions as F
 from spark_streaming_logservice_spark.streaming.dedup_store import (
     DEFAULT_DIGEST_IMPL,
     DIGEST_IMPLS,
+    _check_namespace,
     _pinned_impl,
     _to_store,
     dedup_against_store,
+    sweep_staging_orphans,
 )
 from spark_streaming_logservice_spark.streaming.queries import (
     idempotent_foreach_batch,
@@ -133,7 +134,10 @@ def ingest_pipeline(
       ``root/vec_quarantine/batch-<id>`` by staging-dir + atomic rename
       (skip-if-published — replay after the digest append sees an empty
       novel set and must NOT clobber the staged rows), then calls
-      ``on_vector_alert(batch_id, report, vec_df)``. Recovery is the ANN
+      ``on_vector_alert(batch_id, report, vec_df)`` where ``vec_df`` reads
+      the PUBLISHED staging dir — so the whole alert payload (report AND
+      rows) is replay-identical even when a redelivery's own novel set is
+      already empty. Recovery is the ANN
       loop's own ``retrain_from_quarantine`` pointed at that dir — the
       text side of those rows was already forwarded/learned, so they must
       NOT re-enter the pipeline.
@@ -151,11 +155,12 @@ def ingest_pipeline(
     bootstrap clamp in cell form.
     """
 
-    vocab_dir = os.path.join(root, "vocab")
-    digest_dir = os.path.join(root, "digests")
-    quarantine_dir = os.path.join(root, "quarantine")
-    vec_quarantine_dir = os.path.join(root, "vec_quarantine")
-    flags_dir = os.path.join(root, "_flags")
+    _check_namespace(namespace)
+    vocab_dir = storefs.join(root, "vocab")
+    digest_dir = storefs.join(root, "digests")
+    quarantine_dir = storefs.join(root, "quarantine")
+    vec_quarantine_dir = storefs.join(root, "vec_quarantine")
+    flags_dir = storefs.join(root, "_flags")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         storefs.makedirs(digest_dir, exist_ok=True)
@@ -171,7 +176,7 @@ def ingest_pipeline(
             )
         if pinned is None:
             storefs.write_text(
-                os.path.join(digest_dir, "_digest_impl"), digest_impl
+                storefs.join(digest_dir, "_digest_impl"), digest_impl
             )
         # --- stage 1: score the RAW batch ONCE, record the decision
         # durably BEFORE any state mutation. A crash replay reuses the
@@ -179,7 +184,7 @@ def ingest_pipeline(
         # batch's novel rows and flip a clean source to flagged (see
         # module docstring). The record is also what makes the alert
         # payload replay-identical.
-        flag_file = os.path.join(flags_dir, f"batch-{batch_id}.json")
+        flag_file = storefs.join(flags_dir, f"batch-{batch_id}.json")
         recorded = storefs.exists(flag_file)
         if recorded:
             decision = json.loads(storefs.read_text(flag_file))
@@ -208,6 +213,7 @@ def ingest_pipeline(
         vdf = None
         cached = None
         _ann = None
+        vec_rescored = False
         if index_dir is not None:
             from spark_streaming_logservice_spark.streaming import (
                 ann_index as _ann,
@@ -218,13 +224,31 @@ def ingest_pipeline(
                 F.col(id_col).cast("bigint").alias("vec_id"),
                 F.col(embedding_col).cast("array<double>").alias("embedding"),
             )
-            if vdf.take(1):
-                cents_df, cb_df, dim = _ann._load_artifacts(spark, index_dir)
-                enc = _ann.encode_vectors(vdf, cents_df, cb_df, dim)
-                enc.persist()
+            cents_df, cb_df, dim = _ann._load_artifacts(spark, index_dir)
+            enc = _ann.encode_vectors(vdf, cents_df, cb_df, dim)
+            enc.persist()
+            # ONE collect both tests emptiness and feeds the drift score:
+            # an empty cell-count dict IS the empty vector batch (the old
+            # separate vdf.take(1) probe launched an extra job per batch)
+            bc = _ann.cell_counts(enc)
+            if bc:
                 cached = _ann.cached_index_hist(spark, index_dir)
-                if not recorded:
-                    bc = _ann.cell_counts(enc)
+            else:
+                enc.unpersist()
+                enc = None
+            # score whenever the decision lacks a vec entry — including a
+            # RECORDED decision without one (flag written before index_dir
+            # was enabled): falling back to unflagged would merge the
+            # batch's novel vectors into the index unscored. Unlike the
+            # text leg, scoring on replay is safe here — a missing 'vec'
+            # key means the vector leg never ran for this batch, so the
+            # index histogram cannot already contain it and the score is
+            # exactly what a live run would have computed.
+            if "vec" not in decision:
+                vec_rescored = recorded
+                if enc is None:
+                    decision["vec"] = {"report": None, "flagged": False}
+                else:
                     mbv = (
                         min_batch_vectors
                         if min_batch_vectors is not None
@@ -238,9 +262,9 @@ def ingest_pipeline(
                         }
                     else:
                         decision["vec"] = {"report": None, "flagged": False}
-            elif not recorded:
-                decision["vec"] = {"report": None, "flagged": False}
-        if not recorded:
+        if not recorded or vec_rescored:
+            # vec_rescored: persist the upgraded record atomically so later
+            # replays reuse the one score instead of re-deriving it
             storefs.makedirs(flags_dir, exist_ok=True)
             tmp = flag_file + ".tmp"
             storefs.write_text(tmp, json.dumps(decision))
@@ -250,7 +274,7 @@ def ingest_pipeline(
             # durable, overwrite-idempotent staging: alert redelivery
             # restages the same rows onto themselves
             quarantined.write.mode("overwrite").parquet(
-                os.path.join(quarantine_dir, f"batch-{batch_id}")
+                storefs.join(quarantine_dir, f"batch-{batch_id}")
             )
             if on_alert is not None:
                 on_alert(
@@ -287,7 +311,7 @@ def ingest_pipeline(
                     F.col(id_col).cast("bigint").alias("vec_id")
                 )
                 if vec["flagged"]:
-                    stage_dir = os.path.join(
+                    stage_dir = storefs.join(
                         vec_quarantine_dir, f"batch-{batch_id}"
                     )
                     nvdf = vdf.join(novel_ids, "vec_id", "left_semi")
@@ -301,19 +325,30 @@ def ingest_pipeline(
                         for leftover in storefs.listdir(vec_quarantine_dir):
                             if leftover.startswith(own_staging):
                                 storefs.rmtree(
-                                    os.path.join(
+                                    storefs.join(
                                         vec_quarantine_dir, leftover
                                     ),
                                     ignore_errors=True,
                                 )
-                        staging = os.path.join(
+                        staging = storefs.join(
                             vec_quarantine_dir,
                             f"_staging-{batch_id}-{uuid.uuid4().hex}",
                         )
                         nvdf.write.mode("overwrite").parquet(staging)
                         storefs.publish_rename(staging, stage_dir)
                     if on_vector_alert is not None:
-                        on_vector_alert(batch_id, vec["report"], nvdf)
+                        # the alert payload is the PUBLISHED staging dir,
+                        # not the in-flight novel frame: on a redelivery
+                        # after the digest append the novel set is empty,
+                        # and handing consumers an empty frame would break
+                        # the 'alert payload replay-identical' claim for
+                        # the DataFrame leg — the staged rows ARE the
+                        # payload, first delivery and replays alike
+                        on_vector_alert(
+                            batch_id,
+                            vec["report"],
+                            spark.read.parquet(stage_dir),
+                        )
                 else:
                     enc_novel = enc.join(novel_ids, "vec_id", "left_semi")
                     _ann.admit_encoded(
@@ -326,22 +361,15 @@ def ingest_pipeline(
             # --- stage 5: remember the novel digests (final-file guarded,
             # same layout dedup_on_ingest writes, so compaction and impl
             # pinning apply unchanged) ---
-            final = os.path.join(
+            final = storefs.join(
                 digest_dir, f"{namespace}-batch-{batch_id}.parquet"
             )
             if not storefs.exists(final):
-                # namespace-scoped sweep: the store is explicitly shareable
-                # with a concurrent dedup_on_ingest writer, whose own sweep
-                # is scoped the same way — neither deletes the other's
-                # in-flight staging dir
-                own_staging = f"_staging-{namespace}-"
-                for leftover in storefs.listdir(digest_dir):
-                    if leftover.startswith(own_staging):
-                        storefs.rmtree(
-                            os.path.join(digest_dir, leftover),
-                            ignore_errors=True,
-                        )
-                staging = os.path.join(
+                # namespace-scoped sweep (shared with dedup_on_ingest): the
+                # store legitimately hosts concurrent writers — neither
+                # deletes the other's in-flight staging dir
+                sweep_staging_orphans(digest_dir, namespace)
+                staging = storefs.join(
                     digest_dir,
                     f"_staging-{namespace}-{batch_id}-{uuid.uuid4().hex}",
                 )
@@ -354,7 +382,7 @@ def ingest_pipeline(
             if enc is not None:
                 enc.unpersist()
 
-    return idempotent_foreach_batch(apply, os.path.join(root, "_markers"))
+    return idempotent_foreach_batch(apply, storefs.join(root, "_markers"))
 
 
 def read_vec_quarantine(spark: SparkSession, root: str) -> DataFrame:
@@ -369,7 +397,7 @@ def read_vec_quarantine(spark: SparkSession, root: str) -> DataFrame:
         read_quarantine as _read_vec_q,
     )
 
-    return _read_vec_q(spark, os.path.join(root, "vec_quarantine"))
+    return _read_vec_q(spark, storefs.join(root, "vec_quarantine"))
 
 
 def read_quarantine(spark: SparkSession, root: str, schema: str) -> DataFrame:
@@ -377,11 +405,11 @@ def read_quarantine(spark: SparkSession, root: str, schema: str) -> DataFrame:
     after recovery MUST flow through the pipeline again under a NEW batch
     id — stage order guarantees the digest store never saw them, so they
     are admitted, deduplicated and learned like any fresh data."""
-    quarantine_dir = os.path.join(root, "quarantine")
+    quarantine_dir = storefs.join(root, "quarantine")
     if not storefs.isdir(quarantine_dir):
         return spark.createDataFrame([], schema)
     dirs = sorted(
-        os.path.join(quarantine_dir, d)
+        storefs.join(quarantine_dir, d)
         for d in storefs.listdir(quarantine_dir)
         if d.startswith("batch-")
     )
@@ -393,7 +421,7 @@ def read_quarantine(spark: SparkSession, root: str, schema: str) -> DataFrame:
 def clear_quarantine(root: str, batch_ids=None) -> int:
     """Drop staged batches (all, or just ``batch_ids``) after recovery has
     re-ingested or discarded them; returns the number of batches cleared."""
-    quarantine_dir = os.path.join(root, "quarantine")
+    quarantine_dir = storefs.join(root, "quarantine")
     if not storefs.isdir(quarantine_dir):
         return 0
     names = (
@@ -403,7 +431,7 @@ def clear_quarantine(root: str, batch_ids=None) -> int:
     )
     n = 0
     for name in names:
-        path = os.path.join(quarantine_dir, name)
+        path = storefs.join(quarantine_dir, name)
         if storefs.isdir(path):
             storefs.rmtree(path)
             n += 1
@@ -427,7 +455,7 @@ def expire_pipeline_records(root: str, keep_last: int = 1000) -> int:
     should run this alongside the digest-store compaction cadence."""
     removed = 0
     for sub, suffix in (("_markers", ""), ("_flags", ".json")):
-        d = os.path.join(root, sub)
+        d = storefs.join(root, sub)
         if not storefs.isdir(d):
             continue
         ids = []
@@ -440,6 +468,6 @@ def expire_pipeline_records(root: str, keep_last: int = 1000) -> int:
                     ids.append((int(stem), f))
         ids.sort()
         for _, f in ids[:-keep_last] if keep_last > 0 else ids:
-            storefs.remove(os.path.join(d, f))
+            storefs.remove(storefs.join(d, f))
             removed += 1
     return removed

@@ -328,3 +328,42 @@ def test_compaction_under_continuous_ingest_many_batches(spark, tmp_path):
     ingest(_batch(spark, [(99_999, "late-121"), (99_998, "never-seen")]),
            n_batches + 20)
     assert seen[-1] == [99_998]
+
+
+def test_legacy_prenamespace_staging_swept(spark, store):
+    """Staging dirs from before sweeps were namespace-scoped
+    ('_staging-<bid>-<hex>', digit-first second segment) matched neither
+    the scoped sweep nor '_staging-compact-' and leaked forever (r12
+    ADVICE). They are unambiguous — namespaces must start with a letter —
+    so any writer's sweep reclaims them; live namespaced staging and
+    compaction staging still survive."""
+    forwarded, forward = _collector()
+    apply = dedup_on_ingest(forward, store)
+    apply(_batch(spark, [(1, "aa")]), 0)
+    legacy = os.path.join(store, "_staging-7-deadbeefdeadbeef")
+    foreign = os.path.join(store, "_staging-pipe-0-inflight")
+    compacting = os.path.join(store, "_staging-compact-abc123")
+    for d in (legacy, foreign, compacting):
+        os.makedirs(d)
+    apply(_batch(spark, [(2, "bb")]), 1)
+    assert not os.path.exists(legacy), "legacy orphan leaked"
+    assert os.path.exists(foreign), "concurrent writer's staging deleted"
+    assert os.path.exists(compacting), "compactor's staging deleted"
+    assert forwarded[-1] == (1, [(2, "bb")])
+
+
+def test_digit_first_namespace_rejected(spark, store):
+    """A digit-first namespace would be indistinguishable from legacy
+    pre-namespace staging names, so the legacy orphan sweep could delete
+    its in-flight staging: rejected at factory construction."""
+    import pytest as _pytest
+
+    from spark_streaming_logservice_spark.streaming.ingest_pipeline import (
+        ingest_pipeline,
+    )
+
+    for bad in ("0", "9pipe", "0-q", ""):
+        with _pytest.raises(ValueError, match="namespace"):
+            dedup_on_ingest(lambda df, bid: None, store, namespace=bad)
+        with _pytest.raises(ValueError, match="namespace"):
+            ingest_pipeline(store, lambda df, bid: None, namespace=bad)

@@ -495,7 +495,9 @@ def test_multimodal_vec_flagged_batch_stages_and_survives_replay(
         ),
         threshold=2.1,
         index_dir=index_dir,
-        on_vector_alert=lambda bid, rep, df: valerts.append((bid, rep)),
+        on_vector_alert=lambda bid, rep, df: valerts.append(
+            (bid, rep, df.count())
+        ),
     )
     before = AI.read_vectors(spark, index_dir).count()
     apply(_mm_batch(spark, sf_dir, 300, 500, ones=True), 0)  # 200 rows, 1 cell
@@ -519,6 +521,10 @@ def test_multimodal_vec_flagged_batch_stages_and_survives_replay(
     assert AI.read_vectors(spark, index_dir).count() == before
     assert len(valerts) == 2, "alert redelivery is the documented contract"
     assert valerts[1][1] == valerts[0][1], "replay must reuse the recorded report"
+    # the DataFrame leg of the payload is replay-identical too: it reads
+    # the PUBLISHED staging dir, so the redelivery — whose own novel set
+    # is empty post-digest-append — still hands consumers the 200 rows
+    assert valerts[0][2] == 200 and valerts[1][2] == 200
 
     # recovery: the ANN loop retrains over the staged dir and re-ingests
     n = AI.retrain_from_quarantine(
@@ -643,3 +649,88 @@ def test_multimodal_text_quarantined_rows_never_reach_vector_gate(
     recover(staged, 2)
     assert sink[-1] == (2, list(range(460, 480)))
     assert AI.read_vectors(spark, index_dir).count() == before + 20
+
+
+def test_recorded_decision_without_vec_is_scored_not_admitted(
+    spark, sf_dir, mm, monkeypatch
+):
+    """A recorded flag file with no 'vec' entry (written before index_dir
+    was enabled, crash before the batch marker): replay must SCORE the
+    vector leg, not fall back to unflagged — the old fallback merged the
+    batch's novel vectors into the index unscored (r12 ADVICE). Scoring on
+    replay is safe for this leg: a missing 'vec' key means the vector leg
+    never ran, so the index histogram cannot contain the batch. The
+    upgraded decision is persisted, so a second replay reuses it."""
+    import json
+
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+    from spark_streaming_logservice_spark.streaming import storefs
+
+    root, index_dir = mm
+    batch = _mm_batch(spark, sf_dir, 300, 500, ones=True)  # 200 rows, 1 cell
+    # simulate the pre-index_dir run: text decision recorded, no marker
+    flags = os.path.join(root, "_flags")
+    storefs.makedirs(flags, exist_ok=True)
+    with open(os.path.join(flags, "batch-0.json"), "w") as f:
+        json.dump({"scores": [], "flagged": []}, f)
+
+    sink, valerts = [], []
+    apply = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append((bid, df.count())),
+        threshold=2.1,
+        index_dir=index_dir,
+        on_vector_alert=lambda bid, rep, df: valerts.append(
+            (bid, rep, df.count())
+        ),
+    )
+    before = AI.read_vectors(spark, index_dir).count()
+    apply(batch, 0)
+    # scored and FLAGGED — nothing entered the index, novel rows staged
+    assert AI.read_vectors(spark, index_dir).count() == before
+    assert len(valerts) == 1 and valerts[0][1]["l1_drift"] >= 0.5
+    assert valerts[0][2] == 200
+    with open(os.path.join(flags, "batch-0.json")) as f:
+        upgraded = json.load(f)
+    assert upgraded["vec"]["flagged"] is True, "vec decision not persisted"
+
+    # replay: the upgraded record is reused — scoring must NOT rerun
+    os.remove(os.path.join(root, "_markers", "batch-0"))
+    monkeypatch.setattr(
+        AI, "_l1_cell_drift",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("re-scored a recorded vec decision")
+        ),
+    )
+    apply(batch, 0)
+    assert AI.read_vectors(spark, index_dir).count() == before
+    assert valerts[-1][2] == 200, "redelivered payload lost the staged rows"
+
+
+def test_all_null_embeddings_skip_vector_leg(spark, sf_dir, mm):
+    """NULL-embedding rows skip the vector leg entirely; the emptiness
+    check rides the cell-count collect (no extra probe job), and an
+    all-NULL batch records vec={flagged: False} so replays stay stable."""
+    import json
+
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    root, index_dir = mm
+    rows = [(i, f"tok{i} alpha beta", "srcA", None) for i in range(700, 720)]
+    batch = spark.createDataFrame(rows, MM_SCHEMA)
+    sink, valerts = [], []
+    apply = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append((bid, df.count())),
+        threshold=2.1,
+        index_dir=index_dir,
+        on_vector_alert=lambda bid, rep, df: valerts.append(bid),
+    )
+    before = AI.read_vectors(spark, index_dir).count()
+    apply(batch, 0)
+    assert sink == [(0, 20)], "text leg must forward NULL-embedding rows"
+    assert valerts == []
+    assert AI.read_vectors(spark, index_dir).count() == before
+    with open(os.path.join(root, "_flags", "batch-0.json")) as f:
+        decision = json.load(f)
+    assert decision["vec"] == {"report": None, "flagged": False}
