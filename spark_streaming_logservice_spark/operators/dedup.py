@@ -2472,12 +2472,20 @@ _register_d28()
 # entirely). d29 matches Lee et al. 2022's actual dedup semantics: each
 # duplicated L-gram family elects ONE canonical occurrence — the global
 # min by (doc_id, pos) — and only NON-canonical occurrences are excised,
-# so exactly one copy of every duplicated passage survives (when a
-# passage repeats across docs, the whole lowest-doc copy is canonical for
-# every one of its grams and survives intact; a self-repeat keeps its
-# first occurrence). Overlap caveat, documented: span excision is
-# token-range based, so a self-overlapping repeat ("z z z z z z") keeps
-# only the tokens outside the non-canonical island, not a full L tokens.
+# so a copy of every duplicated passage survives WHERE ITS CANONICAL
+# LIVES (when a passage repeats across docs, the whole lowest-doc copy is
+# canonical for every one of its grams and survives intact; a self-repeat
+# keeps its first occurrence). Overlap caveats, documented: span excision
+# is token-range based, so (a) a self-overlapping repeat ("z z z z z z")
+# keeps only the tokens outside the non-canonical island, not a full L
+# tokens, and (b) a canonical occurrence living in a NON-lowest doc can
+# still be partially excised by an OVERLAPPING gram family whose own
+# canonical sits in a lower doc — its tokens inside the other family's
+# non-canonical island go with it, so for such cross-family overlaps no
+# intact copy may survive corpus-wide. The guarantee is per GRAM FAMILY
+# (exactly one occurrence of each duplicated L-gram is spared), not per
+# maximal passage; the oracle implements the identical election, so the
+# two engines agree exactly.
 #
 # 100 TB design: identical shuffle structure to d27/d28 — the election is
 # the SAME count aggregate extended with an associative min(struct) (still

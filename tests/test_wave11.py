@@ -157,3 +157,71 @@ def test_d28_vs_d29_removal_ordering(spark, tmp_path):
     assert d29[1]["cleaned_text"] == d28[1]["cleaned_text"] == "intro outro"
     for doc in d29:
         assert d29[doc]["n_removed_tokens"] <= d28[doc]["n_removed_tokens"]
+
+
+def _duck_documents(root, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+        + os.path.join(root, "documents.parquet", "*.parquet")
+        + "')"
+    )
+    res = con.execute(sql)
+    rows = res.fetchall()
+    con.close()
+    return rows
+
+
+def test_d29_self_overlap_edge_pinned_in_both_engines(spark, tmp_path):
+    """r12 VERDICT item 5 + r12 ADVICE: the two documented overlap caveats,
+    hand-computed and asserted IDENTICAL in Spark and DuckDB so a refactor
+    cannot silently change which tokens survive.
+
+    (a) self-overlap: a self-overlapping repeat keeps only the tokens
+        outside the merged non-canonical island — fewer than L.
+    (b) cross-family overlap in a non-lowest doc: family B's canonical
+        occurrence lives in doc 1, but family A's non-canonical island
+        (canonical in doc 0) overlaps it — B's spared copy is clipped, so
+        NO intact copy of B survives corpus-wide. The guarantee is per
+        gram family, not per maximal passage."""
+    _docs(
+        spark,
+        str(tmp_path),
+        [
+            # (b): family A = "a b c d e", canonical here (doc 0, pos 1)
+            ("a b c d e", "s1"),                 # 0
+            # (b): A non-canonical at pos 1 (island [1,5]); family B =
+            # "b c d e f" CANONICAL at pos 2 — clipped by A's island
+            ("a b c d e f g h i", "s1"),         # 1
+            # (b): B non-canonical at pos 2 -> excised
+            ("x b c d e f y", "s2"),             # 2
+            # (a): 7-token self-repeat, grams pos 1..3 identical; pos 1
+            # canonical, pos 2+3 non-canonical -> merged island [2,7]
+            ("z z z z z z z", "s3"),             # 3
+        ],
+    )
+    out = registry.QUERIES["d29_dup_span_removal_canonical"](spark, str(tmp_path))
+    spark_rows = sorted(
+        (r["doc_id"], r["n_removed_tokens"], r["n_kept_tokens"], r["cleaned_text"])
+        for r in out.collect()
+    )
+    # doc 0 canonical copy of A survives intact (absent); doc 1 loses A's
+    # island INCLUDING four tokens of B's canonical copy; doc 2 loses its
+    # B copy; doc 3 keeps ONE token of the self-repeat, not a full L
+    assert spark_rows == [
+        (1, 5, 4, "f g h i"),
+        (2, 5, 2, "x y"),
+        (3, 6, 1, "z"),
+    ]
+    # the caveat made concrete: no intact "b c d e f" survives anywhere
+    assert not any("b c d e f" in r[3] for r in spark_rows)
+    # and DuckDB implements the identical election — engines agree exactly
+    duck_rows = sorted(
+        map(tuple, _duck_documents(
+            str(tmp_path), registry.ORACLES["d29_dup_span_removal_canonical"]
+        ))
+    )
+    assert duck_rows == spark_rows
