@@ -43,43 +43,63 @@ HEADLINE = [
 ]
 
 
-def _prev_bench() -> dict | None:
-    """Most recent *parseable* BENCH_r{N}.json next to this script, for
-    round-over-round deltas (VERDICT r1 item 9). Walks rounds newest-first:
-    a round whose stdout tail got truncated (r4's full-detail line outgrew
-    the driver's ~2 KB capture → ``parsed: null`` and a clipped tail) is
-    skipped rather than silently killing the comparison."""
+# Round records adjudicated as HOST-CONTAMINATED (the r12 judge re-measured
+# the same code materially faster on the idle host: driver 16.139 s vs
+# judge 7.967 s, with the damage profile of background CPU load). A
+# contaminated record must never be the round-over-round comparison base —
+# it would flatter the next round by ~2×. For such a round, _prev_bench
+# only accepts an adjudicated BENCH_r{N}_builder.json replacement (the
+# builder's committed idle-host numbers for the same code) and otherwise
+# walks past it to the previous clean round.
+_CONTAMINATED_BENCH = {12}
+
+
+def _prev_bench() -> tuple[dict | None, str | None]:
+    """(record, basename) of the most recent *usable* round record next to
+    this script, for round-over-round deltas (VERDICT r1 item 9). Walks
+    rounds newest-first: a round whose stdout tail got truncated (r4) is
+    skipped rather than silently killing the comparison; a round in
+    _CONTAMINATED_BENCH is only usable via its *_builder.json replacement.
+    The basename is surfaced in the output so the record names its base."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds: list[tuple[int, str]] = []
+    rounds: dict[int, str] = {}
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            rounds.append((int(m.group(1)), p))
-    for _, path in sorted(rounds, reverse=True):
-        try:
-            with open(path) as f:
-                d = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if isinstance(d, dict) and isinstance(d.get("queries"), dict):
-            return d
-        if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
-            p = d["parsed"]
-            if isinstance(p.get("queries"), dict):
-                return p
-        # driver artifact shape: our JSON line embedded in the "tail" string
-        if isinstance(d, dict) and isinstance(d.get("tail"), str):
-            for line in reversed(d["tail"].splitlines()):
-                line = line.strip()
-                if line.startswith("{") and '"headline_queries_total"' in line:
-                    try:
-                        return json.loads(line)
-                    except ValueError:
-                        continue
-    return None
+            rounds[int(m.group(1))] = p
+    for rnd in sorted(rounds, reverse=True):
+        candidates = [
+            os.path.join(here, f"BENCH_r{rnd:02d}_builder.json"),
+            os.path.join(here, f"BENCH_r{rnd}_builder.json"),
+        ]
+        if rnd not in _CONTAMINATED_BENCH:
+            candidates.append(rounds[rnd])
+        for path in candidates:
+            try:
+                with open(path) as f:
+                    d = json.load(f)
+            except (OSError, ValueError):
+                continue
+            base = os.path.basename(path)
+            if isinstance(d, dict) and isinstance(d.get("queries"), dict):
+                return d, base
+            if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
+                p = d["parsed"]
+                if isinstance(p.get("queries"), dict):
+                    return p, base
+            # driver artifact shape: our JSON line embedded in "tail"
+            if isinstance(d, dict) and isinstance(d.get("tail"), str):
+                for line in reversed(d["tail"].splitlines()):
+                    line = line.strip()
+                    if line.startswith("{") and '"headline_queries_total"' in line:
+                        try:
+                            return json.loads(line), base
+                        except ValueError:
+                            continue
+    return None, None
 
 
 def _streaming_bench(spark, tmp_root: str, max_per_trigger: int = 65_536) -> dict:
@@ -532,6 +552,56 @@ def _maintenance_bench(spark, tmp_root: str, sf_dir: str, n_batches: int = 4) ->
     return out
 
 
+_BURN_N = 8_000_000  # ~0.5 s of pure-python integer work per process
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _load_probe(reps: int = 2) -> dict:
+    """Concurrent-load indicator (r12 VERDICT item 2): the r12 driver
+    record was host-contaminated — headline 2× the idle-host number — and
+    nothing IN the record said so. This probe makes a contaminated run
+    self-identifying: one fixed CPU burn timed on ONE process, then the
+    same burn on EVERY core simultaneously. On an idle host the all-core
+    wall time tracks the serial wall time (every burn gets its own core,
+    modulo SMT sharing); background load inflates the all-core number
+    first and hardest. Judge the RATIO against the committed idle-host
+    baseline in BENCH_DETAIL — a round-over-round jump in
+    parallel_over_serial (or loadavg) means the host was busy and the
+    run's whole-core shuffle queries are not comparable."""
+    import multiprocessing as mp
+
+    loadavg = os.getloadavg()
+    cpus = os.cpu_count() or 1
+    serial = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _burn(_BURN_N)
+        dt = time.perf_counter() - t0
+        serial = dt if serial is None else min(serial, dt)
+    par = None
+    ctx = mp.get_context("fork")
+    for _ in range(reps):
+        with ctx.Pool(cpus) as pool:
+            t0 = time.perf_counter()
+            pool.map(_burn, [_BURN_N] * cpus)
+            dt = time.perf_counter() - t0
+        par = dt if par is None else min(par, dt)
+    return {
+        "loadavg_1m": round(loadavg[0], 2),
+        "loadavg_5m": round(loadavg[1], 2),
+        "cpus": cpus,
+        "serial_burn_sec": round(serial, 4),
+        "allcore_burn_sec": round(par, 4),
+        "parallel_over_serial": round(par / serial, 2),
+    }
+
+
 def _calibration(spark, sf_dir: str) -> dict:
     """Fixed reference scan (VERDICT r8 item 5): one full lineitem pass
     through a two-column arithmetic aggregate, best-of-3. The same code
@@ -908,6 +978,11 @@ def _section_core() -> dict:
     stream/sink figures to measuring them after the 110-operator extras
     sweep in the same session (GC/state perturbation), so the trustworthy
     numbers get their own process."""
+    # host-load sample BEFORE the JVM exists (purest host signal) …
+    try:
+        probe_before = _load_probe()
+    except Exception as ex:
+        probe_before = {"error": f"{type(ex).__name__}: {ex}"}
     spark, registry, sf_dir = _boot()
 
     # Warm the JVM + parquet footers once so per-query timings measure the
@@ -944,6 +1019,15 @@ def _section_core() -> dict:
     }
     if data_probe:
         out["data_probe"] = data_probe
+
+    # … and AFTER the timed queries (load arriving mid-run shows here);
+    # a contaminated record self-identifies instead of needing a judge
+    # re-measurement to adjudicate (r12's failure mode)
+    try:
+        probe_after = _load_probe()
+    except Exception as ex:
+        probe_after = {"error": f"{type(ex).__name__}: {ex}"}
+    out["load_probe"] = {"before_boot": probe_before, "after_queries": probe_after}
 
     # Cross-environment calibration yardstick (VERDICT r8 item 5).
     try:
@@ -1645,7 +1729,15 @@ def main() -> None:
         if k in sweep:
             out[k if k != "error" else "sweep_error"] = sweep[k]
 
-    prev = _prev_bench()
+    prev, prev_base = _prev_bench()
+    if prev_base is not None:
+        out["vs_prev_base"] = prev_base
+        if "_builder" in prev_base:
+            out["vs_prev_base_note"] = (
+                "comparison base is the adjudicated builder replacement "
+                "record (the driver-recorded round file was judged "
+                "host-contaminated; see _CONTAMINATED_BENCH in bench.py)"
+            )
     timings = out["queries"]
     if prev and isinstance(prev.get("queries"), dict):
         out["vs_prev"] = {
@@ -1723,6 +1815,18 @@ def main() -> None:
     vpc = out.get("vs_prev_calibrated", {})
     if isinstance(vpc.get("ratio_delta_pct"), (int, float)):
         compact["calibrated_vs_prev_pct"] = vpc["ratio_delta_pct"]
+    if "vs_prev_base" in out:
+        compact["vs_prev_base"] = out["vs_prev_base"]
+    lp = out.get("load_probe", {})
+    ratios = [
+        lp.get(k, {}).get("parallel_over_serial")
+        for k in ("before_boot", "after_queries")
+    ]
+    if any(isinstance(r, (int, float)) for r in ratios):
+        # all-core burn / serial burn, sampled before boot and after the
+        # timed queries: a jump vs the committed idle baseline = the host
+        # was busy and this record is not comparable (r12's failure mode)
+        compact["load_probe_ratio"] = ratios
     ann = out.get("ann_store", {})
     if isinstance(ann.get("pq_serve_sec"), (int, float)):
         compact["ann_pq_serve_sec"] = ann["pq_serve_sec"]
