@@ -23,16 +23,25 @@ POSIX filesystem — ext4, XFS, NFS, Lustre, GPFS):
    written whole; a reader sees the old content, the new content, or (for
    create-new paths) absence — never a torn mix, provided writers go
    through ``replace_file`` for overwrites.
+5. Key construction: store modules build child keys with ``join`` (the
+   POSIX backend delegates to ``os.path.join``). A backend MUST accept
+   '/'-separated keys — segments never contain separators, so an
+   object-store backend can treat the joined string as an opaque object
+   key; overriding ``join`` is allowed but never required. This is the
+   ONE path rule: no store module does its own separator arithmetic.
 
 NOT valid on S3-style object stores: rename there is copy+delete (neither
 atomic nor cheap), and listings can lag writes. Deploying the store layer
 against an object store means implementing a :class:`Backend` with these
-primitives mapped to the store's own atomic publish (e.g. conditional
-PUT, DynamoDB-backed manifest, or a Delta/Iceberg-commit-protocol shim)
-and installing it with :func:`set_backend` — an adapter, not a rewrite of
-the stores. The Spark-side parquet reads/writes are already
-object-store-clean (they go through Hadoop FileSystem); this seam covers
-only the stores' own control plane.
+primitives mapped to the store's own atomic publish and installing it
+with :func:`set_backend` — an adapter, not a rewrite of the stores. That
+claim is a TEST, not an assertion: ``storefs_object.py`` ships a
+manifest-pointer/conditional-PUT shim (the Delta/Iceberg commit-protocol
+shape) that passes the same parameterized contract suite the POSIX
+backend passes, and a naive copy+delete port that fails exactly the
+clauses above (tests/test_storefs_contract.py). The Spark-side parquet
+reads/writes are already object-store-clean (they go through Hadoop
+FileSystem); this seam covers only the stores' own control plane.
 """
 
 from __future__ import annotations
@@ -46,6 +55,9 @@ class Backend:
     docstring). An alternative deployment subclasses this and installs
     via :func:`set_backend`; method semantics must match the contract,
     signatures mirror the ``os``/``shutil`` calls they replace."""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
 
     def publish_rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
@@ -110,6 +122,10 @@ def set_backend(backend: Backend) -> Backend:
     prev = _backend
     _backend = backend
     return prev
+
+
+def join(*parts: str) -> str:
+    return _backend.join(*parts)
 
 
 def publish_rename(src: str, dst: str) -> None:
