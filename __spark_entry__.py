@@ -95,13 +95,15 @@ def _latest_green_round() -> dict[str, int]:
 
 
 # Queries built DURING the current round, after the round's 50-slot
-# verification budget was already committed (r12: d27+d28 never-greens +
-# the 48-query r7 stale cohort, VERDICT r11 item 1). Deferring them keeps
-# the rotation intact this round; the moment this round's CORRECTNESS
-# artifact exists the defer expires and they sort first (never-green)
-# into the next round's sample.
-_DEFER_UNTIL_ROUND = 12
-_DEFERRED: frozenset[str] = frozenset({"d29_dup_span_removal_canonical"})
+# verification budget was already committed (r13: d29 the sole never-green
+# + v08/v09 the last r7 greens + the r8 stale cohort, VERDICT r12 item 1).
+# Deferring them keeps the rotation intact this round; the moment this
+# round's CORRECTNESS artifact exists the defer expires and they sort
+# first (never-green) into the next round's sample.
+_DEFER_UNTIL_ROUND = 13
+_DEFERRED: frozenset[str] = frozenset(
+    {"q34_small_quantity_revenue", "j06_value_band_join"}
+)
 _DRIVER_SAMPLE = 50  # the driver verifies this many leading queries
 
 

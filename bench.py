@@ -1312,6 +1312,9 @@ def _section_sweep() -> dict:
         "d28_dup_span_removal",
         # round 12
         "d29_dup_span_removal_canonical",
+        # round 13
+        "q34_small_quantity_revenue",
+        "j06_value_band_join",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run

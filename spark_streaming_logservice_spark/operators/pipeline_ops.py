@@ -2306,3 +2306,93 @@ def _register_p27() -> None:
 
 
 _register_p27()
+
+
+# --- j06: value-band join (bucketed |x - y| <= eps equi-join rewrite) -------
+# "Which purchases land within ±eps of a click's value by the same user?"
+# — the price-band/tolerance join every reconciliation pipeline needs
+# (tick-to-trade matching, sensor cross-validation, fuzzy amount joins).
+# Distinct from j03 (interval overlap) and j05 (nearest in TIME): the band
+# is on a VALUE column, where a naive engine falls back to a per-user
+# cross product with an abs() filter.
+#
+# 100 TB design: bucket = floor(value / eps); the right side keeps its one
+# bucket, the left side expands to the only THREE buckets a match can live
+# in (b-1, b, b+1 — any pair within eps differs by at most one bucket), so
+# the join is a plain (user_id, bucket) equi-join with candidate fan-out
+# STRUCTURALLY capped at 3x, never a cross join; each true pair matches in
+# exactly one bucket (the right row's own), so no dedup pass is needed.
+# Skew = one heavy user; the composite key keeps AQE's skew-split
+# applicable. Gap sums run in integer cents (values carry 2 decimals) —
+# associative, merge-order-proof.
+
+BAND_EPS = 5.0
+
+
+@query(
+    "j06_value_band_join",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, event_id, value FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT c.user_id,
+             CAST(floor(abs(p.value - c.value) * 100 + 0.5) AS BIGINT)
+                 AS gap_cents
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND abs(p.value - c.value) <= {BAND_EPS}
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(gap_cents) AS BIGINT) AS sum_gap_cents,
+           CAST((2 * CAST(sum(gap_cents) AS BIGINT) + count(*))
+                // (2 * count(*)) AS BIGINT) AS avg_gap_cents
+    FROM pairs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def j06_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("value").alias("p_value"),
+        F.floor(F.col("value") / BAND_EPS).cast("bigint").alias("bucket"),
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("value").alias("c_value"),
+            F.floor(F.col("value") / BAND_EPS).cast("bigint").alias("b0"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+            ),
+        )
+        .drop("b0")
+    )
+    pairs = clicks.join(purchases, ["user_id", "bucket"]).where(
+        F.abs(F.col("p_value") - F.col("c_value")) <= BAND_EPS
+    )
+    gap = F.floor(
+        F.abs(F.col("p_value") - F.col("c_value")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        pairs.select("user_id", gap.alias("gap_cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("gap_cents").alias("sum_gap_cents"),
+            F.expr(
+                "(2 * sum(gap_cents) + count(1)) DIV (2 * count(1))"
+            ).alias("avg_gap_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -1072,3 +1072,81 @@ def q33_brand_repeat_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --- q34: small-quantity-order revenue (TPC-H Q17 shape) --------------------
+# "How much yearly revenue would vanish if we stopped fulfilling small
+# orders of one brand's parts?" — lineitems whose quantity is below 20% of
+# that PART's average quantity, revenue averaged over the 7-year horizon.
+# Reference parity: the TPC-H Q17 pattern (correlated scalar subquery on
+# the same table) re-expressed as an aggregate-then-join.
+#
+# 100 TB design: the brand filter prunes part to ~5% BEFORE anything joins
+# (broadcast — the dimension side is small by construction); the per-part
+# (sum, count) aggregate runs over the ALREADY-FILTERED lineitem slice and
+# its output is O(parts in brand), so the threshold join broadcasts too.
+# The correlated subquery a naive engine runs per-row never materializes.
+# Exactness: quantities are whole numbers and prices carry 2 decimals, so
+# the 20% threshold test runs as 5·qty·cnt < sum_qty (all BIGINT — no
+# float division on either engine) and revenue sums in integer cents;
+# avg_yearly's half-up 2-dp rounding is the integer (2c+7) DIV 14 trick.
+
+Q17_BRAND = "Brand#4"
+
+
+@query(
+    "q34_small_quantity_revenue",
+    oracle=f"""
+    WITH branded AS (
+      SELECT l_partkey,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = '{Q17_BRAND}'
+    ), thresholds AS (
+      SELECT l_partkey,
+             CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM branded GROUP BY l_partkey
+    ), small AS (
+      SELECT b.cents
+      FROM branded b JOIN thresholds t USING (l_partkey)
+      WHERE 5 * b.qty * t.cnt < t.sum_qty
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lineitems,
+           CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+               AS small_revenue,
+           CAST((2 * CAST(sum(cents) AS BIGINT) + 7) // 14 AS DOUBLE) / 100.0
+               AS avg_yearly
+    FROM small
+    """,
+)
+def q34_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    branded = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("l_partkey", "qty", "cents")
+    thresholds = branded.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = branded.join(F.broadcast(thresholds), "l_partkey").where(
+        5 * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+        (F.sum("cents").cast("double") / 100.0).alias("small_revenue"),
+        (
+            F.expr("(2 * sum(cents) + 7) DIV 14").cast("double") / 100.0
+        ).alias("avg_yearly"),
+    )
