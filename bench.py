@@ -1384,6 +1384,14 @@ def _section_sweep() -> dict:
                 # grows superlinearly, so duplicate-finding queries carry
                 # superlinearly more TRUE work, not a plan defect.
                 "notes": {
+                    "e31_experiment_power": (
+                        "sub-second jitter straddler, not curvature: the "
+                        "power/MDE math runs over the O(variants) "
+                        "aggregate of ONE corpus shuffle. Measured "
+                        "0.38-0.51 s base and 1.20-1.51 s at 10x across "
+                        "r12/r13 idle-host runs (2.35x-4.02x) — the ratio "
+                        "straddles 3.5x on ±0.15 s of noise at BOTH ends."
+                    ),
                     "e20_slo_burn_rate": (
                         "sub-second jitter, not curvature: one 5-minute "
                         "bucket rollup (the only corpus shuffle) + windows "
@@ -1757,9 +1765,17 @@ def main() -> None:
     hoc = out.get("calibration", {}).get("headline_over_calibration")
     prev_hoc = prev.get("headline_over_calibration") if prev else None
     if isinstance(hoc, (int, float)) and isinstance(prev_hoc, (int, float)):
+        prev_cal = prev.get("calibration_sec")
+        if prev_cal is None and isinstance(prev.get("calibration"), dict):
+            prev_cal = prev["calibration"].get("sec")
         out["vs_prev_calibrated"] = {
             "headline_over_calibration": hoc,
             "prev_headline_over_calibration": prev_hoc,
+            # both denominators, so a ratio jump driven by the calibration
+            # scan's own same-code spread (documented ~33%) is readable
+            # from the record without archaeology
+            "calibration_sec": out.get("calibration", {}).get("sec"),
+            "prev_calibration_sec": prev_cal,
             "ratio_delta_pct": round(100.0 * (hoc / prev_hoc - 1.0), 1),
             "note": (
                 "negative = faster per unit of environment speed; raw "
