@@ -429,6 +429,32 @@ class ManifestObjectStoreBackend:
 
         self._mutate(touch)
 
+    def gc_blobs(self) -> int:
+        """Delete blobs no manifest entry references; returns the count.
+        Correctness never depends on this (unreachable blobs are invisible
+        garbage — a crashed write_text, a rmtree'd file), but a real
+        deployment pays for them, so the sweep exists and is tested.
+
+        Safe concurrently with readers (reachable blobs are immutable and
+        never collected) but NOT with in-flight writers: a write_text
+        between the manifest snapshot and the delete has its blob out but
+        its pointer not yet committed. Run it the way compaction runs —
+        from the owning writer, or quiesced — or extend it with a
+        write-grace window (skip blobs younger than the slowest writer's
+        blob→CAS gap)."""
+        tree, _ = self._load()
+        live = {
+            e["blob"] for e in tree["tree"].values() if e.get("type") == "file"
+        }
+        doomed = [
+            k
+            for k in self.sim.list(f"{self.root}/__blobs__/")
+            if k not in live
+        ]
+        for k in doomed:
+            self.sim.delete(k)
+        return len(doomed)
+
     def walk(self, path: str):
         rel = self._rel(path)
         tree, _ = self._load()

@@ -287,3 +287,54 @@ def test_manifest_concurrent_writers_serialize_on_cas():
     with pytest.raises(FileExistsError):
         w2.publish_rename("bucket/store/_staging-y", "bucket/store/final")
     assert sorted(w2.listdir("bucket/store/final")) == sorted(FILES)
+
+
+def test_manifest_gc_collects_only_unreachable_blobs():
+    """Crashed write_text attempts and rmtree'd files leave orphan blobs
+    (documented: correctness never depends on collecting them); gc_blobs
+    reclaims exactly those and never a reachable blob."""
+    sim = ObjectStoreSim()
+    b = ManifestObjectStoreBackend(sim, "bucket/store")
+    b.write_text("bucket/store/keep", "live")
+    b.write_text("bucket/store/doomed", "bye")
+    b.remove("bucket/store/doomed")         # orphan 1: removed file
+    sim.put(f"{b.root}/__blobs__/{'0' * 32}", b"torn")  # orphan 2: a
+    # write_text that crashed between the blob PUT and the manifest CAS
+    n_blobs_before = len(sim.list(f"{b.root}/__blobs__/"))
+    assert b.gc_blobs() == 2
+    assert len(sim.list(f"{b.root}/__blobs__/")) == n_blobs_before - 2
+    assert b.read_text("bucket/store/keep") == "live"
+    assert b.gc_blobs() == 0  # idempotent
+
+
+def test_manifest_cas_under_real_thread_contention():
+    """N threads × M writes against ONE manifest root: every write lands
+    (no lost update), the final manifest is consistent — the CAS retry
+    loop is the whole coordination story and this is its stress test."""
+    import threading
+
+    sim = ObjectStoreSim()
+    n_threads, n_writes = 8, 25
+    errors = []
+
+    def writer(tid):
+        b = ManifestObjectStoreBackend(sim, "bucket/store")
+        try:
+            for i in range(n_writes):
+                b.write_text(f"bucket/store/t{tid}/f{i}", f"{tid}:{i}")
+        except Exception as ex:  # pragma: no cover - failure path
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    reader = ManifestObjectStoreBackend(sim, "bucket/store")
+    for tid in range(n_threads):
+        names = reader.listdir(f"bucket/store/t{tid}")
+        assert len(names) == n_writes, f"lost updates for writer {tid}"
+        assert reader.read_text(f"bucket/store/t{tid}/f7") == f"{tid}:7"
