@@ -71,12 +71,18 @@ def _prev_bench() -> tuple[dict | None, str | None]:
         if m:
             rounds[int(m.group(1))] = p
     for rnd in sorted(rounds, reverse=True):
-        candidates = [
-            os.path.join(here, f"BENCH_r{rnd:02d}_builder.json"),
-            os.path.join(here, f"BENCH_r{rnd}_builder.json"),
-        ]
-        if rnd not in _CONTAMINATED_BENCH:
-            candidates.append(rounds[rnd])
+        if rnd in _CONTAMINATED_BENCH:
+            # only the adjudicated replacement may stand in for a
+            # contaminated round; a clean round's driver record is always
+            # the base (a stray *_builder.json must never displace it)
+            candidates = sorted(
+                {
+                    os.path.join(here, f"BENCH_r{rnd:02d}_builder.json"),
+                    os.path.join(here, f"BENCH_r{rnd}_builder.json"),
+                }
+            )
+        else:
+            candidates = [rounds[rnd]]
         for path in candidates:
             try:
                 with open(path) as f:

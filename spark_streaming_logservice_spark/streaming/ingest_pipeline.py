@@ -58,6 +58,7 @@ from spark_streaming_logservice_spark.streaming.dedup_store import (
     DEFAULT_DIGEST_IMPL,
     DIGEST_IMPLS,
     _check_namespace,
+    _digest_exprs,
     _pinned_impl,
     _to_store,
     dedup_against_store,
@@ -224,16 +225,30 @@ def ingest_pipeline(
                 F.col(id_col).cast("bigint").alias("vec_id"),
                 F.col(embedding_col).cast("array<double>").alias("embedding"),
             )
-            cents_df, cb_df, dim = _ann._load_artifacts(spark, index_dir)
-            enc = _ann.encode_vectors(vdf, cents_df, cb_df, dim)
-            enc.persist()
-            # ONE collect both tests emptiness and feeds the drift score:
-            # an empty cell-count dict IS the empty vector batch (the old
-            # separate vdf.take(1) probe launched an extra job per batch)
-            bc = _ann.cell_counts(enc)
+            try:
+                cents_df, cb_df, dim = _ann._load_artifacts(spark, index_dir)
+            except Exception:
+                # artifacts not built yet: a batch with NO vectors must
+                # still pass through the text leg — only one that actually
+                # carries embeddings makes a missing index a config error.
+                # The probe job runs ONLY on this cold failure path; the
+                # hot path keeps the single cell-count collect below.
+                if vdf.take(1):
+                    raise
+                cents_df = None
+            if cents_df is not None:
+                enc = _ann.encode_vectors(vdf, cents_df, cb_df, dim)
+                enc.persist()
+                # ONE collect both tests emptiness and feeds the drift
+                # score: an empty cell-count dict IS the empty vector
+                # batch (the old separate vdf.take(1) probe launched an
+                # extra job per batch)
+                bc = _ann.cell_counts(enc)
+            else:
+                bc = {}
             if bc:
                 cached = _ann.cached_index_hist(spark, index_dir)
-            else:
+            elif enc is not None:
                 enc.unpersist()
                 enc = None
             # score whenever the decision lacks a vec entry — including a
@@ -243,7 +258,11 @@ def ingest_pipeline(
             # text leg, scoring on replay is safe here — a missing 'vec'
             # key means the vector leg never ran for this batch, so the
             # index histogram cannot already contain it and the score is
-            # exactly what a live run would have computed.
+            # exactly what a live run would have computed. If the replay
+            # lands AFTER the digest append (live novel set empty), stage
+            # 4b recovers the original novel vector population from the
+            # batch's own per-batch digest file — the vectors are scored
+            # AND kept, not dropped.
             if "vec" not in decision:
                 vec_rescored = recorded
                 if enc is None:
@@ -310,6 +329,34 @@ def ingest_pipeline(
                 novel_ids = novel.select(
                     F.col(id_col).cast("bigint").alias("vec_id")
                 )
+                final_digest = storefs.join(
+                    digest_dir, f"{namespace}-batch-{batch_id}.parquet"
+                )
+                if vec_rescored and storefs.exists(final_digest):
+                    # legacy-record replay AFTER this batch's digest
+                    # append: the replay's novel set is empty precisely
+                    # BECAUSE the append already holds this batch's
+                    # digests — and that per-batch file IS the original
+                    # novel set, so recover the vector population from it
+                    # instead of silently dropping the batch's vectors.
+                    # Exact: rows that were historical dups at original
+                    # processing are absent from the file and stay out.
+                    own = spark.read.parquet(final_digest)
+                    bcols = DIGEST_IMPLS[digest_impl][1]
+                    scols = DIGEST_IMPLS[digest_impl][2]
+                    keyed = clean.where(
+                        F.col(text_col).isNotNull()
+                    ).select(
+                        F.col(id_col).cast("bigint").alias("vec_id"),
+                        *_digest_exprs(text_col, digest_impl),
+                    )
+                    cond = None
+                    for b, s in zip(bcols, scols):
+                        c = keyed[b] == own[s]
+                        cond = c if cond is None else (cond & c)
+                    novel_ids = keyed.join(own, cond, "left_semi").select(
+                        "vec_id"
+                    )
                 if vec["flagged"]:
                     stage_dir = storefs.join(
                         vec_quarantine_dir, f"batch-{batch_id}"
@@ -321,18 +368,17 @@ def ingest_pipeline(
                     # staging dir from a crash is invisible (never renamed)
                     if not storefs.exists(stage_dir):
                         storefs.makedirs(vec_quarantine_dir, exist_ok=True)
-                        own_staging = f"_staging-{batch_id}-"
-                        for leftover in storefs.listdir(vec_quarantine_dir):
-                            if leftover.startswith(own_staging):
-                                storefs.rmtree(
-                                    storefs.join(
-                                        vec_quarantine_dir, leftover
-                                    ),
-                                    ignore_errors=True,
-                                )
+                        # letter-first 'vq-<bid>' prefix: the digit-first
+                        # shape is reserved for the legacy-orphan sweep's
+                        # "unambiguously dead" premise — no live writer may
+                        # produce it (r13 review); the shared sweep also
+                        # reclaims this dir's own pre-rename orphans
+                        sweep_staging_orphans(
+                            vec_quarantine_dir, f"vq-{batch_id}"
+                        )
                         staging = storefs.join(
                             vec_quarantine_dir,
-                            f"_staging-{batch_id}-{uuid.uuid4().hex}",
+                            f"_staging-vq-{batch_id}-{uuid.uuid4().hex}",
                         )
                         nvdf.write.mode("overwrite").parquet(staging)
                         storefs.publish_rename(staging, stage_dir)

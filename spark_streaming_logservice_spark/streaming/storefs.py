@@ -23,12 +23,16 @@ POSIX filesystem — ext4, XFS, NFS, Lustre, GPFS):
    written whole; a reader sees the old content, the new content, or (for
    create-new paths) absence — never a torn mix, provided writers go
    through ``replace_file`` for overwrites.
-5. Key construction: store modules build child keys with ``join`` (the
-   POSIX backend delegates to ``os.path.join``). A backend MUST accept
-   '/'-separated keys — segments never contain separators, so an
-   object-store backend can treat the joined string as an opaque object
-   key; overriding ``join`` is allowed but never required. This is the
-   ONE path rule: no store module does its own separator arithmetic.
+5. Key construction — the ONE path rule, stated once: a backend MUST
+   accept '/'-separated keys, because that is what every store module
+   produces (``storefs.join`` where converted, ``os.path.join`` elsewhere
+   — identical on the POSIX hosts Spark drivers run on; segments never
+   contain separators, so an object-store backend treats the joined
+   string as an opaque object key). ``join`` exists so a backend with an
+   exotic key scheme has one hook to normalize through, but no backend
+   may REQUIRE it: '/'-joined keys arriving directly must resolve to the
+   same objects. The contract suite pins this with POSIX-shaped keys
+   against both backends.
 
 NOT valid on S3-style object stores: rename there is copy+delete (neither
 atomic nor cheap), and listings can lag writes. Deploying the store layer

@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import threading
 import time
 import uuid
 
@@ -81,8 +82,17 @@ class ObjectStoreSim:
         self._versions: dict[str, int] = {}
         self._lagging: set[str] = set()
         self._list_lag = list_lag
+        # one lock makes each primitive a single step, the way the real
+        # store's server does — without it, cas_put's compare and write
+        # could interleave across Python threads and lose updates, which
+        # would break the very atomicity the sim exists to model
+        self._lock = threading.Lock()
 
     def put(self, key: str, data: bytes) -> None:
+        with self._lock:
+            self._put_locked(key, data)
+
+    def _put_locked(self, key: str, data: bytes) -> None:
         self._objects[key] = bytes(data)
         self._versions[key] = self._versions.get(key, 0) + 1
         if self._list_lag:
@@ -92,33 +102,41 @@ class ObjectStoreSim:
         """Conditional PUT: ``expect_version=None`` means if-none-match
         (create only); an int means if-match that exact version. Atomic —
         the compare and the write are one step. Returns the new version."""
-        cur = self._versions.get(key) if key in self._objects else None
-        if cur != expect_version:
-            raise CasConflict(f"{key}: expected v{expect_version}, at v{cur}")
-        self.put(key, data)
-        return self._versions[key]
+        with self._lock:
+            cur = self._versions.get(key) if key in self._objects else None
+            if cur != expect_version:
+                raise CasConflict(
+                    f"{key}: expected v{expect_version}, at v{cur}"
+                )
+            self._put_locked(key, data)
+            return self._versions[key]
 
     def get(self, key: str) -> bytes:
-        return self._objects[key]
+        with self._lock:
+            return self._objects[key]
 
     def head(self, key: str) -> int | None:
         """Current version, or None if absent (single-key, never lags)."""
-        return self._versions.get(key) if key in self._objects else None
+        with self._lock:
+            return self._versions.get(key) if key in self._objects else None
 
     def delete(self, key: str) -> None:
-        self._objects.pop(key, None)
-        self._lagging.discard(key)
+        with self._lock:
+            self._objects.pop(key, None)
+            self._lagging.discard(key)
 
     def list(self, prefix: str) -> list[str]:
-        return sorted(
-            k
-            for k in self._objects
-            if k.startswith(prefix) and k not in self._lagging
-        )
+        with self._lock:
+            return sorted(
+                k
+                for k in self._objects
+                if k.startswith(prefix) and k not in self._lagging
+            )
 
     def settle(self) -> None:
         """Lagging listings catch up (time passes)."""
-        self._lagging.clear()
+        with self._lock:
+            self._lagging.clear()
 
 
 def _norm(path: str) -> str:
@@ -305,6 +323,8 @@ class ManifestObjectStoreBackend:
         src_rel, dst_rel = self._rel(src), self._rel(dst)
 
         def swap(tree: dict) -> None:
+            if src_rel not in tree:  # match POSIX os.replace's error type
+                raise FileNotFoundError(src)
             tree[dst_rel] = tree.pop(src_rel)
 
         self._mutate(swap)
@@ -398,12 +418,14 @@ class ManifestObjectStoreBackend:
 
     def copy_file(self, src: str, dst: str) -> None:
         src_rel, dst_rel = self._rel(src), self._rel(dst)
-        tree, _ = self._load()
-        entry = tree["tree"].get(src_rel)
-        if entry is None:
-            raise FileNotFoundError(src)
 
         def cp(tree: dict) -> None:
+            # read src INSIDE the retry loop: a snapshot taken outside
+            # could install a stale blob pointer after losing a CAS race
+            # to a concurrent replace_file of src
+            entry = tree.get(src_rel)
+            if entry is None:
+                raise FileNotFoundError(src)
             tree[dst_rel] = dict(entry, mtime=time.time())
 
         self._mutate(cp)

@@ -734,3 +734,83 @@ def test_all_null_embeddings_skip_vector_leg(spark, sf_dir, mm):
     with open(os.path.join(root, "_flags", "batch-0.json")) as f:
         decision = json.load(f)
     assert decision["vec"] == {"report": None, "flagged": False}
+
+
+def test_legacy_record_replay_after_digest_append_recovers_vectors(
+    spark, sf_dir, mm
+):
+    """The hard ordering for the no-'vec' legacy record (r13 review): the
+    original run (index_dir unset) already appended the batch's digests,
+    so a replay's live novel set is EMPTY — recovery must read the batch's
+    own per-batch digest file (its original novel set) so the vectors are
+    scored AND kept: drifted -> staged (not an empty quarantine dir),
+    in-distribution -> admitted into the index."""
+    import json
+
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+    from spark_streaming_logservice_spark.streaming.ingest_pipeline import (
+        read_vec_quarantine,
+    )
+
+    root, index_dir = mm
+    drifted = _mm_batch(spark, sf_dir, 300, 500, ones=True)   # 200 rows
+    # original run WITHOUT the vector leg: forward + digest append done,
+    # crash before the marker -> flag recorded with NO 'vec' entry
+    apply0 = ingest_pipeline(root, lambda df, bid: None, threshold=2.1)
+    apply0(drifted, 0)
+    os.remove(os.path.join(root, "_markers", "batch-0"))
+    with open(os.path.join(root, "_flags", "batch-0.json")) as f:
+        assert "vec" not in json.load(f)
+
+    valerts = []
+    apply1 = ingest_pipeline(
+        root,
+        lambda df, bid: None,
+        threshold=2.1,
+        index_dir=index_dir,
+        on_vector_alert=lambda bid, rep, df: valerts.append(
+            (bid, df.count())
+        ),
+    )
+    before = AI.read_vectors(spark, index_dir).count()
+    apply1(drifted, 0)
+    # scored (flagged) AND recovered: the staged payload is the batch's
+    # original 200-row novel set, not an empty frame
+    assert valerts == [(0, 200)]
+    assert read_vec_quarantine(spark, root).count() == 200
+    assert AI.read_vectors(spark, index_dir).count() == before
+
+    # in-distribution variant on a fresh batch id: recovery must ADMIT
+    # (fresh texts — a text that duplicates batch 0 was NOT novel at its
+    # original processing and correctly stays out of the recovered set)
+    clean_batch = _mm_batch(
+        spark, sf_dir, 300, 458, text_of=lambda i: f"fresh{i} gamma delta"
+    )                                                          # 158 rows
+    apply0(clean_batch, 1)
+    os.remove(os.path.join(root, "_markers", "batch-1"))
+    apply1(clean_batch, 1)
+    assert AI.read_vectors(spark, index_dir).count() == before + 158
+    assert valerts == [(0, 200)]
+
+
+def test_index_dir_set_before_index_built_passes_text_only_batches(
+    spark, sf_dir, tmp_path
+):
+    """index_dir configured but the index not trained yet: an all-NULL-
+    embedding batch still flows through the text leg (pre-r13 behavior);
+    a batch that actually carries vectors surfaces the config error."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "pipe")
+    sink = []
+    apply = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append((bid, df.count())),
+        threshold=2.1,
+        index_dir=str(tmp_path / "ann-not-built"),
+    )
+    rows = [(i, f"tok{i} alpha beta", "srcA", None) for i in range(20)]
+    apply(spark.createDataFrame(rows, MM_SCHEMA), 0)
+    assert sink == [(0, 20)]
+    with _pytest.raises(Exception):
+        apply(_mm_batch(spark, sf_dir, 300, 320), 1)
