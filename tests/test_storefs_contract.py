@@ -338,3 +338,114 @@ def test_manifest_cas_under_real_thread_contention():
         names = reader.listdir(f"bucket/store/t{tid}")
         assert len(names) == n_writes, f"lost updates for writer {tid}"
         assert reader.read_text(f"bucket/store/t{tid}/f7") == f"{tid}:7"
+
+
+# --- property: the two PASSING backends are observationally equivalent ------
+# For any op sequence the stores can produce (they makedirs before writing
+# and guard publishes with exists(final)), the POSIX backend and the
+# manifest shim must expose identical state — same files, same contents,
+# same listings, same error types. Hypothesis drives random sequences;
+# a divergence here is a contract bug one suite clause missed.
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _FILES = ["a.txt", "d0/b.txt", "d0/c.txt", "d1/e.txt"]
+    _DIRS = ["d0", "d1", "d2"]
+    _OPS = st.lists(
+        st.one_of(
+            st.tuples(st.just("mkdir"), st.sampled_from(_DIRS)),
+            st.tuples(
+                st.just("write"),
+                st.sampled_from(_FILES),
+                st.sampled_from(["x", "yy", "zzz"]),
+            ),
+            st.tuples(
+                st.just("replace"),
+                st.sampled_from(_FILES),
+                st.sampled_from(["r1", "r2"]),
+            ),
+            st.tuples(
+                st.just("publish"),
+                st.sampled_from(_DIRS),
+                st.sampled_from(_DIRS),
+            ),
+            st.tuples(st.just("remove"), st.sampled_from(_FILES)),
+            st.tuples(st.just("rmtree"), st.sampled_from(_DIRS)),
+        ),
+        max_size=12,
+    )
+
+    def _apply(b, root, op):
+        """Run one store-shaped op; return an observable outcome tag."""
+        j = b.join
+        try:
+            if op[0] == "mkdir":
+                b.makedirs(j(root, op[1]), exist_ok=True)
+            elif op[0] == "write":
+                parent = op[1].rsplit("/", 1)[0] if "/" in op[1] else None
+                if parent:
+                    b.makedirs(j(root, parent), exist_ok=True)
+                b.write_text(j(root, op[1]), op[2])
+            elif op[0] == "replace":
+                parent = op[1].rsplit("/", 1)[0] if "/" in op[1] else None
+                if parent:
+                    b.makedirs(j(root, parent), exist_ok=True)
+                tmp = j(root, op[1]) + ".tmp"
+                b.write_text(tmp, op[2])
+                b.replace_file(tmp, j(root, op[1]))
+            elif op[0] == "publish":
+                src, dst = j(root, op[1]), j(root, op[2])
+                if not b.exists(src) or b.exists(dst):
+                    return "guarded"  # the stores' own publish guard
+                b.publish_rename(src, dst)
+            elif op[0] == "remove":
+                b.remove(j(root, op[1]))
+            elif op[0] == "rmtree":
+                b.rmtree(j(root, op[1]), ignore_errors=True)
+            return "ok"
+        except FileNotFoundError:
+            return "enoent"
+
+    def _observe(b, root):
+        j = b.join
+        state = {}
+        for d in [""] + _DIRS:
+            p = j(root, d) if d else root
+            if b.isdir(p):
+                state[f"ls:{d}"] = sorted(b.listdir(p))
+        for f in _FILES:
+            p = j(root, f)
+            if b.exists(p):
+                try:
+                    state[f"cat:{f}"] = b.read_text(p)
+                except (FileNotFoundError, IsADirectoryError):
+                    state[f"cat:{f}"] = "<dir>"
+        return state
+
+    @settings(max_examples=120, deadline=None)
+    @given(ops=_OPS)
+    def test_posix_and_manifest_backends_observationally_equivalent(ops):
+        import shutil
+        import tempfile
+
+        posix_root = tempfile.mkdtemp(prefix="storefs-prop-")
+        try:
+            posix = storefs.Backend()
+            mani = ManifestObjectStoreBackend(
+                ObjectStoreSim(list_lag=True), "bucket/prop"
+            )
+            for op in ops:
+                rp = _apply(posix, posix_root, op)
+                rm = _apply(mani, "bucket/prop", op)
+                assert rp == rm, f"outcome diverged on {op}: {rp} vs {rm}"
+            sp = _observe(posix, posix_root)
+            sm = _observe(mani, "bucket/prop")
+            # normalize the roots out of listings (names only, already are)
+            assert sp == sm, f"state diverged after {ops}"
+        finally:
+            shutil.rmtree(posix_root, ignore_errors=True)
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the env
+    pass
