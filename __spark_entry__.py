@@ -102,7 +102,7 @@ def _latest_green_round() -> dict[str, int]:
 # first (never-green) into the next round's sample.
 _DEFER_UNTIL_ROUND = 13
 _DEFERRED: frozenset[str] = frozenset(
-    {"q34_small_quantity_revenue", "j06_value_band_join"}
+    {"q34_copurchase_lift", "j06_value_band_join"}
 )
 _DRIVER_SAMPLE = 50  # the driver verifies this many leading queries
 

@@ -1319,7 +1319,7 @@ def _section_sweep() -> dict:
         # round 12
         "d29_dup_span_removal_canonical",
         # round 13
-        "q34_small_quantity_revenue",
+        "q34_copurchase_lift",
         "j06_value_band_join",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers

@@ -1074,79 +1074,94 @@ def q33_brand_repeat_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q34: small-quantity-order revenue (TPC-H Q17 shape) --------------------
-# "How much yearly revenue would vanish if we stopped fulfilling small
-# orders of one brand's parts?" — lineitems whose quantity is below 20% of
-# that PART's average quantity, revenue averaged over the 7-year horizon.
-# Reference parity: the TPC-H Q17 pattern (correlated scalar subquery on
-# the same table) re-expressed as an aggregate-then-join.
+# --- q34: co-purchase pair lift (market-basket association) -----------------
+# "Which part pairs land in the same order far more often than chance?" —
+# association-rule mining's support/lift over order baskets, the family
+# (frequent itemsets) nothing else in the registry covers. Reference
+# parity: the aggregation surface of §2.4 composed into a self-join
+# analytic the reference delegates to Spark SQL.
 #
-# 100 TB design: the brand filter prunes part to ~5% BEFORE anything joins
-# (broadcast — the dimension side is small by construction); the per-part
-# (sum, count) aggregate runs over the ALREADY-FILTERED lineitem slice and
-# its output is O(parts in brand), so the threshold join broadcasts too.
-# The correlated subquery a naive engine runs per-row never materializes.
-# Exactness: quantities are whole numbers and prices carry 2 decimals, so
-# the 20% threshold test runs as 5·qty·cnt < sum_qty (all BIGINT — no
-# float division on either engine) and revenue sums in integer cents;
-# avg_yearly's half-up 2-dp rounding is the integer (2c+7) DIV 14 trick.
+# 100 TB design: the pair generation is a basket self-join ON THE ORDER
+# KEY with p1 < p2 — fan-out is C(basket_size, 2) per order, bounded by
+# the basket size (TPC-H baskets are ≤7 lines; a general deployment caps
+# baskets at top-K items first), NEVER a cross product over parts. The
+# pair aggregate shuffles on the (p1, p2) composite — high cardinality,
+# well spread; the per-part counts join back by part key. Lift is exact:
+# n_ab·N·10000 against n_a·n_b in BIGINT with half-up integer division,
+# and the top-50 cut orders by the INTEGER lift (then the pair) so the
+# boundary is engine-agnostic.
 
-Q17_BRAND = "Brand#4"
+BASKET_MIN_SUPPORT = 2
 
 
 @query(
-    "q34_small_quantity_revenue",
+    "q34_copurchase_lift",
     oracle=f"""
-    WITH branded AS (
-      SELECT l_partkey,
-             CAST(l_quantity AS BIGINT) AS qty,
-             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_brand = '{Q17_BRAND}'
-    ), thresholds AS (
-      SELECT l_partkey,
-             CAST(sum(qty) AS BIGINT) AS sum_qty,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM branded GROUP BY l_partkey
-    ), small AS (
-      SELECT b.cents
-      FROM branded b JOIN thresholds t USING (l_partkey)
-      WHERE 5 * b.qty * t.cnt < t.sum_qty
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets
+    ), part_orders AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+      FROM baskets GROUP BY l_partkey
+    ), pairs AS (
+      SELECT b1.l_partkey AS part_a, b2.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM baskets b1 JOIN baskets b2
+        ON b1.l_orderkey = b2.l_orderkey AND b1.l_partkey < b2.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUPPORT}
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_small_lineitems,
-           CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
-               AS small_revenue,
-           CAST((2 * CAST(sum(cents) AS BIGINT) + 7) // 14 AS DOUBLE) / 100.0
-               AS avg_yearly
-    FROM small
+    SELECT part_a, part_b, n_both,
+           CAST((2 * n_both * n.n * 10000 + pa.n_part * pb.n_part)
+                // (2 * pa.n_part * pb.n_part) AS BIGINT) AS lift_x10000
+    FROM pairs
+      JOIN part_orders pa ON pa.l_partkey = part_a
+      JOIN part_orders pb ON pb.l_partkey = part_b
+      CROSS JOIN n_orders n
+    ORDER BY lift_x10000 DESC, part_a, part_b
+    LIMIT 50
     """,
 )
-def q34_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.col("l_quantity").cast("bigint").alias("qty"),
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("bigint")
-        .alias("cents"),
+def q34_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
     )
-    part = (
-        load_table(spark, sf_dir, "part")
-        .where(F.col("p_brand") == Q17_BRAND)
-        .select("p_partkey")
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n")
     )
-    branded = li.join(
-        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
-    ).select("l_partkey", "qty", "cents")
-    thresholds = branded.groupBy("l_partkey").agg(
-        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    part_orders = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
     )
-    small = branded.join(F.broadcast(thresholds), "l_partkey").where(
-        5 * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    b1 = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b2 = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        b1.join(b2, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_SUPPORT)
     )
-    return small.agg(
-        F.count(F.lit(1)).alias("n_small_lineitems"),
-        (F.sum("cents").cast("double") / 100.0).alias("small_revenue"),
-        (
-            F.expr("(2 * sum(cents) + 7) DIV 14").cast("double") / 100.0
-        ).alias("avg_yearly"),
+    pa = part_orders.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na")
+    )
+    pb = part_orders.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb")
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n_orders))  # 1-row scalar: hint is legal
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.expr(
+                "(2 * n_both * n * 10000 + na * nb) DIV (2 * na * nb)"
+            ).alias("lift_x10000"),
+        )
+        .orderBy(F.desc("lift_x10000"), "part_a", "part_b")
+        .limit(50)
     )
