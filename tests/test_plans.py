@@ -848,3 +848,33 @@ def test_s20_candidate_exchange_carries_codes_not_floats(spark, sf_dir):
         "only the post-shortlist rerank exchange may carry float arrays, "
         f"got {with_float}"
     )
+
+
+def test_q34_basket_self_join_is_keyed_not_cross(spark, sf_dir):
+    """The pair generation must be an equi-join on the order key (fan-out
+    bounded by basket size); the ONLY permitted hint/cross is the 1-row
+    order-total scalar."""
+    df = registry.QUERIES["q34_copurchase_lift"](spark, sf_dir)
+    assert pi.broadcast_hint_count(df) == 1, (
+        "exactly the 1-row scalar may be hint-broadcast"
+    )
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan, (
+        "basket pairs must come from the order-key equi-join, not a "
+        "cross product over parts"
+    )
+
+
+def test_j06_band_join_is_bucketed_equi_join(spark, sf_dir):
+    """The |x-y| <= eps band join must run as a (user, bucket) equi-join
+    with the exact predicate as a post-filter — no cross/nested-loop join
+    and no forced broadcast (both sides are O(SF))."""
+    df = registry.QUERIES["j06_value_band_join"](spark, sf_dir)
+    assert pi.broadcast_hint_count(df) == 0
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "the band predicate must ride the bucket equi-join, not a "
+        "nested-loop theta join"
+    )
+    assert pi.has_pushed_filters(df), "event_type filters must reach the scan"
