@@ -1087,9 +1087,12 @@ def q33_brand_repeat_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # baskets at top-K items first), NEVER a cross product over parts. The
 # pair aggregate shuffles on the (p1, p2) composite — high cardinality,
 # well spread; the per-part counts join back by part key. Lift is exact:
-# n_ab·N·10000 against n_a·n_b in BIGINT with half-up integer division,
-# and the top-50 cut orders by the INTEGER lift (then the pair) so the
-# boundary is engine-agnostic.
+# n_ab·N·10000 against n_a·n_b with half-up integer division, computed in
+# DECIMAL(38,0) (HUGEINT in DuckDB) because the numerator passes int64 at
+# real scale (a 1%-of-orders pair at N≈1.5e10 puts 2·n_ab·N·10⁴ ≈ 4.5e23
+# — ANSI Spark would abort, non-ANSI would wrap to garbage lifts); the
+# top-50 cut orders by the INTEGER lift (then the pair) so the boundary
+# is engine-agnostic.
 
 BASKET_MIN_SUPPORT = 2
 
@@ -1113,8 +1116,10 @@ BASKET_MIN_SUPPORT = 2
       HAVING count(*) >= {BASKET_MIN_SUPPORT}
     )
     SELECT part_a, part_b, n_both,
-           CAST((2 * n_both * n.n * 10000 + pa.n_part * pb.n_part)
-                // (2 * pa.n_part * pb.n_part) AS BIGINT) AS lift_x10000
+           CAST((2 * CAST(n_both AS HUGEINT) * n.n * 10000
+                 + CAST(pa.n_part AS HUGEINT) * pb.n_part)
+                // (2 * CAST(pa.n_part AS HUGEINT) * pb.n_part)
+                AS BIGINT) AS lift_x10000
     FROM pairs
       JOIN part_orders pa ON pa.l_partkey = part_a
       JOIN part_orders pb ON pb.l_partkey = part_b
@@ -1159,7 +1164,9 @@ def q34_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_b",
             "n_both",
             F.expr(
-                "(2 * n_both * n * 10000 + na * nb) DIV (2 * na * nb)"
+                "CAST((2 * CAST(n_both AS DECIMAL(38,0)) * n * 10000"
+                " + CAST(na AS DECIMAL(38,0)) * nb)"
+                " DIV (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
             ).alias("lift_x10000"),
         )
         .orderBy(F.desc("lift_x10000"), "part_a", "part_b")

@@ -863,6 +863,17 @@ def test_q34_basket_self_join_is_keyed_not_cross(spark, sf_dir):
         "basket pairs must come from the order-key equi-join, not a "
         "cross product over parts"
     )
+    # a regression to a pure theta join (p1 < p2 with no order-key equi
+    # condition) would auto-broadcast the small side at test SF and plan a
+    # BroadcastNestedLoopJoin, not a CartesianProduct — so pin the BNLJ
+    # NODE count (the formatted details list one '(N) <op>' header per
+    # node) to exactly the one legal 1-row scalar cross
+    import re as _re
+
+    bnlj_nodes = _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj_nodes) == 1, (
+        f"only the 1-row order-total scalar may nested-loop: {bnlj_nodes}"
+    )
 
 
 def test_j06_band_join_is_bucketed_equi_join(spark, sf_dir):

@@ -347,7 +347,11 @@ def test_manifest_cas_under_real_thread_contention():
 # same listings, same error types. Hypothesis drives random sequences;
 # a divergence here is a contract bug one suite clause missed.
 
-try:
+# pytest.importorskip (not a bare try/except ImportError) so an
+# environment without hypothesis reports a visible skip instead of the
+# property silently not existing
+_hyp = pytest.importorskip("hypothesis")
+if True:
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -447,5 +451,3 @@ try:
         finally:
             shutil.rmtree(posix_root, ignore_errors=True)
 
-except ImportError:  # pragma: no cover - hypothesis is baked into the env
-    pass
