@@ -54,17 +54,19 @@ HEADLINE = [
 _CONTAMINATED_BENCH = {12}
 
 
-def _prev_bench() -> tuple[dict | None, str | None]:
+def _prev_bench(here: str | None = None) -> tuple[dict | None, str | None]:
     """(record, basename) of the most recent *usable* round record next to
     this script, for round-over-round deltas (VERDICT r1 item 9). Walks
     rounds newest-first: a round whose stdout tail got truncated (r4) is
     skipped rather than silently killing the comparison; a round in
     _CONTAMINATED_BENCH is only usable via its *_builder.json replacement.
-    The basename is surfaced in the output so the record names its base."""
+    The basename is surfaced in the output so the record names its base.
+    ``here`` overrides the record directory (tests)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     rounds: dict[int, str] = {}
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
