@@ -760,6 +760,8 @@ GLOBAL_WINDOW_OK = {
 # entry here needs that boundedness argument.
 BNLJ_OK = {
     "c04_snapshot_asof",
+    "q34_copurchase_lift",  # 1-row order-total scalar cross join (its own
+    # plan test additionally pins the BNLJ node count to exactly one)
     "c06_cdc_net_effect",   # 1-row cut-bounds aggregate broadcast
     "d25_shingle_df_spectrum",  # 1-row total-shingles aggregate broadcast
     "p24_sequence_packing",  # O(sources)-row totals self-join (base offsets)
