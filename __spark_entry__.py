@@ -95,15 +95,14 @@ def _latest_green_round() -> dict[str, int]:
 
 
 # Queries built DURING the current round, after the round's 50-slot
-# verification budget was already committed (r13: d29 the sole never-green
-# + v08/v09 the last r7 greens + the r8 stale cohort, VERDICT r12 item 1).
-# Deferring them keeps the rotation intact this round; the moment this
-# round's CORRECTNESS artifact exists the defer expires and they sort
-# first (never-green) into the next round's sample.
-_DEFER_UNTIL_ROUND = 13
-_DEFERRED: frozenset[str] = frozenset(
-    {"q34_copurchase_lift", "j06_value_band_join"}
-)
+# verification budget was already committed (r14: q34/j06 — the r13 defer
+# expired on CORRECTNESS_r13 as designed — sort first as the only
+# never-greens, then the r8 stale cohort s22/s23/v10 and the r9 cohort,
+# VERDICT r13 item 1). Deferring them keeps the rotation intact this
+# round; the moment this round's CORRECTNESS artifact exists the defer
+# expires and they sort first (never-green) into the next round's sample.
+_DEFER_UNTIL_ROUND = 14
+_DEFERRED: frozenset[str] = frozenset()
 _DRIVER_SAMPLE = 50  # the driver verifies this many leading queries
 
 

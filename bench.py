@@ -45,13 +45,16 @@ HEADLINE = [
 
 # Round records adjudicated as HOST-CONTAMINATED (the r12 judge re-measured
 # the same code materially faster on the idle host: driver 16.139 s vs
-# judge 7.967 s, with the damage profile of background CPU load). A
+# judge 7.967 s, with the damage profile of background CPU load; the r13
+# driver run was taken at pre-boot loadavg 3.41 — load probe 1.35 —
+# vs the builder's committed idle record at loadavg 0.29, per the r13
+# VERDICT adjudication). A
 # contaminated record must never be the round-over-round comparison base —
 # it would flatter the next round by ~2×. For such a round, _prev_bench
 # only accepts an adjudicated BENCH_r{N}_builder.json replacement (the
 # builder's committed idle-host numbers for the same code) and otherwise
 # walks past it to the previous clean round.
-_CONTAMINATED_BENCH = {12}
+_CONTAMINATED_BENCH = {12, 13}
 
 
 def _prev_bench(here: str | None = None) -> tuple[dict | None, str | None]:
