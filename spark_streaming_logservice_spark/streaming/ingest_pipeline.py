@@ -281,13 +281,25 @@ def ingest_pipeline(
                         }
                     else:
                         decision["vec"] = {"report": None, "flagged": False}
-        if not recorded or vec_rescored:
-            # vec_rescored: persist the upgraded record atomically so later
-            # replays reuse the one score instead of re-deriving it
+        def _persist_decision() -> None:
             storefs.makedirs(flags_dir, exist_ok=True)
             tmp = flag_file + ".tmp"
             storefs.write_text(tmp, json.dumps(decision))
             storefs.replace_file(tmp, flag_file)
+
+        if not recorded:
+            # fresh decision: durable BEFORE any state mutation (the
+            # replay contract in the module docstring). The legacy-upgrade
+            # persist (vec_rescored) deliberately does NOT happen here: if
+            # the upgraded record landed before stage 4b and the replay
+            # crashed mid-4b, the NEXT replay would see 'vec' recorded,
+            # never trigger the digest-file recovery, and the batch's
+            # vectors would be permanently dropped (ADVICE r13). It moves
+            # to after stage 4b, whose side effects are all idempotent
+            # (publish-by-rename skip-if-published; vec_id-deduplicating
+            # merge), so replaying the rescore until the upgrade commits
+            # is safe and convergent.
+            _persist_decision()
         if flagged:
             quarantined = batch_df.where(F.col(source_col).isin(flagged))
             # durable, overwrite-idempotent staging: alert redelivery
@@ -340,23 +352,39 @@ def ingest_pipeline(
                     # novel set, so recover the vector population from it
                     # instead of silently dropping the batch's vectors.
                     # Exact: rows that were historical dups at original
-                    # processing are absent from the file and stay out.
+                    # processing are absent from the file and stay out,
+                    # and the within-batch collapse below (lowest id per
+                    # digest, dedup_against_store's winner rule) keeps the
+                    # recovered population identical to the original novel
+                    # set even when the batch carried duplicate texts — a
+                    # bare semi-join would recover EVERY row whose digest
+                    # is in the file, piling near-identical vectors into
+                    # the index/quarantine (ADVICE r13, the p27 invariant).
                     own = spark.read.parquet(final_digest)
                     bcols = DIGEST_IMPLS[digest_impl][1]
                     scols = DIGEST_IMPLS[digest_impl][2]
-                    keyed = clean.where(
-                        F.col(text_col).isNotNull()
-                    ).select(
-                        F.col(id_col).cast("bigint").alias("vec_id"),
-                        *_digest_exprs(text_col, digest_impl),
+                    keyed = (
+                        clean.where(F.col(text_col).isNotNull())
+                        .select(
+                            F.col(id_col).cast("bigint").alias("vec_id"),
+                            *_digest_exprs(text_col, digest_impl),
+                        )
+                        .groupBy(*bcols)
+                        .agg(F.min("vec_id").alias("vec_id"))
                     )
                     cond = None
                     for b, s in zip(bcols, scols):
                         c = keyed[b] == own[s]
                         cond = c if cond is None else (cond & c)
-                    novel_ids = keyed.join(own, cond, "left_semi").select(
+                    recovered = keyed.join(own, cond, "left_semi").select(
                         "vec_id"
                     )
+                    # the live replay novel set is not empty: NULL-text
+                    # pass-through rows re-forward every batch and were in
+                    # the ORIGINAL novel set too — keep them alongside the
+                    # recovered digest-bearing winners (the two sets are
+                    # disjoint: recovery covers only non-NULL-text rows)
+                    novel_ids = recovered.unionByName(novel_ids)
                 if vec["flagged"]:
                     stage_dir = storefs.join(
                         vec_quarantine_dir, f"batch-{batch_id}"
@@ -404,6 +432,16 @@ def ingest_pipeline(
                         batch_id,
                         cached,
                     )
+            if vec_rescored:
+                # legacy-record upgrade commits ONLY after stage 4b's side
+                # effects are all durable (ADVICE r13): a crash anywhere
+                # above replays the batch as a legacy record again — the
+                # rescore is replay-safe (an admitted batch only pulls the
+                # histogram TOWARD itself, so an unflagged verdict cannot
+                # flip to flagged, and both 4b paths are idempotent) —
+                # whereas committing first would make the next replay skip
+                # the digest-file recovery and drop the vectors for good.
+                _persist_decision()
             # --- stage 5: remember the novel digests (final-file guarded,
             # same layout dedup_on_ingest writes, so compaction and impl
             # pinning apply unchanged) ---

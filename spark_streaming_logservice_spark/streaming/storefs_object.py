@@ -325,6 +325,9 @@ class ManifestObjectStoreBackend:
         def swap(tree: dict) -> None:
             if src_rel not in tree:  # match POSIX os.replace's error type
                 raise FileNotFoundError(src)
+            if self._is_dir_entry(tree, dst_rel):
+                # os.replace(file, dir) raises IsADirectoryError on POSIX
+                raise IsADirectoryError(dst)
             tree[dst_rel] = tree.pop(src_rel)
 
         self._mutate(swap)
@@ -357,13 +360,35 @@ class ManifestObjectStoreBackend:
             return entry.get("type") == "dir"
         return any(k.startswith(rel + "/") for k in tree)
 
+    @staticmethod
+    def _is_dir_entry(tree: dict, rel: str) -> bool:
+        """Name is a directory: explicit dir entry OR implicit (children)."""
+        entry = tree.get(rel)
+        if entry is not None:
+            return entry.get("type") == "dir"
+        return any(k.startswith(rel + "/") for k in tree)
+
     def makedirs(self, path: str, exist_ok: bool = False) -> None:
         rel = self._rel(path)
         if rel == "":
             return
 
         def mk(tree: dict) -> None:
+            # an ancestor component that is a FILE makes the whole path
+            # unmakeable — POSIX os.makedirs raises NotADirectoryError
+            parts = rel.split("/")
+            for i in range(1, len(parts)):
+                anc = tree.get("/".join(parts[:i]))
+                if anc is not None and anc.get("type") == "file":
+                    raise NotADirectoryError(path)
             cur = tree.get(rel)
+            if cur is not None and cur.get("type") == "file":
+                # POSIX os.makedirs raises FileExistsError over an
+                # existing FILE even with exist_ok=True (exist_ok only
+                # pardons an existing DIRECTORY) — silently keeping the
+                # file entry here diverged from the POSIX backend
+                # (ADVICE r13)
+                raise FileExistsError(path)
             if cur is not None and not exist_ok:
                 raise FileExistsError(path)
             tree.setdefault(rel, {"type": "dir", "mtime": time.time()})
@@ -374,6 +399,14 @@ class ManifestObjectStoreBackend:
         rel = self._rel(path)
 
         def rm(tree: dict) -> None:
+            entry = tree.get(rel)
+            if entry is not None and entry.get("type") == "file":
+                # shutil.rmtree over a FILE raises (suppressed under
+                # ignore_errors) and leaves the file in place — deleting
+                # the entry here diverged from the POSIX backend
+                if not ignore_errors:
+                    raise NotADirectoryError(path)
+                return
             doomed = [
                 k for k in tree if k == rel or k.startswith(rel + "/")
             ]
@@ -393,6 +426,9 @@ class ManifestObjectStoreBackend:
         rel = self._rel(path)
 
         def rm(tree: dict) -> None:
+            if self._is_dir_entry(tree, rel):
+                # os.remove over a directory raises IsADirectoryError
+                raise IsADirectoryError(path)
             if rel not in tree:
                 raise FileNotFoundError(path)
             tree.pop(rel)
@@ -412,6 +448,9 @@ class ManifestObjectStoreBackend:
         blob = self._put_blob(data.encode("utf-8"))
 
         def wr(tree: dict) -> None:
+            if self._is_dir_entry(tree, rel):
+                # open(dir, 'w') raises IsADirectoryError on POSIX
+                raise IsADirectoryError(path)
             tree[rel] = {"type": "file", "blob": blob, "mtime": time.time()}
 
         self._mutate(wr)

@@ -793,6 +793,106 @@ def test_legacy_record_replay_after_digest_append_recovers_vectors(
     assert valerts == [(0, 200)]
 
 
+def test_legacy_upgrade_commits_only_after_vector_side_effects(
+    spark, sf_dir, mm, monkeypatch
+):
+    """ADVICE r14 (medium): the rescored ('vec'-upgraded) flag record must
+    persist AFTER stage 4b, not before — a crash between the two would
+    otherwise leave a record that says 'vec already handled', the next
+    replay would skip the digest-file recovery, and the batch's vectors
+    would be permanently dropped. With the ordering fixed, the crashed
+    replay leaves the LEGACY record in place, so the next replay rescoes
+    (replay-safe) and recovers."""
+    import json
+
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    root, index_dir = mm
+    clean_batch = _mm_batch(spark, sf_dir, 300, 458)           # 158 rows
+    apply0 = ingest_pipeline(root, lambda df, bid: None, threshold=2.1)
+    apply0(clean_batch, 0)
+    os.remove(os.path.join(root, "_markers", "batch-0"))
+
+    apply1 = ingest_pipeline(
+        root, lambda df, bid: None, threshold=2.1, index_dir=index_dir
+    )
+    before = AI.read_vectors(spark, index_dir).count()
+    # replay 1 crashes INSIDE stage 4b, before the index merge lands
+    real_admit = AI.admit_encoded
+
+    def boom(*a, **kw):
+        raise OSError("injected crash before index admission")
+
+    monkeypatch.setattr(AI, "admit_encoded", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        apply1(clean_batch, 0)
+    flag = os.path.join(root, "_flags", "batch-0.json")
+    with open(flag) as f:
+        assert "vec" not in json.load(f), (
+            "the upgraded record persisted before stage 4b completed — the"
+            " next replay would skip recovery and drop the vectors"
+        )
+    assert AI.read_vectors(spark, index_dir).count() == before
+
+    # replay 2 (healthy): rescore -> recover -> admit; record upgrades
+    monkeypatch.setattr(AI, "admit_encoded", real_admit)
+    apply1(clean_batch, 0)
+    assert AI.read_vectors(spark, index_dir).count() == before + 158
+    with open(flag) as f:
+        assert "vec" in json.load(f)
+    # and a further replay reuses the committed record (marker removed to
+    # force the stage-by-stage path): still exactly one copy of each vector
+    os.remove(os.path.join(root, "_markers", "batch-0"))
+    apply1(clean_batch, 0)
+    assert AI.read_vectors(spark, index_dir).count() == before + 158
+
+
+def test_legacy_recovery_collapses_within_batch_duplicates(
+    spark, sf_dir, mm
+):
+    """ADVICE r14 (low): the digest-file recovery must reconstruct the
+    ORIGINAL novel set — lowest id per digest — not every clean row whose
+    digest appears in the file. A legacy batch carrying within-batch
+    duplicate texts would otherwise recover BOTH copies of each text's
+    vector (near-identical vectors piling into the index, the p27
+    invariant). NULL-text pass-through rows were in the original novel set
+    too and must survive recovery alongside the collapsed winners."""
+    from spark_streaming_logservice_spark.streaming import ann_index as AI
+
+    root, index_dir = mm
+    b1 = _mm_batch(spark, sf_dir, 300, 350)                     # 50 novel
+    dup = b1.select(                                            # same texts,
+        (F.col("doc_id") + 10_000).alias("doc_id"),             # higher ids
+        "text", "source", "embedding",
+    )
+    null_text = b1.limit(1).select(
+        F.lit(20_000).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("srcA").alias("source"),
+        "embedding",
+    )
+    batch = b1.unionByName(dup).unionByName(null_text)          # 101 rows
+
+    apply0 = ingest_pipeline(root, lambda df, bid: None, threshold=2.1)
+    apply0(batch, 0)
+    os.remove(os.path.join(root, "_markers", "batch-0"))
+
+    apply1 = ingest_pipeline(
+        root, lambda df, bid: None, threshold=2.1, index_dir=index_dir
+    )
+    before = AI.read_vectors(spark, index_dir).count()
+    apply1(batch, 0)                     # 101 < 128 floor: admitted unscored
+    vecs = AI.read_vectors(spark, index_dir)
+    assert vecs.count() == before + 51, (
+        "recovered population != original novel set (50 winners + 1"
+        " NULL-text pass-through)"
+    )
+    assert vecs.where(
+        (F.col("vec_id") >= 10_300) & (F.col("vec_id") < 10_350)
+    ).count() == 0, "a within-batch duplicate's vector entered the index"
+    assert vecs.where(F.col("vec_id") == 20_000).count() == 1
+
+
 def test_index_dir_set_before_index_built_passes_text_only_batches(
     spark, sf_dir, tmp_path
 ):

@@ -340,6 +340,54 @@ def test_manifest_cas_under_real_thread_contention():
         assert reader.read_text(f"bucket/store/t{tid}/f7") == f"{tid}:7"
 
 
+# --- clause: file/dir name collisions raise POSIX error types ---------------
+# (ADVICE r13: the manifest shim's makedirs(file, exist_ok=True) silently
+# kept the file entry where os.makedirs raises — exist_ok only pardons an
+# existing DIRECTORY)
+
+def test_makedirs_over_file_raises_even_with_exist_ok(env):
+    p = env.path("collide")
+    env.backend.write_text(p, "i am a file")
+    with pytest.raises(FileExistsError):
+        env.backend.makedirs(p, exist_ok=True)
+    with pytest.raises(FileExistsError):
+        env.backend.makedirs(p, exist_ok=False)
+    assert env.backend.read_text(p) == "i am a file", (
+        "the file entry must survive the failed makedirs"
+    )
+
+
+def test_makedirs_under_file_ancestor_raises_notadirectory(env):
+    env.backend.write_text(env.path("anc"), "file")
+    with pytest.raises(NotADirectoryError):
+        env.backend.makedirs(env.path("anc", "child"), exist_ok=True)
+
+
+def test_write_and_replace_over_dir_raise_isadirectory(env):
+    d = env.path("adir")
+    env.backend.makedirs(d)
+    with pytest.raises(IsADirectoryError):
+        env.backend.write_text(d, "clobber")
+    tmp = env.path("t.tmp")
+    env.backend.write_text(tmp, "x")
+    with pytest.raises(IsADirectoryError):
+        env.backend.replace_file(tmp, d)
+    assert env.backend.isdir(d)
+
+
+def test_remove_dir_and_rmtree_file_raise_posix_types(env):
+    d = env.path("adir2")
+    env.backend.makedirs(d)
+    with pytest.raises(IsADirectoryError):
+        env.backend.remove(d)
+    f = env.path("afile")
+    env.backend.write_text(f, "keep me")
+    with pytest.raises(NotADirectoryError):
+        env.backend.rmtree(f)
+    env.backend.rmtree(f, ignore_errors=True)  # suppressed, file survives
+    assert env.backend.read_text(f) == "keep me"
+
+
 # --- property: the two PASSING backends are observationally equivalent ------
 # For any op sequence the stores can produce (they makedirs before writing
 # and guard publishes with exists(final)), the POSIX backend and the
@@ -355,7 +403,11 @@ if True:
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    _FILES = ["a.txt", "d0/b.txt", "d0/c.txt", "d1/e.txt"]
+    # "d2" appears in BOTH sets on purpose (ADVICE r13): file/dir name
+    # collisions must diverge identically — makedirs over a file raises
+    # FileExistsError even with exist_ok=True, write/replace over a dir
+    # raises IsADirectoryError, rmtree over a file leaves it in place
+    _FILES = ["a.txt", "d0/b.txt", "d0/c.txt", "d1/e.txt", "d2"]
     _DIRS = ["d0", "d1", "d2"]
     _OPS = st.lists(
         st.one_of(
@@ -411,6 +463,12 @@ if True:
             return "ok"
         except FileNotFoundError:
             return "enoent"
+        except IsADirectoryError:
+            return "eisdir"
+        except NotADirectoryError:
+            return "enotdir"
+        except FileExistsError:
+            return "eexist"
 
     def _observe(b, root):
         j = b.join
