@@ -534,3 +534,410 @@ class ManifestObjectStoreBackend:
         for d, (subdirs, files) in sorted(dirs.items()):
             top = self.root + ("/" + d if d else "")
             yield top, sorted(subdirs), sorted(files)
+
+
+class HybridManifestBackend:
+    """Deployment-shaped backend for running the ACTUAL stores end-to-end
+    on object-store commit semantics (r13 VERDICT item 5): the data plane
+    (Spark's parquet files) lives on the real filesystem under ``fs_root``
+    — the stand-in for the data objects an S3A/GCS connector writes —
+    while every CONTROL-plane name (markers, flags, pins, meta files,
+    publish decisions) lives in the CAS-updated manifest and NEVER at a
+    literal filesystem path.
+
+    ``publish_rename`` commits by ONE manifest CAS (the Delta/Iceberg
+    commit point): the entry records the staged physical location, and the
+    physical rename that makes the final dir readable at its literal path
+    for Spark is recovery-completed MATERIALIZATION — every seam operation
+    first heals any committed-but-unmaterialized publish, so a crash
+    between the CAS and the rename is invisible to seam users. It is very
+    visible to store code that bypasses the seam: in that window
+    ``os.path.exists(final)`` says absent while ``storefs.exists(final)``
+    says present (and heals). That divergence is the one-path-rule
+    detector this backend exists to provide — the end-to-end suite
+    (tests/test_storefs_hybrid_e2e.py) crashes in that window on purpose.
+
+    Control files written via ``write_text`` live ONLY as manifest blobs:
+    any store code reading a marker/flag/pin with ``open()`` instead of
+    ``storefs.read_text`` fails immediately under this backend.
+    """
+
+    def __init__(self, sim: ObjectStoreSim, fs_root: str,
+                 crash_before_cas: bool = False,
+                 crash_after_cas: bool = False):
+        import os as _os
+
+        self.sim = sim
+        self.fs_root = _os.path.normpath(_os.path.abspath(fs_root))
+        self._mkey = "__hybrid_manifest__"
+        self.crash_before_cas = crash_before_cas
+        self.crash_after_cas = crash_after_cas
+
+    # --- manifest plumbing (same CAS discipline as the pure shim) -------
+    def _load(self) -> tuple[dict, int | None]:
+        v = self.sim.head(self._mkey)
+        if v is None:
+            return {"tree": {}}, None
+        return json.loads(self.sim.get(self._mkey).decode("utf-8")), v
+
+    def _mutate(self, fn) -> None:
+        while True:
+            manifest, version = self._load()
+            fn(manifest["tree"])
+            try:
+                self.sim.cas_put(
+                    self._mkey,
+                    json.dumps(manifest).encode("utf-8"),
+                    version,
+                )
+                return
+            except CasConflict:
+                continue
+
+    def _rel(self, path: str) -> str:
+        import os as _os
+
+        p = _os.path.normpath(_os.path.abspath(path))
+        if p == self.fs_root:
+            return ""
+        assert p.startswith(self.fs_root + _os.sep), (
+            f"{path} outside hybrid root {self.fs_root}"
+        )
+        return p[len(self.fs_root) + 1:].replace(_os.sep, "/")
+
+    def _phys(self, rel: str) -> str:
+        import os as _os
+
+        return (
+            self.fs_root
+            if rel == ""
+            else _os.path.join(self.fs_root, *rel.split("/"))
+        )
+
+    def _put_blob(self, data: bytes) -> str:
+        key = f"__hybrid_blobs__/{uuid.uuid4().hex}"
+        self.sim.put(key, data)
+        return key
+
+    def _heal(self) -> None:
+        """Complete any committed-but-unmaterialized publish (crash landed
+        between the CAS and the physical rename). Idempotent."""
+        import os as _os
+
+        tree, _ = self._load()
+        if not any(
+            e.get("pending_src") for e in tree["tree"].values()
+        ):
+            return
+
+        def fix(t: dict) -> None:
+            for k, e in t.items():
+                src_rel = e.get("pending_src")
+                if e.get("type") == "dir" and src_rel:
+                    src, dst = self._phys(src_rel), self._phys(k)
+                    if not _os.path.exists(dst) and _os.path.exists(src):
+                        _os.rename(src, dst)
+                    e.pop("pending_src", None)
+
+        self._mutate(fix)
+
+    @staticmethod
+    def _mani_isdir(tree: dict, rel: str) -> bool:
+        entry = tree.get(rel)
+        if entry is not None:
+            return entry.get("type") == "dir"
+        return any(k.startswith(rel + "/") for k in tree)
+
+    # --- contract surface ------------------------------------------------
+    def join(self, *parts: str) -> str:
+        import os as _os
+
+        return _os.path.join(*parts)
+
+    def publish_rename(self, src: str, dst: str) -> None:
+        import os as _os
+
+        self._heal()
+        src_rel, dst_rel = self._rel(src), self._rel(dst)
+        if self.crash_before_cas:
+            raise OSError("injected crash before manifest CAS")
+
+        def commit(tree: dict) -> None:
+            if (
+                dst_rel in tree
+                or any(k.startswith(dst_rel + "/") for k in tree)
+                or _os.path.exists(self._phys(dst_rel))
+            ):
+                raise FileExistsError(dst)
+            has_mani = src_rel in tree or any(
+                k.startswith(src_rel + "/") for k in tree
+            )
+            if not has_mani and not _os.path.exists(self._phys(src_rel)):
+                raise FileNotFoundError(src)
+            # re-point manifest children (control files the stores wrote
+            # INTO the staged dir via the seam, e.g. _batch_meta.json);
+            # the src dir entry itself is superseded by the dst entry
+            for k in list(tree):
+                if k == src_rel:
+                    tree.pop(k)
+                elif k.startswith(src_rel + "/"):
+                    tree[dst_rel + k[len(src_rel):]] = tree.pop(k)
+            tree[dst_rel] = {
+                "type": "dir",
+                "pending_src": src_rel,
+                "mtime": time.time(),
+            }
+
+        self._mutate(commit)
+        if self.crash_after_cas:
+            raise OSError("injected crash after manifest CAS")
+        self._heal()
+
+    def replace_file(self, src: str, dst: str) -> None:
+        import os as _os
+
+        self._heal()
+        src_rel, dst_rel = self._rel(src), self._rel(dst)
+
+        def swap(tree: dict) -> None:
+            if src_rel not in tree:
+                raise FileNotFoundError(src)
+            dst_entry = tree.get(dst_rel)
+            if (
+                (dst_entry is not None and dst_entry.get("type") == "dir")
+                or any(k.startswith(dst_rel + "/") for k in tree)
+                or _os.path.isdir(self._phys(dst_rel))
+            ):
+                raise IsADirectoryError(dst)
+            tree[dst_rel] = tree.pop(src_rel)
+
+        self._mutate(swap)
+
+    def listdir(self, path: str) -> list[str]:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        tree = tree["tree"]
+        prefix = rel + "/" if rel else ""
+        names: set[str] = set()
+        mani_dir = rel == "" or self._mani_isdir(tree, rel)
+        for k in tree:
+            if k.startswith(prefix) and k != rel:
+                names.add(k[len(prefix):].split("/", 1)[0])
+        phys = self._phys(rel)
+        if _os.path.isdir(phys):
+            names.update(_os.listdir(phys))
+        elif not mani_dir and not names:
+            raise FileNotFoundError(path)
+        return sorted(names)
+
+    def exists(self, path: str) -> bool:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        tree = tree["tree"]
+        return (
+            rel in tree
+            or any(k.startswith(rel + "/") for k in tree)
+            or _os.path.exists(self._phys(rel))
+        )
+
+    def isdir(self, path: str) -> bool:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        if rel == "":
+            return True
+        tree, _ = self._load()
+        tree = tree["tree"]
+        entry = tree.get(rel)
+        if entry is not None:
+            return entry.get("type") == "dir"
+        if any(k.startswith(rel + "/") for k in tree):
+            return True
+        return _os.path.isdir(self._phys(rel))
+
+    def makedirs(self, path: str, exist_ok: bool = False) -> None:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        tree = tree["tree"]
+        parts = rel.split("/") if rel else []
+        for i in range(1, len(parts)):
+            anc = tree.get("/".join(parts[:i]))
+            if anc is not None and anc.get("type") == "file":
+                raise NotADirectoryError(path)
+        entry = tree.get(rel)
+        if entry is not None and entry.get("type") == "file":
+            raise FileExistsError(path)
+        if entry is not None and not exist_ok:
+            raise FileExistsError(path)
+        _os.makedirs(self._phys(rel), exist_ok=exist_ok)
+
+    def rmtree(self, path: str, ignore_errors: bool = False) -> None:
+        import os as _os
+        import shutil as _shutil
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        entry = tree["tree"].get(rel)
+        if entry is not None and entry.get("type") == "file":
+            if not ignore_errors:
+                raise NotADirectoryError(path)
+            return
+        had_mani = rel in tree["tree"] or any(
+            k.startswith(rel + "/") for k in tree["tree"]
+        )
+        had_phys = _os.path.exists(self._phys(rel))
+        if not had_mani and not had_phys:
+            if not ignore_errors:
+                raise FileNotFoundError(path)
+            return
+        if had_mani:
+            def rm(t: dict) -> None:
+                for k in [
+                    k for k in t if k == rel or k.startswith(rel + "/")
+                ]:
+                    t.pop(k)
+
+            self._mutate(rm)
+        if had_phys:
+            _shutil.rmtree(self._phys(rel), ignore_errors=ignore_errors)
+
+    def remove(self, path: str) -> None:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        tree = tree["tree"]
+        entry = tree.get(rel)
+        if entry is not None and entry.get("type") == "file":
+            def rm(t: dict) -> None:
+                if rel in t:
+                    t.pop(rel)
+                else:
+                    raise FileNotFoundError(path)
+
+            self._mutate(rm)
+            return
+        if self._mani_isdir(tree, rel) or _os.path.isdir(self._phys(rel)):
+            raise IsADirectoryError(path)
+        _os.remove(self._phys(rel))
+
+    def read_text(self, path: str) -> str:
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        entry = tree["tree"].get(rel)
+        if entry is not None and entry.get("type") == "file":
+            return self.sim.get(entry["blob"]).decode("utf-8")
+        # control files never live on the physical plane; a miss is a miss
+        raise FileNotFoundError(path)
+
+    def write_text(self, path: str, data: str) -> None:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        if _os.path.isdir(self._phys(rel)):
+            raise IsADirectoryError(path)
+        blob = self._put_blob(data.encode("utf-8"))
+
+        def wr(tree: dict) -> None:
+            entry = tree.get(rel)
+            if (entry is not None and entry.get("type") == "dir") or any(
+                k.startswith(rel + "/") for k in tree
+            ):
+                raise IsADirectoryError(path)
+            tree[rel] = {"type": "file", "blob": blob, "mtime": time.time()}
+
+        self._mutate(wr)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        import shutil as _shutil
+
+        self._heal()
+        src_rel, dst_rel = self._rel(src), self._rel(dst)
+        tree, _ = self._load()
+        entry = tree["tree"].get(src_rel)
+        if entry is not None and entry.get("type") == "file":
+            def cp(t: dict) -> None:
+                e = t.get(src_rel)
+                if e is None:
+                    raise FileNotFoundError(src)
+                t[dst_rel] = dict(e, mtime=time.time())
+
+            self._mutate(cp)
+            return
+        _shutil.copy2(self._phys(src_rel), self._phys(dst_rel))
+
+    def getmtime(self, path: str) -> float:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        entry = tree["tree"].get(rel)
+        if entry is not None:
+            return float(entry.get("mtime", 0.0))
+        return _os.path.getmtime(self._phys(rel))
+
+    def mtime_ns(self, path: str) -> int:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        entry = tree["tree"].get(rel)
+        if entry is not None:
+            return int(float(entry.get("mtime", 0.0)) * 1e9)
+        return _os.stat(self._phys(rel)).st_mtime_ns
+
+    def utime(self, path: str) -> None:
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        if rel in tree["tree"]:
+            def touch(t: dict) -> None:
+                if rel in t:
+                    t[rel]["mtime"] = time.time()
+
+            self._mutate(touch)
+            return
+        _os.utime(self._phys(rel))
+
+    def walk(self, path: str):
+        import os as _os
+
+        self._heal()
+        rel = self._rel(path)
+        tree, _ = self._load()
+        tree = tree["tree"]
+        # physical walk first, then overlay manifest file names into the
+        # directories they belong to (manifest dirs are materialized by
+        # _heal, so dir structure is physical by the time we walk)
+        extra: dict[str, list[str]] = {}
+        for k, e in tree.items():
+            if e.get("type") != "file":
+                continue
+            if not (k.startswith(rel + "/") or rel == ""):
+                continue
+            parent, _, name = k.rpartition("/")
+            extra.setdefault(parent, []).append(name)
+        for top, dirs, files in _os.walk(self._phys(rel)):
+            top_rel = self._rel(top)
+            names = set(files) | set(extra.pop(top_rel, []))
+            yield top, sorted(dirs), sorted(names)
+        for parent, names in sorted(extra.items()):
+            yield self._phys(parent), [], sorted(names)

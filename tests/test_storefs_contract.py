@@ -18,6 +18,7 @@ import pytest
 
 from spark_streaming_logservice_spark.streaming import storefs
 from spark_streaming_logservice_spark.streaming.storefs_object import (
+    HybridManifestBackend,
     ManifestObjectStoreBackend,
     NaiveObjectStoreBackend,
     ObjectStoreSim,
@@ -74,7 +75,26 @@ def _manifest_env(tmp_path) -> _Env:
     return _Env("manifest", b, root, crashy)
 
 
-ENVS = {"posix": _posix_env, "manifest": _manifest_env}
+def _hybrid_env(tmp_path) -> _Env:
+    """Manifest control plane + physical data plane (the backend the
+    end-to-end store suite runs the real stores on) — it must pass the
+    same contract clauses as the pure backends."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    sim = ObjectStoreSim(list_lag=True)
+    b = HybridManifestBackend(sim, root)
+
+    def crashy(kind):
+        return HybridManifestBackend(
+            sim, root,
+            crash_before_cas=(kind == "before_atomic"),
+            crash_after_cas=(kind == "after_atomic"),
+        )
+
+    return _Env("hybrid", b, root, crashy)
+
+
+ENVS = {"posix": _posix_env, "manifest": _manifest_env, "hybrid": _hybrid_env}
 
 
 @pytest.fixture(params=sorted(ENVS))
@@ -208,6 +228,8 @@ def test_digest_store_control_plane_protocol(env, tmp_path):
     # over the same sim — its view comes from the manifest, not memory
     if env.name == "manifest":
         reader = ManifestObjectStoreBackend(env.backend.sim, env.root)
+    elif env.name == "hybrid":
+        reader = HybridManifestBackend(env.backend.sim, env.root)
     else:
         reader = storefs.Backend()
     published = sorted(
@@ -493,19 +515,28 @@ if True:
         import tempfile
 
         posix_root = tempfile.mkdtemp(prefix="storefs-prop-")
+        hybrid_root = tempfile.mkdtemp(prefix="storefs-prop-hy-")
         try:
             posix = storefs.Backend()
             mani = ManifestObjectStoreBackend(
                 ObjectStoreSim(list_lag=True), "bucket/prop"
             )
+            hybrid = HybridManifestBackend(
+                ObjectStoreSim(list_lag=True), hybrid_root
+            )
             for op in ops:
                 rp = _apply(posix, posix_root, op)
                 rm = _apply(mani, "bucket/prop", op)
-                assert rp == rm, f"outcome diverged on {op}: {rp} vs {rm}"
+                rh = _apply(hybrid, hybrid_root, op)
+                assert rp == rm == rh, (
+                    f"outcome diverged on {op}: {rp} vs {rm} vs {rh}"
+                )
             sp = _observe(posix, posix_root)
             sm = _observe(mani, "bucket/prop")
+            sh = _observe(hybrid, hybrid_root)
             # normalize the roots out of listings (names only, already are)
-            assert sp == sm, f"state diverged after {ops}"
+            assert sp == sm == sh, f"state diverged after {ops}"
         finally:
             shutil.rmtree(posix_root, ignore_errors=True)
+            shutil.rmtree(hybrid_root, ignore_errors=True)
 
