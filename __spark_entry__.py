@@ -102,7 +102,9 @@ def _latest_green_round() -> dict[str, int]:
 # round; the moment this round's CORRECTNESS artifact exists the defer
 # expires and they sort first (never-green) into the next round's sample.
 _DEFER_UNTIL_ROUND = 14
-_DEFERRED: frozenset[str] = frozenset()
+_DEFERRED: frozenset[str] = frozenset(
+    {"s30_ndcg_mrr", "e33_session_funnel_attribution"}
+)
 _DRIVER_SAMPLE = 50  # the driver verifies this many leading queries
 
 

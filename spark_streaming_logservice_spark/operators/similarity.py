@@ -1635,3 +1635,211 @@ def _register_s23() -> None:
 
 
 _register_s23()
+
+
+# --- s30: ranked-list quality — nDCG@k and MRR of the SQ8 retriever ----------
+# The eval every retrieval pipeline reports and the registry lacked
+# (r13 VERDICT item 6): s19/s22 measure set recall@k, s27 rank fidelity,
+# but nothing scores a RANKED list against graded relevance. Per query:
+# graded relevance from the exact s01 scored scan over a top-10 pool
+# (grade = 11 - exact_rank; finer than binary so near-misses in ORDER
+# cost score), the retrieved list is the SQ8 quantized ordering's top-k
+# (s20's stage-1 — corpus-wide and close-but-not-exact, so the metric is
+# non-degenerate, unlike the sparse LSH cells at small SF), DCG/IDCG as
+# EXACT integer-quantized sums (the p22 discipline: per-position weights
+# floor(1e6/log2(i+1)+0.5) precomputed as literals, gains 2^g-1 via
+# lookup arrays, BIGINT accumulation), and nDCG/MRR derived by exact
+# integer division — the oracle replays the same arithmetic term for
+# term. 100 TB shape: identical to s20's candidate stage — the N_QUERY
+# query codes broadcast against the int8-coded corpus scan (no float
+# array crosses the exchange), the top-k window is q_id-partitioned
+# (WindowGroupLimit prunes to k per query before the final exchange),
+# and everything after is O(N_QUERY)-row aggregates.
+
+S30_REL_POOL = 10  # graded-relevance pool: exact top-10, grades 10..1
+# floor(1e6 / log2(i+1) + 0.5) for i = 1..TOP_K — inlined so Spark and
+# the oracle share the exact integers (no float log2 at query time)
+NDCG_W = [1000000, 630930, 500000, 430677, 386853]
+NDCG_GAINS = [2**g - 1 for g in range(S30_REL_POOL + 1)]  # 0,1,3..1023
+
+
+@query(
+    "s30_ndcg_mrr",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), rel AS (
+      SELECT q_id, n_id, {S30_REL_POOL} + 1 - rk AS rel, rk FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 6)
+                          DESC, b.vec_id
+               ) AS rk
+        FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id
+      ) WHERE rk <= {S30_REL_POOL}
+    ), idcg AS (
+      SELECT q_id,
+             SUM(CAST(([{','.join(map(str, NDCG_GAINS))}])[rel + 1] AS BIGINT)
+                 * ([{','.join(map(str, NDCG_W))}])[rk]) AS idcg_units
+      FROM rel WHERE rk <= {TOP_K} GROUP BY q_id
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q,
+             scale
+      FROM (SELECT vec_id, emb,
+                   list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+            FROM e)
+    ), ann AS (
+      SELECT q_id, n_id, rk FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY approx DESC, n_id) AS rk
+        FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 round((CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                             x -> x[1] * x[2])) AS DOUBLE) * a.scale)
+                       * b.scale, 6) AS approx
+          FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {N_QUERY}
+        )
+      ) WHERE rk <= {TOP_K}
+    ), lab AS (
+      SELECT a.q_id, a.rk, coalesce(r.rel, 0) AS rel0
+      FROM ann a LEFT JOIN rel r ON r.q_id = a.q_id AND r.n_id = a.n_id
+    ), agg AS (
+      SELECT q_id, count(*) AS n_retrieved,
+             SUM(CAST(([{','.join(map(str, NDCG_GAINS))}])[rel0 + 1] AS BIGINT)
+                 * ([{','.join(map(str, NDCG_W))}])[rk]) AS dcg_units,
+             MIN(CASE WHEN rel0 > 0 THEN rk END) AS frr
+      FROM lab GROUP BY q_id
+    )
+    SELECT q.vec_id AS q_id,
+           CAST(coalesce(g.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           CAST(coalesce(g.dcg_units, 0) AS BIGINT) AS dcg_units,
+           CAST(i.idcg_units AS BIGINT) AS idcg_units,
+           CAST((2 * coalesce(g.dcg_units, 0) * 1000000 + i.idcg_units)
+                // (2 * i.idcg_units) AS BIGINT) / 1000000.0 AS ndcg,
+           CAST(coalesce(g.frr, 0) AS INTEGER) AS first_rel_rank,
+           CASE WHEN g.frr IS NOT NULL
+                THEN CAST((2000000 + g.frr) // (2 * g.frr) AS BIGINT)
+                     / 1000000.0
+                ELSE 0.0 END AS mrr
+    FROM (SELECT vec_id FROM e WHERE vec_id < {N_QUERY}) q
+    LEFT JOIN agg g ON g.q_id = q.vec_id
+    JOIN idcg i ON i.q_id = q.vec_id
+    ORDER BY q_id
+    """,
+)
+def s30_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.where(F.col("vec_id") < N_QUERY)
+    gains = F.array(*[F.lit(g) for g in NDCG_GAINS])
+    wts = F.array(*[F.lit(w) for w in NDCG_W])
+    # graded relevance from the exact scored scan (s01's plan shape)
+    rel = cosine_topk(
+        e.select("vec_id", F.col("emb").alias("embedding")),
+        q.select("vec_id", F.col("emb").alias("embedding")),
+        k=S30_REL_POOL,
+    ).select(
+        "q_id",
+        "n_id",
+        (F.lit(S30_REL_POOL + 1) - F.col("rk")).cast("int").alias("rel"),
+        "rk",
+    )
+    idcg = rel.where(F.col("rk") <= TOP_K).groupBy("q_id").agg(
+        F.sum(
+            F.element_at(gains, F.col("rel") + 1).cast("bigint")
+            * F.element_at(wts, F.col("rk")).cast("bigint")
+        ).alias("idcg_units")
+    )
+    # retrieved ranked list: SQ8 stage-1 ordering (s20's candidate stage —
+    # int codes + per-vector scale cross the exchange, never the floats)
+    scale = (
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x)))
+        / F.lit(127.0)
+    )
+    q8 = e.select("vec_id", "emb", scale.alias("scale")).select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("emb"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ).alias("q"),
+    )
+    qs = q8.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("q").alias("q_q"),
+    )
+    cs = q8.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("scale").alias("n_scale"),
+        F.col("q").alias("n_q"),
+    )
+    dot8 = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("n_q"), lambda x, y: x * y),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(qs)
+        .crossJoin(cs)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                (dot8.cast("double") * F.col("q_scale")) * F.col("n_scale"),
+                6,
+            ).alias("approx"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("n_id"))
+    ann = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "rk")
+    )
+    lab = ann.join(
+        rel.select("q_id", "n_id", "rel"), ["q_id", "n_id"], "left"
+    ).select("q_id", "rk", F.coalesce("rel", F.lit(0)).alias("rel0"))
+    agg = lab.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(
+            F.element_at(gains, F.col("rel0") + 1).cast("bigint")
+            * F.element_at(wts, F.col("rk")).cast("bigint")
+        ).alias("dcg_units"),
+        F.min(F.when(F.col("rel0") > 0, F.col("rk"))).alias("frr"),
+    )
+    return (
+        q.select(F.col("vec_id").alias("q_id"))
+        .join(agg, "q_id", "left")
+        .join(idcg, "q_id")
+        .select(
+            "q_id",
+            F.coalesce("n_retrieved", F.lit(0)).cast("bigint")
+            .alias("n_retrieved"),
+            F.coalesce("dcg_units", F.lit(0)).cast("bigint")
+            .alias("dcg_units"),
+            F.col("idcg_units").cast("bigint").alias("idcg_units"),
+            (
+                F.expr(
+                    "(2 * coalesce(dcg_units, 0) * 1000000 + idcg_units)"
+                    " div (2 * idcg_units)"
+                ).cast("bigint")
+                / F.lit(1e6)
+            ).alias("ndcg"),
+            F.coalesce("frr", F.lit(0)).cast("int").alias("first_rel_rank"),
+            F.when(
+                F.col("frr").isNotNull(),
+                F.expr("(2000000 + frr) div (2 * frr)").cast("bigint")
+                / F.lit(1e6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+        )
+        .orderBy("q_id")
+    )

@@ -797,6 +797,9 @@ BNLJ_OK = {
     "s16_mips_topk", "s17_cosine_range_search", "s19_lsh_recall_at_k",
     "s22_multiprobe_lsh_recall",
     "s20_sq8_rerank", "s21_mmr_diversified_topk",
+    "s30_ndcg_mrr",  # N_QUERY-row query set x corpus, twice (exact
+    # relevance leg = s01's shape; retrieved leg = s20's SQ8 candidate
+    # stage) — both broadcast sides bounded by the fixed query set
     "s23_knn_label_accuracy",  # literal-id-capped eval-set broadcast
     "t10_unigram_logprob",
     "t14_source_divergence",
@@ -849,6 +852,25 @@ def test_s20_candidate_exchange_carries_codes_not_floats(spark, sf_dir):
     assert len(with_float) <= 1, (
         "only the post-shortlist rerank exchange may carry float arrays, "
         f"got {with_float}"
+    )
+
+
+def test_s30_topk_windows_pruned_and_no_float_exchange(spark, sf_dir):
+    """The ranked-list eval must stay in the s01/s20 plan class: every
+    per-query top-k is a q_id-partitioned row_number<=k (WindowGroupLimit
+    prunes to k per query before the final exchange), and NO hash exchange
+    carries a float embedding array — both the exact-relevance leg and the
+    SQ8 retrieved leg project down to (q_id, n_id, score) before anything
+    shuffles (VERDICT r13 item 6)."""
+    df = registry.QUERIES["s30_ndcg_mrr"](spark, sf_dir)
+    plan = pi.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, "top-k windows must prune to k"
+    assert "CartesianProduct" not in plan
+    inputs = pi.hash_exchange_inputs(df)
+    assert inputs, "expected hash exchanges in the s30 plan"
+    with_float = [s for s in inputs if "emb" in s]
+    assert not with_float, (
+        f"no exchange may carry float embedding arrays, got {with_float}"
     )
 
 
