@@ -1326,6 +1326,9 @@ def _section_sweep() -> dict:
         # round 13
         "q34_copurchase_lift",
         "j06_value_band_join",
+        # round 14
+        "s30_ndcg_mrr",
+        "e33_session_funnel_attribution",
     ]
     # Same 3-run keep-min as the headliners: the iterative trainers
     # (d08, s07) pay a multi-second codegen warmup on run 1, so a 2-run
@@ -1395,6 +1398,39 @@ def _section_sweep() -> dict:
                 # grows superlinearly, so duplicate-finding queries carry
                 # superlinearly more TRUE work, not a plan defect.
                 "notes": {
+                    "q34_copurchase_lift": (
+                        "linear work: pair volume = sum C(basket,2) over "
+                        "orders, and the replica replicates ORDERS (not "
+                        "basket width), so pairs grow ~10x with the data; "
+                        "measured 2.96x on the idle host (r13, "
+                        "QUIET_HOST.r13_q34_swap_remeasure) — a >3.5x "
+                        "reading here is the q01/q03-class load-noise "
+                        "signature (the r13 driver run read 4.32x at "
+                        "loadavg 3.41), re-measure on a quiet host."
+                    ),
+                    "j06_value_band_join": (
+                        "linear work: candidates are structurally capped "
+                        "at 3x the click side by the bucket expansion, and "
+                        "the replica shifts user_id per copy so "
+                        "per-(user,bucket) occupancy is constant; measured "
+                        "3.1x at 10x on the idle host (r13). A >3.5x "
+                        "reading is load noise, not curvature."
+                    ),
+                    "s30_ndcg_mrr": (
+                        "linear work: both legs scan the corpus once "
+                        "against the FIXED N_QUERY broadcast query set "
+                        "(exact-relevance leg = s01's shape, retrieved "
+                        "leg = s20's int8 candidate stage), top-k windows "
+                        "are q_id-partitioned WindowGroupLimit, and "
+                        "everything downstream is O(N_QUERY) rows."
+                    ),
+                    "e33_session_funnel_attribution": (
+                        "linear work: ONE user-keyed session_window "
+                        "shuffle (sessions are user-local; the replica "
+                        "shifts user_id so per-user event counts are "
+                        "constant) + an O(event_types) rollup; no joins, "
+                        "no corpus-wide windows."
+                    ),
                     "e31_experiment_power": (
                         "sub-second jitter straddler, not curvature: the "
                         "power/MDE math runs over the O(variants) "

@@ -51,6 +51,12 @@ QUERIES = [
     # election (min(struct) inside the same aggregate)
     "d28_dup_span_removal",
     "d29_dup_span_removal_canonical",
+    # r13-built (added to the audit in r14 per VERDICT item 8): q34's pair
+    # stream is the basket self-join — sum C(basket,2) over orders, the
+    # counter below; j06's candidate stream is structurally capped at 3x
+    # the right side by the bucket expansion
+    "q34_copurchase_lift",
+    "j06_value_band_join",
 ]
 
 
@@ -130,6 +136,52 @@ def _work_counters(spark, sf_dir: str) -> dict:
         out["copurchase_edges"] = g._copurchase_edges(spark, sf_dir).count()
     except Exception as ex:
         out["graph_error"] = f"{type(ex).__name__}: {ex}"
+    try:
+        # q34's pair stream: sum C(basket,2) over orders — the fan-out of
+        # the basket self-join on the order key
+        li = load_table(spark, sf_dir, "lineitem")
+        out["q34_basket_pairs"] = (
+            li.select("l_orderkey", "l_partkey")
+            .distinct()
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("p"))
+            .first()["p"]
+        )
+    except Exception as ex:
+        out["q34_error"] = f"{type(ex).__name__}: {ex}"
+    try:
+        # j06's candidate stream: (user, bucket)-joined click x purchase
+        # pairs BEFORE the |x-y| <= eps filter — the 3x-capped fan-out
+        from spark_streaming_logservice_spark.operators.pipeline_ops import (
+            BAND_EPS,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "value"
+        )
+        pur = ev.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.floor(F.col("value") / BAND_EPS).cast("bigint").alias("bucket"),
+        )
+        clk = (
+            ev.where(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.floor(F.col("value") / BAND_EPS).cast("bigint").alias("b0"),
+            )
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+                ),
+            )
+        )
+        out["j06_candidate_pairs"] = clk.join(
+            pur, ["user_id", "bucket"]
+        ).count()
+    except Exception as ex:
+        out["j06_error"] = f"{type(ex).__name__}: {ex}"
     return out
 
 
@@ -175,6 +227,7 @@ def main() -> None:
 
     out = {
         "factor": FACTOR,
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "base_sf_dir": sf_dir,
         "runs": RUNS,
         "agg": "min",
@@ -211,6 +264,20 @@ def main() -> None:
                 "joins."
             ),
             "q25": "deliberate 8x salt replication at every scale.",
+            "q34": (
+                "pair volume = sum C(basket,2) over orders "
+                "(q34_basket_pairs at both scales): replication adds "
+                "ORDERS, not basket width, so pairs grow ~linearly and "
+                "the lift arithmetic rides DECIMAL(38,0) headroom."
+            ),
+            "j06": (
+                "candidate stream structurally capped at 3x the click "
+                "side by the bucket expansion (j06_candidate_pairs at "
+                "both scales); the replica shifts user_id per copy, so "
+                "per-(user,bucket) occupancy is constant and candidates "
+                "grow LINEARLY with the factor — the composite key is "
+                "what keeps a hot user from going quadratic."
+            ),
             "d27": (
                 "the gram stream is linear in tokens regardless of "
                 "duplication, and the hit stream is linear in "

@@ -2404,8 +2404,8 @@ _register_e32()
     )
     SELECT landing,
            count(*) AS n_sessions,
-           SUM(has_view) AS n_view_sessions,
-           SUM(converted) AS n_converted,
+           CAST(SUM(has_view) AS BIGINT) AS n_view_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
            CAST((2 * 10000 * SUM(converted) + count(*))
                 // (2 * count(*)) AS BIGINT) / 10000.0 AS conv_rate,
            CAST(SUM(CASE WHEN converted = 1 THEN rev_micro ELSE 0 END)

@@ -336,6 +336,9 @@ class ManifestObjectStoreBackend:
         rel = self._rel(path)
         tree, _ = self._load()
         tree = tree["tree"]
+        entry = tree.get(rel)
+        if entry is not None and entry.get("type") == "file":
+            raise NotADirectoryError(path)  # os.listdir(file) semantics
         prefix = rel + "/" if rel else ""
         names = set()
         for k in tree:
@@ -669,14 +672,32 @@ class HybridManifestBackend:
                 or _os.path.exists(self._phys(dst_rel))
             ):
                 raise FileExistsError(dst)
-            has_mani = src_rel in tree or any(
-                k.startswith(src_rel + "/") for k in tree
-            )
-            if not has_mani and not _os.path.exists(self._phys(src_rel)):
+            src_entry = tree.get(src_rel)
+            has_children = any(k.startswith(src_rel + "/") for k in tree)
+            if (
+                src_entry is not None
+                and src_entry.get("type") == "file"
+                and not has_children
+            ):
+                # renaming a CONTROL FILE: a pure manifest move (the blob
+                # pointer travels with the entry) — no physical leg, no
+                # pending materialization. Without this branch the file
+                # entry became an empty dir record and the blob was lost
+                # (found by the 3-way Hypothesis property).
+                tree[dst_rel] = tree.pop(src_rel)
+                return
+            if (
+                src_entry is None
+                and not has_children
+                and not _os.path.exists(self._phys(src_rel))
+            ):
                 raise FileNotFoundError(src)
             # re-point manifest children (control files the stores wrote
             # INTO the staged dir via the seam, e.g. _batch_meta.json);
-            # the src dir entry itself is superseded by the dst entry
+            # the src dir entry itself is superseded by the dst entry.
+            # The physical leg assumes src is a DIRECTORY — the stores
+            # only ever publish staged dirs (single files go through
+            # replace_file).
             for k in list(tree):
                 if k == src_rel:
                     tree.pop(k)
@@ -720,6 +741,9 @@ class HybridManifestBackend:
         rel = self._rel(path)
         tree, _ = self._load()
         tree = tree["tree"]
+        entry = tree.get(rel)
+        if entry is not None and entry.get("type") == "file":
+            raise NotADirectoryError(path)  # os.listdir(file) semantics
         prefix = rel + "/" if rel else ""
         names: set[str] = set()
         mani_dir = rel == "" or self._mani_isdir(tree, rel)
@@ -730,6 +754,8 @@ class HybridManifestBackend:
         if _os.path.isdir(phys):
             names.update(_os.listdir(phys))
         elif not mani_dir and not names:
+            if _os.path.isfile(phys):
+                raise NotADirectoryError(path)
             raise FileNotFoundError(path)
         return sorted(names)
 

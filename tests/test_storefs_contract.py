@@ -397,6 +397,13 @@ def test_write_and_replace_over_dir_raise_isadirectory(env):
     assert env.backend.isdir(d)
 
 
+def test_listdir_over_file_raises_notadirectory(env):
+    f = env.path("justafile")
+    env.backend.write_text(f, "x")
+    with pytest.raises(NotADirectoryError):
+        env.backend.listdir(f)
+
+
 def test_remove_dir_and_rmtree_file_raise_posix_types(env):
     d = env.path("adir2")
     env.backend.makedirs(d)
