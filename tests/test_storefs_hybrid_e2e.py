@@ -184,3 +184,62 @@ def test_rollup_merge_additive_replay_guard(spark, env):
         import json
 
         assert json.loads(storefs.read_text(meta))["batch_id"] == 1
+
+
+def test_ingest_pipeline_composed_gate_on_both_backends(spark, env):
+    """The COMPOSED pipeline (gate -> dedup -> forward -> vocab -> digest
+    append, one marker) end-to-end on each backend: admission, drift
+    quarantine, marker-loss crash replay — with every control file
+    (flags, markers, vocab meta) living only in the manifest on hybrid."""
+    from spark_streaming_logservice_spark.streaming.ingest_pipeline import (
+        ingest_pipeline,
+        read_quarantine,
+    )
+
+    schema = "doc_id BIGINT, text STRING, source STRING"
+    b0 = [(1, "alpha beta gamma delta", "srcA"),
+          (2, "alpha beta gamma epsilon", "srcA"),
+          (3, "one two three four", "srcB")]
+    b1 = [(11, "alpha beta gamma delta", "srcA"),   # exact dup of doc 1
+          (12, "alpha gamma beta zeta", "srcA"),    # novel
+          (13, "zzz qqq www eee", "srcB"),          # drifted source ->
+          (14, "zzz qqq www rrr", "srcB"),          # quarantined
+          (15, "zzz qqq www sss", "srcB")]
+
+    root = storefs.join(env.root, "pipe")
+    sink, alerts = [], []
+    apply = ingest_pipeline(
+        root,
+        lambda df, bid: sink.append(
+            (bid, sorted(r["doc_id"] for r in df.collect()))
+        ),
+        on_alert=lambda bid, scores, qdf: alerts.append(
+            (bid, sorted(s["source"] for s in scores))
+        ),
+        threshold=1.0,
+    )
+    apply(spark.createDataFrame(b0, schema), 0)
+    apply(spark.createDataFrame(b1, schema), 1)
+    assert sink == [(0, [1, 2, 3]), (1, [12])]
+    assert alerts == [(1, ["srcB"])]
+    assert sorted(
+        r["doc_id"] for r in read_quarantine(spark, root, schema).collect()
+    ) == [13, 14, 15]
+
+    flag = storefs.join(root, "_flags", "batch-1.json")
+    marker = storefs.join(root, "_markers", "batch-1")
+    assert storefs.exists(flag) and storefs.exists(marker)
+    if env.name == "hybrid":
+        # the one-path rule, observable: decisions and markers live ONLY
+        # in the manifest — any open()/os.path access would miss them
+        assert not os.path.exists(flag) and not os.path.exists(marker)
+
+    # marker-loss crash replay (through the seam): forward re-runs empty
+    # (digests already know doc 12), the RECORDED flag set re-alerts
+    # identically, quarantine restages onto itself
+    storefs.remove(marker)
+    apply(spark.createDataFrame(b1, schema), 1)
+    assert sink[-1] == (1, [])
+    assert alerts[-1] == (1, ["srcB"])
+    assert read_quarantine(spark, root, schema).count() == 3
+    assert storefs.exists(marker)
