@@ -225,3 +225,28 @@ def test_d29_self_overlap_edge_pinned_in_both_engines(spark, tmp_path):
         ))
     )
     assert duck_rows == spark_rows
+
+
+def test_s30_integer_dcg_literals_match_their_formulas():
+    """The inlined nDCG constants are shared literals between Spark and
+    the oracle SQL — pin them to their defining formulas so an edit to
+    one can't silently drift: W_i = floor(1e6/log2(i+1)+0.5) for
+    positions 1..TOP_K, gains = 2^g - 1 over the relevance-pool grades."""
+    import math
+
+    from spark_streaming_logservice_spark.operators.similarity import (
+        NDCG_GAINS,
+        NDCG_W,
+        S30_REL_POOL,
+        TOP_K,
+    )
+
+    assert NDCG_W == [
+        int(math.floor(1_000_000 / math.log2(i + 1) + 0.5))
+        for i in range(1, TOP_K + 1)
+    ]
+    assert NDCG_GAINS == [2 ** g - 1 for g in range(S30_REL_POOL + 1)]
+    # the integer-division identities the query relies on: round-half-up
+    # nDCG micro-units and MRR micro-units never leave BIGINT range
+    max_dcg = NDCG_GAINS[-1] * sum(NDCG_W)
+    assert 2 * max_dcg * 1_000_000 + max_dcg < 2 ** 63
