@@ -218,11 +218,15 @@ def ivf_search(
     k: int = K_CELLS,
     nprobe: int = N_PROBE,
     top_k: int = TOP_K,
+    dim: int | None = None,
 ) -> DataFrame:
     """Probe-limited ANN: score each query only against vectors whose cell is
-    among the query's nprobe closest centroids."""
+    among the query's nprobe closest centroids. Pass ``dim`` when the caller
+    already knows the embedding width — the 1-row probe is otherwise a
+    whole Spark job per invocation."""
     spark = emb.sparkSession
-    dim = emb.limit(1).select(F.size("emb").alias("d")).first()["d"]
+    if dim is None:
+        dim = emb.limit(1).select(F.size("emb").alias("d")).first()["d"]
     sample = _normalized(
         emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS), dim
     ).localCheckpoint(eager=True)
@@ -349,10 +353,16 @@ def s05_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing and scoring (see module docstring for why the float paths
     agree). tests/test_ann.py additionally pins the rows against a numpy
     reimplementation."""
+    from spark_streaming_logservice_spark.operators.similarity import _probe_dim
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return ivf_search(e, e.where(F.col("vec_id") < N_QUERY))
+    return ivf_search(
+        e,
+        e.where(F.col("vec_id") < N_QUERY),
+        dim=_probe_dim(e, "emb", cache_key=sf_dir),
+    )
 
 
 @query(
@@ -373,11 +383,13 @@ def s06_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-structure oracle."""
     from spark_streaming_logservice_spark.operators.similarity import cosine_topk
 
+    from spark_streaming_logservice_spark.operators.similarity import _probe_dim
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     q = e.where(F.col("vec_id") < N_QUERY)
-    ivf = ivf_search(e, q)
+    ivf = ivf_search(e, q, dim=_probe_dim(e, "emb", cache_key=sf_dir))
     truth = cosine_topk(
         e.select("vec_id", F.col("emb").alias("embedding")),
         q.select("vec_id", F.col("emb").alias("embedding")),

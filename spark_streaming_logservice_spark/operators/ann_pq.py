@@ -240,11 +240,15 @@ def pq_serve(
 
 
 def pq_search(
-    emb: DataFrame, queries: DataFrame, top_k: int = TOP_K
+    emb: DataFrame, queries: DataFrame, top_k: int = TOP_K,
+    dim: int | None = None,
 ) -> DataFrame:
-    """ADC search: (q_id, n_id, adc_score, rk), top_k per query."""
+    """ADC search: (q_id, n_id, adc_score, rk), top_k per query. Pass
+    ``dim`` when known — the 1-row probe is otherwise a Spark job per
+    invocation."""
     spark = emb.sparkSession
-    dim = _dim(emb)
+    if dim is None:
+        dim = _dim(emb)
     dl = dim // M_SUB
     sample = emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS)
     cb = train_codebook(
@@ -386,10 +390,16 @@ def s07_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC neighbors for the first N_QUERY vectors, fully oracle-backed:
     the DuckDB CTE chain replays subspace split, sampled seeding, both
     Lloyd steps, corpus encoding, and the ADC table join."""
+    from spark_streaming_logservice_spark.operators.similarity import _probe_dim
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return pq_search(e, e.where(F.col("vec_id") < N_QUERY))
+    return pq_search(
+        e,
+        e.where(F.col("vec_id") < N_QUERY),
+        dim=_probe_dim(e, "embedding", cache_key=sf_dir),
+    )
 
 
 @query(
@@ -484,9 +494,13 @@ def s10_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    from spark_streaming_logservice_spark.operators.similarity import _probe_dim
+
     queries = e.where(F.col("vec_id") < N_QUERY)
-    cand = pq_search(e, queries, top_k=RERANK_CANDIDATES).select("q_id", "n_id")
-    dim = _dim(e)
+    dim = _probe_dim(e, "embedding", cache_key=sf_dir)
+    cand = pq_search(e, queries, top_k=RERANK_CANDIDATES, dim=dim).select(
+        "q_id", "n_id"
+    )
     base = _normalized_base(e, dim)
     nb = base.select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"))
     qb = base.where(F.col("vec_id") < N_QUERY).select(

@@ -1721,6 +1721,12 @@ def _register_d23() -> None:
     @query("d23_containment", oracle=oracle)
     def d23_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = spread_rowlocal(load_table(spark, sf_dir, "documents"))
+        # NOTE (r14): deliberately NOT localCheckpoint'd — the pair join's
+        # two sides and the df-cap branch are IDENTICAL subplans, so
+        # Spark's ReusedExchange already computes the shingle shuffle once
+        # and shares it; materializing to an RDD here measured 2.4 s →
+        # 8.7 s (the checkpoint write + uncodegen'd RDD rescans cost more
+        # than the reuse saves).
         sh = d.select("doc_id", F.explode(_shingles3()).alias("shingle")).distinct()
         rare = (
             sh.groupBy("shingle")

@@ -162,7 +162,10 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     Pass ``cleanup=False`` to keep the caches when the caller will iterate
     further (and own the unpersist)."""
     F_ = F
-    edges = edges.select("src", "dst").distinct()
+    # the distinct edge list is referenced 4x (nodes union ×2, deg, ed);
+    # materialize it once so each reference is a cheap RDD scan instead of
+    # a re-run of the upstream fact join + distinct (guide §2.4)
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         edges.select(F_.col("src").alias("node"))
         .union(edges.select(F_.col("dst").alias("node")))
@@ -294,10 +297,16 @@ _register_g01()
 # before one node-keyed agg.
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """Per-node triangle participation counts for an undirected simple
     graph. ``edges``: columns (a, b) with a != b, one row per undirected
-    edge in canonical a < b form. Returns (node, triangles)."""
+    edge in canonical a < b form. Returns (node, triangles).
+
+    ``materialize=True`` (default) eagerly checkpoints the oriented edge
+    relation, which is referenced three times (both wedge sides + the
+    closing semi-join) — without it each reference re-runs the degree
+    aggregation and 2-way degree join. ``materialize=False`` keeps the
+    full lineage visible for plan-shape tests."""
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -310,11 +319,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # Materialized once (default): the oriented relation feeds BOTH wedge
+    # sides and the closing semi-join (3 plan references); without this
+    # each reference re-runs the degree aggregation + 2-way degree join
+    # (guide §2.4). O(E) rows of 3 ints — cheap to hold, expensive to
+    # recompute.
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
     )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
     e1 = oriented.select("src", F.col("dst").alias("b"), F.col("dd").alias("db_"))
     e2 = oriented.select("src", F.col("dst").alias("c"), F.col("dd").alias("dc_"))
     wedges = e1.join(e2, "src").where(
@@ -408,9 +424,19 @@ def _register_g02() -> None:
     @query("g02_triangle_count", oracle=oracle)
     def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-10 parts by triangle participation in the co-purchase graph,
-        with the global triangle total alongside (1-row scalar cross join)."""
-        edges = _copurchase_edges(spark, sf_dir)
-        pern = triangle_count(edges)
+        with the global triangle total alongside (1-row scalar cross join).
+
+        The edge relation (a fact self-join + distinct) is eagerly
+        materialized once: triangle_count references it five times (degree
+        union ×2, the degree-join, and via `oriented` the wedge pair and
+        closing side), and without the checkpoint each reference re-runs
+        the whole build (r14 profile: the recompute was the bulk of the
+        4.6 s runtime; guide §2.4 — share one computation instead of
+        re-planning identical subtrees)."""
+        edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+        # pern is consumed twice (the scalar total and the final project):
+        # without the checkpoint the O(E^1.5) wedge join runs twice.
+        pern = triangle_count(edges).localCheckpoint(eager=True)
         # total = sum(per-node)/3: every triangle contributes 3 member rows,
         # so the corpus is not re-scanned for the scalar
         tot = pern.agg(
@@ -509,7 +535,11 @@ def _register_g03() -> None:
         """3-hop BFS frontier sizes from every 50th supplier over the
         undirected ship graph (bipartite: odd hops are customers, even are
         suppliers)."""
-        edges = _supplier_customer_edges(spark, sf_dir)
+        # the fact-join + distinct edge relation feeds und (×2) and the
+        # seed filter — materialize once (guide §2.4)
+        edges = _supplier_customer_edges(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
         und = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
             edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
         )
@@ -584,7 +614,8 @@ def _register_g04() -> None:
     @query("g04_clustering_coefficient", oracle=oracle)
     def g04_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-15 parts by local clustering coefficient (degree >= 2)."""
-        edges = _copurchase_edges(spark, sf_dir)
+        # shared by the degree union (×2) and triangle_count — one build
+        edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
         deg = (
             edges.select(F.col("a").alias("node"))
             .unionAll(edges.select(F.col("b").alias("node")))
@@ -695,7 +726,8 @@ def _register_g05() -> None:
         graph (same edge relation as g02/g04; 2 rounds keeps the labeling
         non-degenerate — the dense co-purchase graph collapses to ONE
         cluster by round 3, which is d08's job, not a profile)."""
-        edges = _copurchase_edges(spark, sf_dir)
+        # referenced 4x building nodes + sym — materialize once
+        edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
         labels = min_label_propagation(edges, rounds=2)
         return (
             labels.groupBy(F.col("lbl").alias("cluster_label"))
@@ -759,6 +791,10 @@ def _register_g06() -> None:
         histogram — tens of rows at any corpus size — and its 1-row result
         broadcasts back onto the histogram. Same regr_* float envelope as
         v08 (few points, round(4))."""
+        # NOTE (r14): no checkpoints here — both union branches and the
+        # fit/projection pair are identical subplans that ReusedExchange
+        # already shares (the A/B measured the checkpointed variant
+        # slower, 1.02 s → 1.27 s).
         edges = _copurchase_edges(spark, sf_dir)
         ends = edges.select(F.col("a").alias("node")).unionAll(
             edges.select(F.col("b").alias("node"))
@@ -850,11 +886,17 @@ def _register_g07() -> None:
 
     @query("g07_degree_assortativity", oracle=oracle)
     def g07_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-        edges = _copurchase_edges(spark, sf_dir)
+        # edges feeds the ends union (×2) AND the statistics join;
+        # deg feeds both join sides and the node count — one build each
+        edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
         ends = edges.select(F.col("a").alias("node")).unionByName(
             edges.select(F.col("b").alias("node"))
         )
-        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        deg = (
+            ends.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=True)
+        )
         da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
         db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
         st = (
@@ -968,9 +1010,16 @@ def _register_g08() -> None:
         a WindowGroupLimit-pruned global rank over the aggregated
         candidates. All score arithmetic is exact BIGINT (1e9 DIV degree
         units), so the result is bit-stable at any partitioning."""
-        edges = _copurchase_edges(spark, sf_dir)
-        adj = edges.select(F.col("a").alias("w"), F.col("b").alias("n")).unionByName(
-            edges.select(F.col("b").alias("w"), F.col("a").alias("n"))
+        # edges feeds the adjacency (×2) AND the closing anti-join; adj
+        # feeds the degree agg and BOTH wedge sides. Materialize each once
+        # — without the checkpoints every reference re-runs the fact
+        # self-join + distinct (r14 profile: g08 spent most of its 12 s
+        # re-deriving these; guide §2.4).
+        edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+        adj = (
+            edges.select(F.col("a").alias("w"), F.col("b").alias("n"))
+            .unionByName(edges.select(F.col("b").alias("w"), F.col("a").alias("n")))
+            .localCheckpoint(eager=True)
         )
         deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
         centers = deg.where(F.col("d") <= CENTER_CAP).select(

@@ -185,13 +185,20 @@ def m02_image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails loudly. The oracle predicts the decoded dimensions from n_chars."""
     from spark_streaming_logservice_spark.functions import media
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # top-200 before the codec round-trip (both stages are 1:1 per row):
+    # the old shape PNG-encoded + decoded the whole corpus for a 200-row
+    # answer (guide §1.2)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(200)
+    )
     blobs = d.mapInPandas(encode_png_batches, schema=ENCODE_IMG_SCHEMA)
     return (
         media.decode_image_meta(blobs)
         .select("doc_id", "format", "width", "height")
         .orderBy("doc_id")
-        .limit(200)
     )
 
 
@@ -214,13 +221,18 @@ def m03_audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars."""
     from spark_streaming_logservice_spark.functions import media
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # top-200 before the codec round-trip (1:1 stages) — see m02
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(200)
+    )
     blobs = d.mapInPandas(encode_wav_batches, schema=ENCODE_WAV_SCHEMA)
     return (
         media.decode_audio_meta(blobs)
         .select("doc_id", "n_samples", "sample_rate", "duration_ms")
         .orderBy("doc_id")
-        .limit(200)
     )
 
 
@@ -394,11 +406,21 @@ def m06_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # top-200 by doc_id BEFORE the Python stage (decode_batches is 1:1 per
+    # row, so the result is identical): the old shape decoded the whole
+    # corpus and threw away all but 200 rows — at 100 TB that is a full
+    # corpus decode for a 200-row answer (guide §1.2, m05/m06/m07 already
+    # order-limit first)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(200)
+    )
     blobs = attach_blob(d).select("doc_id", "blob")
     return blobs.mapInPandas(decode_batches, schema=DECODE_SCHEMA).orderBy(
         "doc_id"
-    ).limit(200)
+    )
 
 
 @query(

@@ -58,6 +58,7 @@ def semantic_dedup(
     emb: DataFrame,
     k: int = K_CELLS,
     threshold: float = SEM_THRESHOLD,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, cell, is_kept): SemDeDup pruning over IVF cells.
 
@@ -66,12 +67,18 @@ def semantic_dedup(
     round(cosine, 6) >= threshold.
     """
     spark = emb.sparkSession
-    dim = emb.limit(1).select(F.size("emb").alias("d")).first()["d"]
+    if dim is None:
+        dim = emb.limit(1).select(F.size("emb").alias("d")).first()["d"]
     sample = _normalized(
         emb.where(F.col("vec_id") < TRAIN_SAMPLE_IDS), dim
     ).localCheckpoint(eager=True)
     cents_df = _centroids_df(spark, train_centroids(sample, dim, k, N_ITERS))
     par = spark.sparkContext.defaultParallelism
+    # NOTE (r14): deliberately NOT localCheckpoint'd — the self-join sides
+    # and the flag join all reshuffle this subtree, and the A/B measured
+    # the checkpointed variant SLOWER (3.06 s → 3.42 s): the assign stage
+    # is one codegen'd broadcast-join pass, cheaper to recompute than to
+    # materialize + rescan as an RDD.
     index = _assign_top1(
         _normalized(emb.repartition(par), dim), cents_df, dim, with_emb=True
     )
@@ -162,10 +169,12 @@ _S11_ORACLE = (
 @query("s11_semdedup", oracle=_S11_ORACLE)
 def s11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup verdict per vector: (vec_id, cell, is_kept)."""
+    from spark_streaming_logservice_spark.operators.similarity import _probe_dim
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return semantic_dedup(e)
+    return semantic_dedup(e, dim=_probe_dim(e, "emb", cache_key=sf_dir))
 
 
 @query(
@@ -191,10 +200,12 @@ def s11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s12_semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell prune report: (cell, n_vectors, n_pruned) — the summary a
     pipeline operator would monitor (prune rate per semantic cluster)."""
+    from spark_streaming_logservice_spark.operators.similarity import _probe_dim
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    verdict = semantic_dedup(e)
+    verdict = semantic_dedup(e, dim=_probe_dim(e, "emb", cache_key=sf_dir))
     return (
         verdict.groupBy("cell")
         .agg(
