@@ -1978,7 +1978,10 @@ def p24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum_col="n_tok",
         cumsum_out="gcum",
     )
-    totals = d.groupBy("source").agg(F.sum("n_tok").alias("tot"))
+    # aggregate off `ranked` (pinned inside distributed_row_number), not
+    # `d` — the latter re-runs the tokenize-and-count scan for the same
+    # per-source totals (guide §2.4; d_r_n is 1:1, columns preserved)
+    totals = ranked.groupBy("source").agg(F.sum("n_tok").alias("tot"))
     # base offset of each source's token stream inside the global order:
     # sum of strictly-earlier sources' totals (O(sources^2) broadcast join)
     t2 = totals.select(

@@ -1193,7 +1193,11 @@ def t18_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = distributed_row_number(
         scored, [F.asc("units"), F.asc("doc_id")], out="rn"
     )
-    nd = scored.agg(F.count(F.lit(1)).alias("nd"))
+    # count off `ranked` (already pinned inside distributed_row_number),
+    # not `scored` — the latter re-runs the whole tokenize+model+join
+    # chain for one scalar (guide §2.4; row count is identical by
+    # construction: d_r_n is a 1:1 rank attachment)
+    nd = ranked.agg(F.count(F.lit(1)).alias("nd"))
     dec = ranked.join(F.broadcast(nd), how="cross").select(
         F.expr("((rn - 1) * 10) DIV nd").alias("decile"),
         "units",

@@ -245,7 +245,10 @@ def v04_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         cumsum_col="cnt",
         cumsum_out="cum",
     )
-    total = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    # sum off `ranked` (pinned inside distributed_row_number), not `freq`
+    # — the latter re-runs the corpus tokenize + token-count aggregate for
+    # one scalar (guide §2.4; d_r_n is 1:1, cnt preserved)
+    total = ranked.agg(F.sum("cnt").cast("double").alias("n"))
     return (
         ranked.where(F.col("rk").isin(*_CUTS))
         .crossJoin(F.broadcast(total))
