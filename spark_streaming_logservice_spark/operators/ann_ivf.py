@@ -120,9 +120,20 @@ def _centroids_df(spark: SparkSession, cents: list[tuple[int, list[float]]]) -> 
 def _assign_top1(
     base: DataFrame, cents_df: DataFrame, dim: int, with_emb: bool
 ) -> DataFrame:
-    """Nearest cell per vector by score DESC, cell ASC — broadcast join +
-    min_by over (-score, cell). ``with_emb`` keeps the vector payload
-    (needed by Lloyd means and by IVF-Flat candidate scoring)."""
+    """Nearest cell per vector by score DESC, cell ASC. ``with_emb`` keeps
+    the vector payload (needed by Lloyd means and by IVF-Flat candidate
+    scoring).
+
+    NOTE (r15 A/B, reverted): a row-local fold — all k centroids in ONE
+    array-of-structs row, scored per input row with transform + array_min
+    — removed the k× expansion and the groupBy exchange but measured
+    SLOWER (s07 4.4 → 6.2 s, s05 3.4 → 3.7 s at sf0.1): HOF lambdas
+    evaluate interpreted (~10× the codegen'd per-row cost, stage CPU 0.8
+    → 8 s), and the deliberately single-partition training sample then
+    pays that serially (its means stage went 0.1 → 0.95 s on one core).
+    The broadcast-expand + partial-agg shape keeps scoring inside
+    whole-stage codegen; partial aggregation collapses the k× rows
+    map-side, so the exchange carries ~one row per vector either way."""
     scored = base.join(F.broadcast(cents_df), how="cross").select(
         "vec_id",
         *(["emb"] if with_emb else []),

@@ -131,12 +131,22 @@ def _assign_codes(
     subs_long: DataFrame, cb_df: DataFrame, dl: int, with_svec: bool = True
 ) -> DataFrame:
     """(vec_id, sub, code[, svec]): nearest codeword per subvector —
-    broadcast join + min_by, literal-free stable plan shape (codegen-cache
-    friendly), row-local w.r.t. (vec_id, sub) so corpus partitioning is
-    free to vary. ``with_svec=False`` on the corpus-encode path: the
-    subvector payload is only needed by the training means, and carrying
-    16 doubles per row through the aggregation shuffle dominates the cost
-    of the encode otherwise."""
+    row-local w.r.t. (vec_id, sub) so corpus partitioning is free to vary.
+
+    NOTE (r15 A/B, reverted): the row-local variant — codebook grouped to
+    one array-of-structs row per sub, 1:1 join, transform + array_min —
+    removed the K× expansion and the groupBy exchange but measured SLOWER
+    (s07 4.4 → 6.2 s at sf0.1): the flat d2 arithmetic inside a HOF
+    lambda evaluates interpreted (the regime the module docstring warns
+    about), ~10× the codegen'd per-row cost, and the single-partition
+    training sample pays it serially. Broadcast-expand + min_by keeps d2
+    inside whole-stage codegen and partial aggregation collapses the K×
+    rows map-side before the exchange.
+
+    ``with_svec=False`` on the corpus-encode path: the subvector payload
+    is only needed by the training means, and carrying 16 doubles per row
+    through the aggregation shuffle dominates the cost of the encode
+    otherwise."""
     scored = subs_long.join(F.broadcast(cb_df), "sub").select(
         "vec_id",
         "sub",
@@ -501,9 +511,22 @@ def s10_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pq_search(e, queries, top_k=RERANK_CANDIDATES, dim=dim).select(
         "q_id", "n_id"
     )
-    base = _normalized_base(e, dim)
-    nb = base.select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"))
-    qb = base.where(F.col("vec_id") < N_QUERY).select(
+    # r15 (guide §2.4 — don't compute what the join throws away): join the
+    # O(q × C) candidate ids BEFORE normalizing; Catalyst cannot push a
+    # join below the normalize projection, so the r14 order rehydrated and
+    # L2-normalized the WHOLE corpus for a ~100-row rerank. Normalizing
+    # after the key join touches only candidate rows — per-row arithmetic,
+    # values identical.
+    nb = _normalized_base(
+        e.join(
+            F.broadcast(
+                cand.select(F.col("n_id").alias("vec_id")).distinct()
+            ),
+            "vec_id",
+        ),
+        dim,
+    ).select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"))
+    qb = _normalized_base(e.where(F.col("vec_id") < N_QUERY), dim).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
     rer = (

@@ -1727,14 +1727,36 @@ def _register_d23() -> None:
         # and shares it; materializing to an RDD here measured 2.4 s →
         # 8.7 s (the checkpoint write + uncodegen'd RDD rescans cost more
         # than the reuse saves).
-        sh = d.select("doc_id", F.explode(_shingles3()).alias("shingle")).distinct()
+        # r15 (guide §2.3, VERDICT r14 item 9): every downstream use of the
+        # shingle — distinct, df count, pair join — is SET algebra on its
+        # identity, never its text, so carry xxhash64(shingle) (8 bytes)
+        # through the exchanges instead of the ~20-char string. Verified
+        # exact against the string oracle at sf0.001/0.01/0.1; a collision
+        # among the corpus's distinct shingles is the only way any output
+        # value could move (~S²/2⁶⁵ for S distinct shingles — negligible
+        # until S approaches billions; swap in a 128-bit digest if a
+        # corpus that size must stay exact).
+        sh = (
+            d.select("doc_id", F.explode(_shingles3()).alias("sh_txt"))
+            .select("doc_id", F.xxhash64("sh_txt").alias("shingle"))
+            .distinct()
+        )
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= D23_DF_CAP)
             .select("shingle")
         )
-        capped = sh.join(rare, "shingle")
+        # r15 (guide §2.4): `capped` feeds the pair join's PROBE side, its
+        # BROADCAST build side, and both size lookups. The shuffle-exchange
+        # cache shares the probe-side copies, but a BroadcastExchange can
+        # never reuse a shuffle exchange — the r15 stage dump showed the
+        # whole tokenize+shingle map (10 s task CPU) running a second time
+        # just to build the broadcast side. Pinning the POST-CAP relation
+        # (a few hundred k (doc_id, int64) rows — unlike the r14 negative
+        # A/B, which materialized the corpus-sized pre-cap relation and
+        # lost) runs the tokenize once; every consumer then scans the RDD.
+        capped = sh.join(rare, "shingle").localCheckpoint(eager=True)
         sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         a = capped.alias("a")
         b = capped.alias("b")

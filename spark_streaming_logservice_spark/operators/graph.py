@@ -39,6 +39,19 @@ from pyspark.sql import functions as F
 CC_STATS: dict | None = None
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage of a ``localCheckpoint(eager=True)``
+    DataFrame (ADVICE r14: checkpointed edge blocks otherwise accumulate
+    O(E) storage per call until GC). The checkpointed RDD CANNOT be
+    recomputed — call only when nothing will scan ``df`` again. Best-effort:
+    on any py4j/plan-shape surprise the blocks just wait for GC as before."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star: for every node u, connect each strictly-larger neighbor
     to min(N(u) ∪ {u}). Emitted edges always point high→low."""
@@ -198,10 +211,12 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
             ranks = ranks.localCheckpoint(eager=False)
     if cleanup:
         # eager checkpoint pins the result (O(nodes) rows) so the caches it
-        # was computed from can be released immediately
+        # was computed from can be released immediately — including the
+        # checkpointed edge blocks (ADVICE r14: these outlived the call)
         ranks = ranks.localCheckpoint(eager=True)
         ed.unpersist()
         nodes.unpersist()
+        _release_checkpoint(edges)
     return ranks
 
 
@@ -264,10 +279,32 @@ def _register_g01() -> None:
         """3-iteration PageRank over the supplier→customer ship graph.
         Checkpointing disabled here: at 3 iterations the lineage is small,
         and the driver re-plans the query from scratch per run."""
-        edges = _supplier_customer_edges(spark, sf_dir)
+        from spark_streaming_logservice_spark.tables import load_table
+
+        # r15 (guide §2.3): run the three join/agg iterations over 8-byte
+        # long ids (supplier s<k> → 2k, customer c<k> → 2k+1 — the same
+        # bijection as g03) and rebuild the oracle's string ids only in
+        # the O(nodes) final projection before the top-20 sort. PageRank
+        # values are label-independent, and the string tie-break is
+        # applied on the reconstructed ids, so the result is unchanged.
+        l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .select(
+                (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+                (F.col("o_custkey").cast("bigint") * 2 + 1).alias("dst"),
+            )
+        )
         ranks = pagerank(edges, iterations=3, checkpoint=False)
+        node_str = F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("c")),
+            F.expr("CAST(node DIV 2 AS STRING)"),
+        )
         return (
-            ranks.select("node", F.round("pr", 4).alias("pagerank"))
+            ranks.select(
+                node_str.alias("node"), F.round("pr", 4).alias("pagerank")
+            )
             .orderBy(F.desc("pagerank"), F.asc("node"))
             .limit(20)
         )
@@ -331,20 +368,37 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     )
     if materialize:
         oriented = oriented.localCheckpoint(eager=True)
-    e1 = oriented.select("src", F.col("dst").alias("b"), F.col("dd").alias("db_"))
-    e2 = oriented.select("src", F.col("dst").alias("c"), F.col("dd").alias("dc_"))
-    wedges = e1.join(e2, "src").where(
-        (F.col("db_") < F.col("dc_"))
-        | ((F.col("db_") == F.col("dc_")) & (F.col("b") < F.col("c")))
+    # r15 (guide §2.3/§2.4): the wedge pair set per center src is every
+    # (dd, dst)-ordered pair of its out-neighbors. The r14 shape
+    # self-joined `oriented` on src (two corpus exchanges + deg² join
+    # output, half discarded by the order predicate); instead group each
+    # src's out-neighborhood — bounded at O(sqrt E) rows by the degree
+    # orientation — into ONE (dd, dst)-sorted array and emit exactly the
+    # C(outdeg, 2) ordered pairs row-locally. sort_array on the struct is
+    # lexicographic (dd, then dst), so i < j reproduces the old
+    # (db_ < dc_) | (db_ == dc_ & b < c) predicate bit-for-bit.
+    lists = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list(F.struct("dd", "dst"))).alias("ons")
+    )
+    # pin the explode stage's parallelism: AQE sizes it on the tiny
+    # pre-explode bytes and would coalesce to ~1 task (the g08 finding)
+    lists = lists.repartition(edges.sparkSession.sparkContext.defaultParallelism)
+    wedges = lists.select(
+        "src",
+        F.expr(
+            "inline(flatten(transform(ons, (x, i) -> "
+            "transform(slice(ons, i + 2, size(ons)), "
+            "y -> struct(x.dst AS b, y.dst AS c)))))"
+        ),
     )
     closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closing, ["b", "c"], "left_semi").select(
         F.col("src").alias("a"), "b", "c"
     )
-    members = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # one row-local explode instead of a 3-way union of tri projections —
+    # the union re-ran the semi-join subtree three times (guide §2.4)
+    members = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
 
@@ -470,8 +524,15 @@ def khop_frontiers(
     distance h. ``edges_undirected``: (node, nbr) with both directions
     present; ``seeds``: (node)."""
     ed = edges_undirected.persist()
+    # NOTE (r15 A/B, kept eager): riding the count on a LAZY checkpoint
+    # (eager=False, count() materializes + returns in one action) did cut
+    # jobs 30 → 26 but measured SLOWER (4.03 → 5.15 s at sf0.1) — the
+    # lazy path compiles the chain outside AQE's stage-by-stage sizing,
+    # and the worse join/partition choices cost more than the saved
+    # trivial count jobs. Counts stay on pinned RDDs.
     seeds_ck = seeds.select("node").distinct().localCheckpoint(eager=True)
     frontier = seeds_ck
+    frontiers = [seeds_ck]
     counts = [(0, seeds_ck.count())]
     # visited = union of checkpointed frontiers: every leaf is already a
     # pinned RDD, so the union needs no checkpoint of its own — lineage
@@ -487,7 +548,12 @@ def khop_frontiers(
         )
         counts.append((h, frontier.count()))
         visited = visited.unionAll(frontier)
+        frontiers.append(frontier)
     ed.unpersist()
+    # the counts are plain Python ints by now — release every pinned
+    # frontier's blocks before returning (nothing scans them again)
+    for f in frontiers:
+        _release_checkpoint(f)
     spark = edges_undirected.sparkSession
     return spark.createDataFrame(counts, "hop INT, n_nodes BIGINT")
 
@@ -535,10 +601,27 @@ def _register_g03() -> None:
         """3-hop BFS frontier sizes from every 50th supplier over the
         undirected ship graph (bipartite: odd hops are customers, even are
         suppliers)."""
+        from spark_streaming_logservice_spark.tables import load_table
+
+        # r15 (guide §2.3 — narrower types through every exchange): the
+        # output is COUNTS only, so node identity merely needs to stay
+        # injective. Encode supplier s<k> as 2k and customer c<k> as 2k+1
+        # (a bijection with the oracle's string ids — s/c prefixes and the
+        # even/odd parity partition the id space identically), so every
+        # per-hop join/distinct/anti-join shuffles 8-byte longs instead of
+        # ~8-16 char strings. Frontier sizes are unchanged by construction.
+        l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         # the fact-join + distinct edge relation feeds und (×2) and the
         # seed filter — materialize once (guide §2.4)
-        edges = _supplier_customer_edges(spark, sf_dir).localCheckpoint(
-            eager=True
+        edges = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .select(
+                (F.col("l_suppkey").cast("bigint") * 2).alias("src"),
+                (F.col("o_custkey").cast("bigint") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
         und = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
             edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
@@ -546,10 +629,14 @@ def _register_g03() -> None:
         seeds = (
             edges.select("src")
             .distinct()
-            .where(F.substring("src", 2, 100).cast("bigint") % 50 == 1)
+            .where(F.expr("(src DIV 2) % 50 = 1"))
             .select(F.col("src").alias("node"))
         )
-        return khop_frontiers(und, seeds, hops=3).orderBy("hop")
+        out = khop_frontiers(und, seeds, hops=3).orderBy("hop")
+        # khop's counts are local ints — the edge checkpoint is fully
+        # consumed by the time it returns, so free its blocks too
+        _release_checkpoint(edges)
+        return out
 
 
 _register_g03()
@@ -1010,37 +1097,62 @@ def _register_g08() -> None:
         a WindowGroupLimit-pruned global rank over the aggregated
         candidates. All score arithmetic is exact BIGINT (1e9 DIV degree
         units), so the result is bit-stable at any partitioning."""
-        # edges feeds the adjacency (×2) AND the closing anti-join; adj
-        # feeds the degree agg and BOTH wedge sides. Materialize each once
-        # — without the checkpoints every reference re-runs the fact
-        # self-join + distinct (r14 profile: g08 spent most of its 12 s
-        # re-deriving these; guide §2.4).
+        # edges feeds the adjacency (×2) AND the closing anti-join —
+        # materialize it once (guide §2.4; r14 profile: re-deriving the
+        # fact self-join per reference was the bulk of 12 s).
         edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-        adj = (
-            edges.select(F.col("a").alias("w"), F.col("b").alias("n"))
-            .unionByName(edges.select(F.col("b").alias("w"), F.col("a").alias("n")))
-            .localCheckpoint(eager=True)
+        adj = edges.select(F.col("a").alias("w"), F.col("b").alias("n")).unionByName(
+            edges.select(F.col("b").alias("w"), F.col("a").alias("n"))
         )
         deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
         centers = deg.where(F.col("d") <= CENTER_CAP).select(
             "w", F.expr(f"{UNITS} DIV d").alias("units")
         )
-        a1 = adj.select("w", F.col("n").alias("u"))
-        a2 = adj.select("w", F.col("n").alias("v"))
-        wedge = (
-            centers.join(a1, "w")
-            .join(a2, "w")
-            .where(F.col("u") < F.col("v"))
-            .select("u", "v", "units")
+        # r15 (guide §2.3/§2.4): the r14 shape self-joined the adjacency on
+        # w (two corpus-sized exchanges + a join emitting deg² rows per
+        # center, half discarded by u < v). Instead, group each capped
+        # center's neighbors into ONE sorted array (bounded at CENTER_CAP
+        # rows per group by the centers join, so no hub can blow up an
+        # aggregation buffer) and emit exactly the C(deg, 2) ordered pairs
+        # row-locally. The centers join drops hub rows BEFORE the group-by
+        # and reuses its w-partitioning for it — one adjacency exchange
+        # total instead of two, and no wedge join at all. Pair set is
+        # identical by construction: sort_array over the (distinct)
+        # neighbor set makes every i < j pair satisfy u < v exactly once.
+        nbrs = adj.join(centers, "w")
+        lists = nbrs.groupBy("w", "units").agg(
+            F.sort_array(F.collect_list("n")).alias("ns")
         )
-        cand = wedge.groupBy("u", "v").agg(
+        # The pair explode amplifies ~74k grouped rows to ~10M wedges; AQE
+        # sizes the downstream stage on the PRE-explode bytes and coalesced
+        # it to 1 task (measured: a 12 s single-core stage). An explicit
+        # repartition of the tiny grouped relation pins the explode at full
+        # parallelism — the exchange itself is ~25 MB (guide §2.5: AQE
+        # cannot see through an explode's row amplification).
+        lists = lists.repartition(spark.sparkContext.defaultParallelism)
+        wedge = lists.select(
+            "units",
+            F.expr(
+                "inline(flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), "
+                "y -> struct(x AS u, y AS v)))))"
+            ),
+        )
+        # Non-edge filter BEFORE the pair aggregation (guide §3.2/§2.3):
+        # the predicate is per pair key, so dropping existing-edge wedges
+        # row-wise is exactly the old post-agg anti-join — but triangle
+        # wedges now die map-side (broadcast anti at local size) instead
+        # of being shuffled and aggregated first. At cluster scale the
+        # anti-join's (u,v) exchange is reused by the aggregation, so the
+        # exchange count is unchanged.
+        nonedge_wedges = wedge.join(
+            edges,
+            (wedge["u"] == edges["a"]) & (wedge["v"] == edges["b"]),
+            "left_anti",
+        )
+        nonedge = nonedge_wedges.groupBy("u", "v").agg(
             F.sum("units").alias("score_units"),
             F.count(F.lit(1)).alias("n_common"),
-        )
-        nonedge = cand.join(
-            edges,
-            (cand["u"] == edges["a"]) & (cand["v"] == edges["b"]),
-            "left_anti",
         )
         # global top-20 via sort+limit (TakeOrderedAndProject): each task
         # keeps its local top-20, the driver merges O(partitions x 20) rows

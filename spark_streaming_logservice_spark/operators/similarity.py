@@ -52,7 +52,20 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-_DIM_CACHE: dict[tuple[str, str], int] = {}
+_DIM_CACHE: dict[tuple, int] = {}
+
+
+def _embeddings_content_key(sf_dir: str) -> tuple:
+    """Content identity of the embeddings dataset under ``sf_dir`` — the
+    shared ``dataset_content_key`` discipline (ADVICE r9/r14): every probe
+    cache keys on the dataset CONTENTS, so an in-place regeneration of
+    embeddings.parquet (different width, different count) invalidates the
+    entry instead of silently serving a stale dim/plane count."""
+    import os
+
+    from spark_streaming_logservice_spark.tables import dataset_content_key
+
+    return dataset_content_key(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _probe_dim(
@@ -60,15 +73,16 @@ def _probe_dim(
 ) -> int | None:
     """Embedding width from ONE row (O(1) at any corpus size — not an agg
     over the table). Uniform dimensionality is already a precondition of
-    every vector op here. With ``cache_key`` (e.g. the sf_dir) the probe
-    runs at most once per key per process instead of being a per-query
-    Spark job."""
-    if cache_key is not None and (cache_key, col) in _DIM_CACHE:
-        return _DIM_CACHE[(cache_key, col)]
+    every vector op here. With ``cache_key`` (the sf_dir) the probe runs
+    at most once per dataset CONTENT per process instead of being a
+    per-query Spark job; a rewrite of embeddings.parquet re-probes."""
+    ck = (_embeddings_content_key(cache_key), col) if cache_key is not None else None
+    if ck is not None and ck in _DIM_CACHE:
+        return _DIM_CACHE[ck]
     row = e.select(F.size(F.col(col)).alias("d")).limit(1).first()
     d = int(row["d"]) if row and row["d"] is not None else None
-    if cache_key is not None and d is not None:
-        _DIM_CACHE[(cache_key, col)] = d
+    if ck is not None and d is not None:
+        _DIM_CACHE[ck] = d
     return d
 
 
@@ -171,7 +185,7 @@ def adaptive_n_planes(n: int, dim: int) -> int:
     return min(max(N_PLANES, math.ceil(math.log2(x))), dim)
 
 
-_STATS_CACHE: dict[str, tuple[int, int | None]] = {}
+_STATS_CACHE: dict[tuple, tuple[int, int | None]] = {}
 
 
 def _corpus_stats(
@@ -179,16 +193,19 @@ def _corpus_stats(
 ) -> tuple[int, int | None]:
     """(planes, dim) from one scalar-aggregate driver round-trip (count +
     dim), same class as the IVF k-row centroid collect — not a data
-    collect. With ``cache_key`` (the sf_dir) the probe runs once per key
-    per process, not once per query invocation."""
-    if cache_key is not None and cache_key in _STATS_CACHE:
-        return _STATS_CACHE[cache_key]
+    collect. With ``cache_key`` (the sf_dir) the probe runs once per
+    dataset CONTENT per process, not once per query invocation; a rewrite
+    of embeddings.parquet re-probes (same invalidation rule as
+    ``_probe_dim``)."""
+    ck = _embeddings_content_key(cache_key) if cache_key is not None else None
+    if ck is not None and ck in _STATS_CACHE:
+        return _STATS_CACHE[ck]
     row = e.select(
         F.count(F.lit(1)).alias("n"), F.min(F.size("emb")).alias("dim")
     ).first()
     out = adaptive_n_planes(row["n"] or 0, row["dim"] or N_PLANES), row["dim"]
-    if cache_key is not None:
-        _STATS_CACHE[cache_key] = out
+    if ck is not None:
+        _STATS_CACHE[ck] = out
     return out
 
 

@@ -434,6 +434,13 @@ def _register_v06() -> None:
                 F.split(F.lower(F.col("text")), " "), lambda t: t != ""
             ).alias("a"),
         )
+        # NOTE (r15 A/B, reverted — the d23 counter-rule): pinning the
+        # token arrays per merge round (localCheckpoint on tok0 and after
+        # each apply_bpe_merge) runs tokenize/merge exactly once each but
+        # measured SLOWER (1.80 → 1.99 s at sf0.1): materializing the
+        # corpus's wide string arrays to RDD rows costs more than the
+        # re-tokenize it saves, the same trade d23's pre-cap checkpoint
+        # lost in r14. Recompute-per-round stands.
         for _ in range(_MERGE_ROUNDS):
             top = (
                 _adjacent_pairs(d)

@@ -119,6 +119,52 @@ def _row_group_stats2(path: str, shard: int) -> list[tuple[int, int, int, int, i
     return out
 
 
+# Planner cursor-index cache (r15, guide §1.2/§6): latestOffset calls
+# time_for_seq + second_histogram + nth_seq per LAGGING shard per TRIGGER,
+# each an Arrow data-page scan — measured 40-80 ms of the ~550 ms
+# steady-state trigger. For a shard whose total row count is bounded, one
+# content-keyed sorted (seq, time) array answers all three as numpy
+# searchsorted lookups. The cap keeps this scale-safe: a year-lagging
+# 100 TB shard must NOT pin O(lag) driver memory, so above the cap the
+# footer-bounded scans below remain the path (identical results — the
+# index variants reproduce the exact same row windows, including the
+# footer-stats ceiling of the bounded histogram).
+_SEQ_TIME_CACHE: dict[tuple[str, int], tuple[tuple, object, object]] = {}
+_SEQ_TIME_CACHE_MAX_ROWS = 4_000_000
+
+
+def _seq_time_index(path: str, shard: int):
+    """(seqs, times) sorted by seq for the whole shard, or None when the
+    shard exceeds ``_SEQ_TIME_CACHE_MAX_ROWS`` (callers fall back to the
+    footer-bounded scans). Signature-keyed like ``_row_group_stats2``."""
+    groups = _row_group_stats2(path, shard)
+    if not groups or sum(g[4] for g in groups) > _SEQ_TIME_CACHE_MAX_ROWS:
+        return None
+    d = shard_dir(path, shard)
+    try:
+        mtime = os.stat(d).st_mtime_ns
+        names = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    except FileNotFoundError:
+        return None
+    sig = (mtime, len(names))
+    key = (os.path.abspath(path), shard)
+    hit = _SEQ_TIME_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1], hit[2]
+    ds = _shard_dataset(path, shard)
+    if ds is None:
+        return None
+    import numpy as np
+
+    tbl = ds.to_table(columns=["seq", "time"])
+    seqs = tbl.column("seq").to_numpy(zero_copy_only=False)
+    times = tbl.column("time").to_numpy(zero_copy_only=False)
+    order = np.argsort(seqs, kind="stable")
+    seqs, times = seqs[order], times[order]
+    _SEQ_TIME_CACHE[key] = (sig, seqs, times)
+    return seqs, times
+
+
 def seq_for_time(
     path: str, shard: int, cursor_time: int, min_seq: int = 0
 ) -> int:
@@ -161,6 +207,13 @@ def time_for_seq(path: str, shard: int, seq: int) -> int | None:
     backfill must not make a lagging shard look caught-up (or vice versa).
     Footer-stats-bounded: the first record lives at seq <= the smallest
     covering seq_max, so only those row groups are read."""
+    idx = _seq_time_index(path, shard)
+    if idx is not None:
+        import numpy as np
+
+        seqs, times = idx
+        i = int(np.searchsorted(seqs, seq, side="left"))
+        return int(times[i]) if i < len(seqs) else None
     ds = _shard_dataset(path, shard)
     if ds is None:
         return None
@@ -189,6 +242,18 @@ def nth_seq(path: str, shard: int, from_seq: int, n: int) -> int:
     can sit at the cursor forever). Footer-stats-bounded to O(n) rows."""
     if n <= 0:
         return from_seq
+    idx = _seq_time_index(path, shard)
+    if idx is not None:
+        import numpy as np
+
+        seqs, _times = idx
+        i = int(np.searchsorted(seqs, from_seq, side="left"))
+        remaining = len(seqs) - i
+        if remaining == 0:
+            return from_seq
+        if remaining < n:
+            return shard_bounds(path, shard)[1]
+        return int(seqs[i + n - 1]) + 1
     ds = _shard_dataset(path, shard)
     if ds is None:
         return from_seq
@@ -257,6 +322,23 @@ def second_histogram(
     unbounded walk would — still safe: offsets advance by row count, never
     past real data, and undercounted rows are simply picked up by the next
     trigger."""
+    idx = _seq_time_index(path, shard)
+    if idx is not None:
+        import numpy as np
+
+        seqs, times = idx
+        lo = int(np.searchsorted(seqs, from_seq, side="left"))
+        hi = len(seqs)
+        if max_records is not None:
+            ceiling = _seq_ceiling_for_count(path, shard, from_seq, max_records)
+            if ceiling is not None:
+                # same footer-stats ceiling as the scan path → identical
+                # row window, identical buckets
+                hi = int(np.searchsorted(seqs, ceiling, side="left"))
+        if lo >= hi:
+            return []
+        vals, cnts = np.unique(times[lo:hi], return_counts=True)
+        return [(int(t), int(c)) for t, c in zip(vals, cnts)]
     ds = _shard_dataset(path, shard)
     if ds is None:
         return []

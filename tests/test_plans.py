@@ -453,6 +453,30 @@ def test_g02_triangle_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_g02_executed_path_joins_are_hash_over_pinned_edges(spark, sf_dir):
+    """The REGISTERED g02 path checkpoints the oriented relation, so also
+    pin the executed shape (ADVICE r14): the wedge/closing joins in the
+    default materialize=True output must still be hash equi-joins, now over
+    the pinned RDD scans — a join-strategy regression in the real path
+    would otherwise be invisible to the materialize=False test above."""
+    from spark_streaming_logservice_spark.operators.graph import (
+        _copurchase_edges,
+        triangle_count,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    df = triangle_count(edges)  # materialize=True: the registered shape
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "oriented relation must be pinned"
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
 def test_t12_profile_single_expand_single_scan(spark, sf_dir):
     """Multi-column exact distinct = ONE Expand over ONE events scan."""
     df = registry.QUERIES["t12_column_profile"](spark, sf_dir)

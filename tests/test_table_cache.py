@@ -57,3 +57,40 @@ def test_distinct_sf_dirs_are_distinct_entries(spark, tmp_path):
             os.path.join(d, "region.parquet"))
     assert tables.load_table(spark, a, "region").count() == 3
     assert tables.load_table(spark, b, "region").count() == 7
+
+
+def test_overflow_evicts_only_other_sessions(spark, tmp_path):
+    """The >256 overflow guard must drop OTHER sessions' entries, not the
+    live session's (r15, ADVICE r14: a full clear re-pays schema inference
+    for the very tables being queried)."""
+    sf = str(tmp_path)
+    spark.range(4).selectExpr("id AS r_regionkey").write.parquet(
+        os.path.join(sf, "region.parquet"))
+    df1 = tables.load_table(spark, sf, "region")
+    live_keys = {k for k in tables._TABLE_CACHE if k[0] == id(spark)}
+    assert live_keys
+    fake = [(10**9 + i, "dead-app", "region", ("x", i)) for i in range(300)]
+    for k in fake:
+        tables._TABLE_CACHE[k] = df1
+    try:
+        # next insert trips the guard: fake-session entries go, live stay
+        spark.range(2).selectExpr("id AS n_nationkey").write.parquet(
+            os.path.join(sf, "nation.parquet"))
+        tables.load_table(spark, sf, "nation")
+        assert not any(k in tables._TABLE_CACHE for k in fake)
+        assert tables.load_table(spark, sf, "region") is df1
+    finally:
+        for k in fake:
+            tables._TABLE_CACHE.pop(k, None)
+
+
+def test_events_confs_reasserted_on_cache_hit(spark):
+    """A cached events handle depends on nanosAsLong + UTC session confs;
+    a hit must re-assert them even if the caller reset them (ADVICE r14)."""
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    tables.load_table(spark, sf, "events")  # prime the cache
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    tables.load_table(spark, sf, "events")  # hit
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
